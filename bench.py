@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "images_joined_tiled_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric follows BASELINE.md: probe images joined+tiled per
+second on the flagship spatial cell-join (J7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from osm_io_spark import queries as Q
+from osm_io_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "j7_spatial_cell_join",
+    "j8_pip_refine",
+    "j9_knn_ring_expansion",
+    "j10_raster_vector",
+    "c1_zorder_tile",
+    "agg_cell_rollup",
+    "a2_bounding_box",
+    "j1_sortmerge_group_join",
+    "j4_broadcast_lookup",
+    "a4_ordered_assembly",
+    "a5_latest_version",
+    "w1_hourly_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_cosine",
+    "text_token_count",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("osm-io-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        rows[name] = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s rows={rows[name]}", file=sys.stderr)
+
+    n_images = Q.images_probe(spark, sf_dir).count()
+    throughput = n_images / timings["j7_spatial_cell_join"]
+
+    print(json.dumps({
+        "metric": "images_joined_tiled_per_sec",
+        "value": round(throughput, 2),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "n_images": n_images,
+        "cpus": int(cpus),
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

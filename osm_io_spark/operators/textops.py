@@ -1,0 +1,64 @@
+"""Text analysis operators for training-data pipelines (documents table).
+
+Pure Column expressions (JVM, codegen) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Corpus-aware "stop list": common function words plus the synthetic
+# corpus's high-frequency schema words (deterministic, engine-portable).
+STOPWORDS = ("the", "a", "of", "and", "to", "in",
+             "key", "row", "data", "table", "query", "join")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", min_ratio: float = 0.05) -> DataFrame:
+    """Heuristic n-gram/stopword language ID: ratio of stoplist token
+    occurrences. (Real model lexicons aren't available; the operator
+    shape — explode-free vectorized ratio + threshold — is the point.)"""
+    toks = F.split(F.col(text_col), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    ratio = hits.cast("double") / F.size(toks).cast("double")
+    return docs.select(
+        F.col(id_col),
+        hits.alias("stop_hits"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= F.lit(min_ratio), F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / mean-token-length / stopword-ratio quality signals."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_tok = F.size(toks).cast("long")
+    n_chr = F.length(text).cast("long")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    mean_tok_len = (n_chr - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    stop_ratio = hits.cast("double") / n_tok.cast("double")
+    score = mean_tok_len * F.lit(0.25) + stop_ratio * F.lit(10.0)
+    return docs.select(F.col(id_col),
+                       n_chr.alias("n_chars_calc"),
+                       n_tok.alias("n_tokens"),
+                       mean_tok_len.alias("mean_tok_len"),
+                       stop_ratio.alias("stop_ratio"),
+                       score.alias("quality"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set (the classic 'fingerprint' dedup key)."""
+    toks = F.split(F.col(text_col), " ")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,786 @@
+"""Query + oracle registry (the driver correctness gate).
+
+Each entry pairs a Spark implementation (exercising an engine operator
+from SURVEY.md §2) with an ANSI-SQL oracle DuckDB runs on the same
+parquet tables. Determinism rules that make cross-engine value-hash
+comparison sound:
+
+* Geo columns are synthesized with INTEGER modular arithmetic
+  (``(key * prime) % range / 1e6 - offset``) — bit-exact in any engine.
+* Float SUMs are avoided: money/quantity are quantized to integer cents
+  (``floor(x*100+0.5)``), embeddings to integer milli-units, so all
+  aggregate sums are exact; remaining float columns come from identical
+  scalar expression trees (same IEEE ops in the same order).
+* Boundary coincidences are excluded by construction: rectangle/triangle
+  edges carry a half-micro-degree offset (+5e-7 / +3e-7) so no probe
+  coordinate (a multiple of 1e-6) can ever lie exactly on an edge.
+* Ranks are tie-broken by id; DuckDB HUGEINT sums / INT ranks are cast
+  to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import cells as C
+from .functions.hashing import hash64_sql
+from .operators import ann as ANN
+from .operators import dedup as DD
+from .operators import knn as KNN
+from .operators import raster as RAS
+from .operators import spatial_join as SJ
+from .operators import textops as TX
+
+# ---------------------------------------------------------------------------
+# synthetic geo tables (shared Spark + SQL fragments)
+# ---------------------------------------------------------------------------
+
+RES_JOIN = 10     # spatial join cover resolution
+RES_TILE = 7      # raster tile resolution
+RES_KNN = 4       # kNN grid resolution
+K_NN = 3
+
+# NOTE: every decimal literal in shared fragments is written in e-notation
+# (1e6, 5e-7, …) or applied to a DOUBLE operand: Spark parses bare decimal
+# literals (1000000.0) as DECIMAL and would do exact decimal arithmetic
+# where DuckDB does IEEE double — e-notation is DOUBLE in both engines.
+_IMG_ID = "(l_orderkey * 10 + l_linenumber)"
+_LAT = "(CAST((img_id * 2654435761) % 120000000 AS DOUBLE) / 1e6 - 60.0)"
+_LON = "(CAST((img_id * 2971215073) % 360000000 AS DOUBLE) / 1e6 - 180.0)"
+
+IMAGES_SQL = f"""
+  SELECT img_id, {_LAT} AS lat, {_LON} AS lon
+  FROM (SELECT {_IMG_ID} AS img_id FROM lineitem)
+"""
+
+_CLON = "(CAST((p_partkey * 7919) % 344000000 AS DOUBLE) / 1e6 - 172.0)"
+_CLAT = "(CAST((p_partkey * 104729) % 116000000 AS DOUBLE) / 1e6 - 58.0)"
+_HW = "(0.05 + CAST((p_partkey * 13007) % 450000 AS DOUBLE) / 1e6)"
+_HH = "(0.05 + CAST((p_partkey * 17389) % 450000 AS DOUBLE) / 1e6)"
+_R1 = "(0.1 + CAST((p_partkey * 23003) % 500000 AS DOUBLE) / 1e6 + 3e-7)"
+_R2 = "(0.1 + CAST((p_partkey * 29009) % 500000 AS DOUBLE) / 1e6 + 3e-7)"
+_R3 = "(0.1 + CAST((p_partkey * 31013) % 500000 AS DOUBLE) / 1e6 + 3e-7)"
+
+_EDGE_L = "(clon - hw + 5e-7)"
+_EDGE_R = "(clon + hw + 5e-7)"
+_EDGE_B = "(clat - hh + 5e-7)"
+_EDGE_T = "(clat + hh + 5e-7)"
+
+_RECT_CORE = f"""
+  SELECT p_partkey AS polygon_id,
+         {_CLON} AS clon, {_CLAT} AS clat,
+         {_HW} AS hw, {_HH} AS hh
+  FROM part WHERE p_partkey % 10 = 0
+"""
+
+RECTS_SQL = f"""
+  SELECT polygon_id, clon, clat,
+         {_EDGE_L} AS "left", {_EDGE_R} AS "right",
+         {_EDGE_B} AS "bottom", {_EDGE_T} AS "top"
+  FROM ({_RECT_CORE})
+"""
+
+_V1X, _V1Y = "(clon + 0.05)", "(clat + r1)"
+_V2X, _V2Y = "(clon - 0.9 * r2)", "(clat - 0.7 * r2)"
+_V3X, _V3Y = "(clon + 0.8 * r3)", "(clat - 0.6 * r3)"
+
+_TRI_CORE = f"""
+  SELECT p_partkey AS polygon_id,
+         {_CLON} AS clon, {_CLAT} AS clat,
+         {_R1} AS r1, {_R2} AS r2, {_R3} AS r3
+  FROM part WHERE p_partkey % 10 = 5
+"""
+
+TRIS_SQL = f"""
+  SELECT polygon_id,
+         {_V1X} AS x1, {_V1Y} AS y1,
+         {_V2X} AS x2, {_V2Y} AS y2,
+         {_V3X} AS x3, {_V3Y} AS y3
+  FROM ({_TRI_CORE})
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def images_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic geotagged probe table (img_id, lat, lon) derived
+    deterministically from lineitem — the stand-in for the 10^12-row
+    image table's (image_id, lat, lon) projection (image bytes stay out
+    of the join; see synth.images_df for the full-width table)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .select(F.expr(_IMG_ID).alias("img_id"))
+            .withColumn("lat", F.expr(_LAT))
+            .withColumn("lon", F.expr(_LON)))
+
+
+def rect_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    core = (_t(spark, sf_dir, "part")
+            .filter(F.expr("p_partkey % 10 = 0"))
+            .select(F.col("p_partkey").alias("polygon_id"),
+                    F.expr(_CLON).alias("clon"), F.expr(_CLAT).alias("clat"),
+                    F.expr(_HW).alias("hw"), F.expr(_HH).alias("hh")))
+    return core.select(
+        "polygon_id", "clon", "clat",
+        F.expr(_EDGE_L).alias("left"),
+        F.expr(_EDGE_R).alias("right"),
+        F.expr(_EDGE_B).alias("bottom"),
+        F.expr(_EDGE_T).alias("top"))
+
+
+def tri_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    core = (_t(spark, sf_dir, "part")
+            .filter(F.expr("p_partkey % 10 = 5"))
+            .select(F.col("p_partkey").alias("polygon_id"),
+                    F.expr(_CLON).alias("clon"), F.expr(_CLAT).alias("clat"),
+                    F.expr(_R1).alias("r1"), F.expr(_R2).alias("r2"),
+                    F.expr(_R3).alias("r3")))
+    return core.select(
+        "polygon_id",
+        F.expr(_V1X).alias("x1"), F.expr(_V1Y).alias("y1"),
+        F.expr(_V2X).alias("x2"), F.expr(_V2Y).alias("y2"),
+        F.expr(_V3X).alias("x3"), F.expr(_V3Y).alias("y3"))
+
+
+def tri_polygons_ringed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the general-polygon schema (rings + bbox cols)."""
+    tri = tri_polygons(spark, sf_dir)
+    ring = F.array(
+        F.struct(F.col("x1").alias("lon"), F.col("y1").alias("lat")),
+        F.struct(F.col("x2").alias("lon"), F.col("y2").alias("lat")),
+        F.struct(F.col("x3").alias("lon"), F.col("y3").alias("lat")))
+    return tri.select(
+        "polygon_id",
+        F.array(ring).alias("rings"),
+        F.least("x1", "x2", "x3").alias("left"),
+        F.least("y1", "y2", "y3").alias("bottom"),
+        F.greatest("x1", "x2", "x3").alias("right"),
+        F.greatest("y1", "y2", "y3").alias("top"))
+
+
+# ---------------------------------------------------------------------------
+# spatial queries (J7-J10, C1, A2, hierarchy rollup)
+# ---------------------------------------------------------------------------
+
+def q_entry_flagship(spark, sf_dir):
+    """Flagship for the driver smoke check: the J7 spatial cell-join with
+    a denser build side (every part row, wider rectangles) so even the
+    tiny sf0.001 probe set produces matches."""
+    part = _t(spark, sf_dir, "part")
+    core = part.select(
+        F.col("p_partkey").alias("polygon_id"),
+        F.expr(_CLON).alias("clon"), F.expr(_CLAT).alias("clat"),
+        F.expr("0.5 + CAST((p_partkey * 13007) % 2000000 AS DOUBLE) / 1e6").alias("hw"),
+        F.expr("0.5 + CAST((p_partkey * 17389) % 2000000 AS DOUBLE) / 1e6").alias("hh"))
+    rects = core.select(
+        "polygon_id",
+        F.expr(_EDGE_L).alias("left"), F.expr(_EDGE_R).alias("right"),
+        F.expr(_EDGE_B).alias("bottom"), F.expr(_EDGE_T).alias("top"))
+    out = SJ.spatial_join_rect(images_probe(spark, sf_dir), rects, res=RES_JOIN)
+    return out.select("img_id", "polygon_id", "cell", "lat", "lon")
+
+
+def q_j7_spatial_cell_join(spark, sf_dir):
+    out = SJ.spatial_join_rect(images_probe(spark, sf_dir),
+                               rect_polygons(spark, sf_dir), res=RES_JOIN)
+    return out.select("img_id", "polygon_id")
+
+
+SQL_J7 = f"""
+WITH images AS ({IMAGES_SQL}), rects AS ({RECTS_SQL})
+SELECT i.img_id, r.polygon_id
+FROM images i JOIN rects r
+  ON i.lon > r."left" AND i.lon < r."right"
+ AND i.lat > r."bottom" AND i.lat < r."top"
+"""
+
+
+def q_j8_pip_refine(spark, sf_dir):
+    out = SJ.spatial_join_polygons(images_probe(spark, sf_dir),
+                                   tri_polygons_ringed(spark, sf_dir),
+                                   res=RES_JOIN)
+    return out.select("img_id", "polygon_id")
+
+
+# NB: least/greatest must be materialized in a CTE, not inlined in the
+# join ON clause — DuckDB 1.0 hits an internal "flat vector" assertion
+# (and invalidates the whole database) on the inlined form at sf>=0.01.
+SQL_J8 = f"""
+WITH images AS ({IMAGES_SQL}), tris0 AS ({TRIS_SQL}),
+tris AS (
+  SELECT *, least(x1, x2, x3) AS bl, greatest(x1, x2, x3) AS br,
+         least(y1, y2, y3) AS bb, greatest(y1, y2, y3) AS bt
+  FROM tris0),
+d AS (
+  SELECT i.img_id, t.polygon_id,
+         (t.x2 - t.x1) * (i.lat - t.y1) - (t.y2 - t.y1) * (i.lon - t.x1) AS d1,
+         (t.x3 - t.x2) * (i.lat - t.y2) - (t.y3 - t.y2) * (i.lon - t.x2) AS d2,
+         (t.x1 - t.x3) * (i.lat - t.y3) - (t.y1 - t.y3) * (i.lon - t.x3) AS d3
+  FROM images i JOIN tris t
+    ON i.lon > t.bl AND i.lon < t.br AND i.lat > t.bb AND i.lat < t.bt)
+SELECT img_id, polygon_id FROM d
+WHERE (d1 > 0 AND d2 > 0 AND d3 > 0) OR (d1 < 0 AND d2 < 0 AND d3 < 0)
+"""
+
+
+def q_j9_knn(spark, sf_dir):
+    # NB: img_id = orderkey*10 + linenumber with linenumber in 1..7, so
+    # img_id % 10 is never 0 — the probe predicate must not require it.
+    probe = images_probe(spark, sf_dir).filter(F.expr("img_id % 1000 < 15"))
+    build = rect_polygons(spark, sf_dir).select("polygon_id", "clat", "clon")
+    out = KNN.knn_join(probe, build, k=K_NN, res=RES_KNN)
+    return out.select("img_id", F.col("rank").cast("long").alias("rank"),
+                      "polygon_id", "dist_sq")
+
+
+SQL_J9 = f"""
+WITH images AS ({IMAGES_SQL}),
+probe AS (SELECT * FROM images WHERE img_id % 1000 < 15),
+rects AS ({_RECT_CORE}),
+cand AS (
+  -- DISTINCT: base tables contain duplicate keys; the engine's kNN
+  -- dedupes (probe, build) pairs, so the oracle must rank distinct pairs
+  SELECT DISTINCT p.img_id, r.polygon_id,
+         (p.lat - r.clat) * (p.lat - r.clat)
+       + (p.lon - r.clon) * (p.lon - r.clon) AS dist_sq
+  FROM probe p CROSS JOIN rects r),
+ranked AS (
+  SELECT img_id, polygon_id, dist_sq,
+         row_number() OVER (PARTITION BY img_id ORDER BY dist_sq, polygon_id) AS rnk
+  FROM cand)
+SELECT img_id, CAST(rnk AS BIGINT) AS rank, polygon_id, dist_sq
+FROM ranked WHERE rnk <= {K_NN}
+"""
+
+
+def q_j10_raster_vector(spark, sf_dir):
+    out = RAS.raster_vector_assign(images_probe(spark, sf_dir),
+                                   rect_polygons(spark, sf_dir), res=RES_TILE)
+    return out.select("img_id", "polygon_id")
+
+
+SQL_J10 = f"""
+WITH images AS ({IMAGES_SQL}), rects AS ({RECTS_SQL}),
+tiles AS (
+  SELECT img_id,
+         CAST(floor((lon + 180.0) / 360.0 * {float(1 << RES_TILE)}) AS BIGINT) AS tx,
+         CAST(floor((lat + 90.0) / 180.0 * {float(1 << RES_TILE)}) AS BIGINT) AS ty
+  FROM images),
+tb AS (
+  SELECT img_id,
+         tx / {float(1 << RES_TILE)} * 360.0 - 180.0 AS tleft,
+         (tx + 1) / {float(1 << RES_TILE)} * 360.0 - 180.0 AS tright,
+         ty / {float(1 << RES_TILE)} * 180.0 - 90.0 AS tbottom,
+         (ty + 1) / {float(1 << RES_TILE)} * 180.0 - 90.0 AS ttop
+  FROM tiles)
+SELECT t.img_id, r.polygon_id
+FROM tb t JOIN rects r
+  ON r."left" < t.tright AND r."right" > t.tleft
+ AND r."bottom" < t.ttop AND r."top" > t.tbottom
+"""
+
+
+def q_c1_zorder_tile(spark, sf_dir):
+    img = images_probe(spark, sf_dir).filter(F.expr("img_id % 37 = 0"))
+    return img.select("img_id",
+                      C.zorder_tile_col(F.col("lat"), F.col("lon")).alias("tile"))
+
+
+SQL_C1 = f"""
+WITH images AS ({IMAGES_SQL})
+SELECT img_id, {C.zorder_tile_sql('lat', 'lon')} AS tile
+FROM images WHERE img_id % 37 = 0
+"""
+
+
+def q_agg_cell_rollup(spark, sf_dir):
+    img = SJ.tag_probe_cells(images_probe(spark, sf_dir), RES_JOIN)
+    return (img.withColumn("cell5", C.cell_parent_col(F.col("cell"), RES_JOIN - 5))
+            .groupBy("cell5").agg(F.count("*").alias("n_images")))
+
+
+SQL_ROLLUP = f"""
+WITH images AS ({IMAGES_SQL})
+SELECT {C.cell_at_sql('lat', 'lon', 5)} AS cell5,
+       CAST(count(*) AS BIGINT) AS n_images
+FROM images GROUP BY 1
+"""
+
+
+def q_a2_bounding_box(spark, sf_dir):
+    return images_probe(spark, sf_dir).agg(
+        F.min("lon").alias("left"), F.min("lat").alias("bottom"),
+        F.max("lon").alias("right"), F.max("lat").alias("top"),
+        F.count("*").alias("n"))
+
+
+SQL_A2 = f"""
+WITH images AS ({IMAGES_SQL})
+SELECT min(lon) AS "left", min(lat) AS "bottom",
+       max(lon) AS "right", max(lat) AS "top",
+       CAST(count(*) AS BIGINT) AS n
+FROM images
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the star schema (A1/A4/A5/A7, J1/J4, W, F1)
+# ---------------------------------------------------------------------------
+
+def q_a1_count_by_type(spark, sf_dir):
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
+SQL_A1 = "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+
+
+def q_a5_latest_version(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("value_cents")))
+
+
+SQL_A5 = """
+SELECT user_id, event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_a4_ordered_assembly(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    refs = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"].cast("string")),
+        ",")
+    return (li.groupBy("l_orderkey")
+            .agg(refs.alias("refs_str"), F.count("*").alias("n_items")))
+
+
+SQL_A4 = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY l_linenumber, l_partkey) AS refs_str,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_a7_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_id"),
+        F.max("l_orderkey").alias("max_id"))
+
+
+SQL_A7 = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_orderkey) AS min_id, max(l_orderkey) AS max_id
+FROM lineitem
+"""
+
+
+def q_j1_sortmerge_group_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.count("*").alias("_n"),
+               F.sum(F.expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).alias("_q")))
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+            .select("o_orderkey",
+                    F.coalesce(F.col("_n"), F.lit(0)).alias("n_items"),
+                    F.coalesce(F.col("_q"), F.lit(0)).alias("sum_qty_q")))
+
+
+SQL_J1 = """
+SELECT o.o_orderkey,
+       CAST(coalesce(l.n, 0) AS BIGINT) AS n_items,
+       CAST(coalesce(l.q, 0) AS BIGINT) AS sum_qty_q
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey, count(*) AS n,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_orderkey) l
+ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def q_j4_broadcast_lookup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    cents = F.expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)")
+    return (li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(nat, sup.s_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(cents).alias("revenue_cents"),
+                 F.count("*").alias("n_items")))
+
+
+SQL_J4 = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_w1_hourly_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("hour_bucket",
+                          F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long"))
+            .groupBy("hour_bucket", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("sum_cents")))
+
+
+SQL_W1 = """
+SELECT CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600.0) AS BIGINT) AS hour_bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_f1_token_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.filter(F.array_contains(F.split("text", " "), "spark"))
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+
+
+SQL_F1 = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE list_contains(string_split(text, ' '), 'spark')
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+
+def q_text_token_count(spark, sf_dir):
+    return TX.token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKENS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_text_language_id(spark, sf_dir):
+    return TX.language_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS stop_hits,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, stop_hits,
+       CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+       CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM t
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return TX.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS hits
+  FROM documents)
+SELECT doc_id, n_chars_calc, n_tokens,
+       CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+       CAST(hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       (CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.25
+       + (CAST(hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 10.0 AS quality
+FROM t
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(array_to_string(CAST(list_sort(list_distinct(string_split(text, ' ')))
+                           AS VARCHAR[]), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+# partial-duplicate corpus: original + copy with the first token dropped
+PARTIAL_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(string_split(text, ' ')[2:], ' ') AS text
+  FROM documents WHERE len(string_split(text, ' ')) >= 4
+"""
+
+
+def _corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return docs.unionByName(dup)
+
+
+def _partial_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    dropped = (docs.filter(F.size(toks) >= 4)
+               .select((F.col("doc_id") + 200000).alias("doc_id"),
+                       F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ").alias("text")))
+    return docs.unionByName(dropped)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_corpus(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_corpus(spark, sf_dir), n_perm=8, band_size=2)
+
+
+def _minhash_sql(n_perm: int = 8, band_size: int = 2) -> str:
+    perm_exprs = [hash64_sql(f"'{p}:' || tok") for p in range(n_perm)]
+    hs = ", ".join(f"min({e}) AS m{p}" for p, e in enumerate(perm_exprs))
+    n_bands = n_perm // band_size
+    band_rows = []
+    for b in range(n_bands):
+        parts = " || '_' || ".join(
+            f"CAST(m{b * band_size + j} AS VARCHAR)" for j in range(band_size))
+        key = hash64_sql(f"'{b}' || '_' || {parts}")
+        band_rows.append(f"SELECT doc_id, {key} AS band FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                 for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS tok
+  FROM corpus),
+sig AS (SELECT doc_id, {hs} FROM toks GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return DD.simhash(_t(spark, sf_dir, "documents"), nbits=16)
+
+
+def _simhash_sql(nbits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nbits))
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {hash64_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_partial_corpus(spark, sf_dir), n=3, min_pct=50)
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH corpus AS ({PARTIAL_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                 for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingle
+  FROM corpus),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b, i.inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_n,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.inter * 100 >= 50 * (sa.sz + sb.sz - i.inter)
+"""
+
+
+_QUANT = "CAST(floor(CAST({v} AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return DD.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                       threshold_pct=40)
+
+
+SQL_DEDUP_EMB = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_QUANT.format(v='unnest(embedding)')} AS qv
+  FROM embeddings),
+norms AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n FROM q GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot_q
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id)
+SELECT d.id_a, d.id_b, d.dot_q,
+       CAST(d.dot_q AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cos
+FROM dots d
+JOIN norms na ON d.id_a = na.vec_id
+JOIN norms nb ON d.id_b = nb.vec_id
+WHERE d.dot_q > 0 AND d.dot_q * d.dot_q * 10000 >= 1600 * na.n * nb.n
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ANN.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+SQL_ANN = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_QUANT.format(v='unnest(embedding)')} AS qv
+  FROM embeddings),
+norms AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n FROM q GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot_q
+  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id != a.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT d.query_id, d.cand_id,
+         CAST(d.dot_q AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cos
+  FROM dots d
+  JOIN norms na ON d.query_id = na.vec_id
+  JOIN norms nb ON d.cand_id = nb.vec_id),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+  FROM scored)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, cand_id, cos
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # spatial engine core
+    "j7_spatial_cell_join": q_j7_spatial_cell_join,
+    "j8_pip_refine": q_j8_pip_refine,
+    "j9_knn_ring_expansion": q_j9_knn,
+    "j10_raster_vector": q_j10_raster_vector,
+    "c1_zorder_tile": q_c1_zorder_tile,
+    "agg_cell_rollup": q_agg_cell_rollup,
+    "a2_bounding_box": q_a2_bounding_box,
+    # relational / reference operator analogues
+    "a1_count_by_type": q_a1_count_by_type,
+    "a4_ordered_assembly": q_a4_ordered_assembly,
+    "a5_latest_version": q_a5_latest_version,
+    "a7_stats": q_a7_stats,
+    "j1_sortmerge_group_join": q_j1_sortmerge_group_join,
+    "j4_broadcast_lookup": q_j4_broadcast_lookup,
+    "w1_hourly_window": q_w1_hourly_window,
+    "f1_token_filter": q_f1_token_filter,
+    # text analysis
+    "text_token_count": q_text_token_count,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    # dedup family
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "ann_topk_cosine": q_ann_topk,
+}
+
+ORACLES = {
+    "j7_spatial_cell_join": SQL_J7,
+    "j8_pip_refine": SQL_J8,
+    "j9_knn_ring_expansion": SQL_J9,
+    "j10_raster_vector": SQL_J10,
+    "c1_zorder_tile": SQL_C1,
+    "agg_cell_rollup": SQL_ROLLUP,
+    "a2_bounding_box": SQL_A2,
+    "a1_count_by_type": SQL_A1,
+    "a4_ordered_assembly": SQL_A4,
+    "a5_latest_version": SQL_A5,
+    "a7_stats": SQL_A7,
+    "j1_sortmerge_group_join": SQL_J1,
+    "j4_broadcast_lookup": SQL_J4,
+    "w1_hourly_window": SQL_W1,
+    "f1_token_filter": SQL_F1,
+    "text_token_count": SQL_TOKENS,
+    "text_language_id": SQL_LANG,
+    "text_quality": SQL_QUALITY,
+    "text_fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_embedding_cosine": SQL_DEDUP_EMB,
+    "ann_topk_cosine": SQL_ANN,
+}

@@ -1,0 +1,238 @@
+"""Deterministic synthetic fixtures (pure functions of a seed — no
+external data; FIXTURES.md).
+
+- ``images_df``: the driver-mandated image+caption probe table
+  (image_id, bytes, w, h, fmt, caption, phash, lat, lon). Geotags follow
+  a Zipf distribution over cluster centers so hot cells exercise the
+  salting / AQE skew path. Rows are generated DISTRIBUTED
+  (spark.range → mapInPandas) so fixture generation itself scales.
+- ``polygons_local`` / ``polygons_df``: build-side polygons (rects,
+  triangles, hexagons, plus oversized "continents" that cover many
+  cells).
+- ``osm_elements_local``: nodes/ways/relations rows forming closed ways
+  and multipolygon relations, mirroring the reference fixtures' shape
+  (niue-230109: see SURVEY.md §5), plus a golden analysis dict in the
+  same shape the reference asserts (tests/common/mod.rs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+from ..functions import images as img
+
+N_CLUSTERS = 50
+_CLUSTER_WEIGHTS = 1.0 / np.arange(1, N_CLUSTERS + 1)
+_CLUSTER_CDF = np.cumsum(_CLUSTER_WEIGHTS) / _CLUSTER_WEIGHTS.sum()
+
+
+def _cluster_centers(seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(seed))
+    lat = rng.uniform(-60, 60, N_CLUSTERS)
+    lon = rng.uniform(-170, 170, N_CLUSTERS)
+    return np.stack([lat, lon], axis=1)
+
+
+def _u01(ids: np.ndarray, salt: str) -> np.ndarray:
+    """Deterministic uniform [0,1) per id via md5 (stable everywhere)."""
+    out = np.empty(len(ids), np.float64)
+    for i, v in enumerate(ids):
+        h = hashlib.md5(f"{salt}:{int(v)}".encode()).digest()
+        out[i] = int.from_bytes(h[:8], "big") / 2.0**64
+    return out
+
+
+def images_pdf(ids: np.ndarray, seed: int, w: int = 16, h: int = 16,
+               with_bytes: bool = True) -> pd.DataFrame:
+    """Pandas batch of deterministic image rows for the given ids."""
+    centers = _cluster_centers(seed)
+    u_cl = _u01(ids, f"cl{seed}")
+    k = np.searchsorted(_CLUSTER_CDF, u_cl)
+    off_lat = (_u01(ids, f"la{seed}") - 0.5) * 2.0
+    off_lon = (_u01(ids, f"lo{seed}") - 0.5) * 2.0
+    lat = np.clip(centers[k, 0] + off_lat, -89.99, 89.99)
+    lon = centers[k, 1] + off_lon
+
+    rows = []
+    for j, i in enumerate(ids):
+        i = int(i)
+        fmt = "q5" if i % 3 == 0 else "raw"
+        caption = f"synthetic scene {i} cluster {int(k[j])} fmt {fmt}"
+        if with_bytes:
+            rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + i))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = img.encode(px, fmt)
+            ph = int(img.phash64(img.decode(data, w, h, fmt)))
+        else:
+            data, ph = None, 0
+        rows.append((f"img-{i:012d}", data, w, h, fmt, caption, ph,
+                     float(lat[j]), float(lon[j])))
+    return pd.DataFrame(rows, columns=[
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lon"])
+
+
+def images_df(spark: SparkSession, n: int, seed: int = 42,
+              with_bytes: bool = True, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic image table of n rows."""
+    parts = partitions or max(8, n // 50_000)
+
+    def gen(batches):
+        for pdf in batches:
+            yield images_pdf(pdf["id"].to_numpy(), seed, with_bytes=with_bytes)
+
+    return (spark.range(0, n, 1, parts)
+            .mapInPandas(gen, schema=schemas.IMAGES))
+
+
+def polygons_local(n: int, seed: int = 42) -> list[dict]:
+    """n deterministic polygons: 60% rects, 20% triangles, 15% hexagons,
+    5% oversized 'continents' (hot build-side rows)."""
+    centers = _cluster_centers(seed + 7)
+    out = []
+    for i in range(n):
+        u = _u01(np.array([i]), f"poly{seed}")[0]
+        c = centers[i % N_CLUSTERS]
+        cy, cx = float(c[0]), float(c[1])
+        if u < 0.60:
+            hw = 0.05 + 0.4 * _u01(np.array([i]), f"pw{seed}")[0]
+            hh = 0.05 + 0.4 * _u01(np.array([i]), f"ph{seed}")[0]
+            ring = [(cx - hw, cy - hh), (cx + hw, cy - hh),
+                    (cx + hw, cy + hh), (cx - hw, cy + hh)]
+        elif u < 0.80:
+            r = 0.1 + 0.5 * _u01(np.array([i]), f"pt{seed}")[0]
+            ring = [(cx, cy + r), (cx - 0.9 * r, cy - 0.7 * r), (cx + 0.8 * r, cy - 0.6 * r)]
+        elif u < 0.95:
+            r = 0.1 + 0.4 * _u01(np.array([i]), f"ph6{seed}")[0]
+            ring = [(cx + r * math.cos(a), cy + r * math.sin(a))
+                    for a in [k * math.pi / 3 for k in range(6)]]
+        else:
+            hw, hh = 8.0, 5.0
+            ring = [(cx - hw, cy - hh), (cx + hw, cy - hh),
+                    (cx + hw, cy + hh), (cx - hw, cy + hh)]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        out.append({
+            "polygon_id": int(i + 1),
+            "source": "way",
+            "rings": [[{"lon": float(x), "lat": float(y)} for x, y in ring]],
+            "left": float(min(xs)), "bottom": float(min(ys)),
+            "right": float(max(xs)), "top": float(max(ys)),
+            "tags": [{"k": "synthetic", "v": "true"}],
+        })
+    return out
+
+
+def polygons_df(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(polygons_local(n, seed), schema=schemas.POLYGONS)
+
+
+def osm_elements_local(seed: int = 42, n_nodes: int = 2000, n_ways: int = 150,
+                       n_relations: int = 12, history: bool = False):
+    """(nodes, ways, relations) row dicts + golden analysis dict.
+
+    Shape mirrors the reference niue fixtures: sparse ascending ids,
+    closed ways referencing real nodes, multipolygon relations with
+    outer/inner way members, 'natural=tree' nodes to drive the canonical
+    filter (/root/reference/src/lib.rs:69-90). With history=True, some
+    elements get multiple versions and invisible final versions —
+    exercising the latest-version / visibility logic
+    (/root/reference/src/osm/apidb_dump/write/current_object.rs:18-31).
+    """
+    rng = np.random.Generator(np.random.Philox(seed + 101))
+    base_ts = 1_600_000_000_000
+
+    nodes = []
+    node_ids = []
+    nid = 184_252_000
+    for i in range(n_nodes):
+        nid += int(rng.integers(1, 40))
+        node_ids.append(nid)
+        lat = float(rng.uniform(-19.35, -18.75))
+        lon = float(rng.uniform(-170.16, -169.56))
+        tags = []
+        if i % 17 == 0:
+            tags = [{"k": "natural", "v": "tree"}]
+        elif i % 23 == 0:
+            tags = [{"k": "amenity", "v": "cafe"}, {"k": "name", "v": f"node {nid}"}]
+        nodes.append({
+            "id": nid, "version": 1, "lat": lat, "lon": lon,
+            "timestamp": base_ts + i * 1000, "changeset": 1000 + i % 37,
+            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",
+            "visible": True, "tags": tags,
+        })
+
+    ways = []
+    way_ids = []
+    wid = 17_781_000
+    for i in range(n_ways):
+        wid += int(rng.integers(1, 25))
+        way_ids.append(wid)
+        k = int(rng.integers(4, 9))
+        start = int(rng.integers(0, n_nodes - k))
+        refs = [node_ids[start + j] for j in range(k)]
+        refs.append(refs[0])  # closed ring
+        ways.append({
+            "id": wid, "version": 1, "refs": refs,
+            "timestamp": base_ts + i * 2000, "changeset": 2000 + i % 29,
+            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",
+            "visible": True,
+            "tags": [{"k": "building", "v": "yes"}] if i % 2 == 0 else
+                    [{"k": "landuse", "v": "forest"}],
+        })
+
+    relations = []
+    rid = 1_556_900
+    for i in range(n_relations):
+        rid += int(rng.integers(1, 9))
+        outer = way_ids[(3 * i) % n_ways]
+        inner = way_ids[(3 * i + 1) % n_ways]
+        members = [
+            {"type": "Way", "id": outer, "role": "outer"},
+            {"type": "Way", "id": inner, "role": "inner"},
+            {"type": "Node", "id": node_ids[i], "role": "admin_centre"},
+        ]
+        relations.append({
+            "id": rid, "version": 1, "members": members,
+            "timestamp": base_ts + i * 3000, "changeset": 3000 + i,
+            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",
+            "visible": True,
+            "tags": [{"k": "type", "v": "multipolygon"}],
+        })
+
+    if history:
+        extra_nodes = []
+        for i, nd in enumerate(nodes):
+            if i % 5 == 0:  # a second version; every 3rd of those invisible
+                v2 = dict(nd)
+                v2["version"] = 2
+                v2["timestamp"] = nd["timestamp"] + 86_400_000
+                v2["visible"] = i % 15 != 0
+                v2["lat"] = nd["lat"] + 1e-4
+                extra_nodes.append(v2)
+        nodes.extend(extra_nodes)
+        nodes.sort(key=lambda r: (r["id"], r["version"]))
+
+    lats = [nd["lat"] for nd in nodes]
+    lons = [nd["lon"] for nd in nodes]
+    analysis = {
+        "data": {
+            "count": {"nodes": len(nodes), "ways": len(ways),
+                      "relations": len(relations)},
+            "bbox": [min(lons), min(lats), max(lons), max(lats)],
+            "minid": {"nodes": min(n["id"] for n in nodes),
+                      "ways": min(w["id"] for w in ways),
+                      "relations": min(r["id"] for r in relations)},
+            "maxid": {"nodes": max(n["id"] for n in nodes),
+                      "ways": max(w["id"] for w in ways),
+                      "relations": max(r["id"] for r in relations)},
+            "multiple_versions": history,
+            "objects_ordered": True,
+        }
+    }
+    return nodes, ways, relations, analysis

@@ -1,0 +1,62 @@
+"""Geometry kernels vs brute-force / analytic references."""
+
+import numpy as np
+
+from osm_io_spark.functions import geometry as G
+
+SQUARE = [np.array([(0, 0), (4, 0), (4, 4), (0, 4)], float)]
+SQUARE_WITH_HOLE = [
+    np.array([(0, 0), (4, 0), (4, 4), (0, 4)], float),
+    np.array([(1, 1), (3, 1), (3, 3), (1, 3)], float),
+]
+CONCAVE = [np.array([(0, 0), (4, 0), (4, 4), (2, 2), (0, 4)], float)]
+
+
+def test_pip_square():
+    px = np.array([2.0, 5.0, -1.0, 3.9])
+    py = np.array([2.0, 2.0, 2.0, 3.9])
+    got = G.points_in_polygon(px, py, SQUARE)
+    assert got.tolist() == [True, False, False, True]
+
+
+def test_pip_hole_even_odd():
+    px = np.array([2.0, 0.5, 3.5])
+    py = np.array([2.0, 0.5, 3.5])
+    got = G.points_in_polygon(px, py, SQUARE_WITH_HOLE)
+    assert got.tolist() == [False, True, True]
+
+
+def test_pip_concave():
+    px = np.array([2.0, 2.0, 1.0])
+    py = np.array([3.0, 1.0, 3.4])
+    got = G.points_in_polygon(px, py, CONCAVE)
+    assert got.tolist() == [False, True, False]
+
+
+def test_pip_closed_ring_equivalent():
+    closed = [np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], float)]
+    rng = np.random.default_rng(3)
+    px, py = rng.uniform(-1, 5, 300), rng.uniform(-1, 5, 300)
+    assert (G.points_in_polygon(px, py, SQUARE)
+            == G.points_in_polygon(px, py, closed)).all()
+
+
+def test_rect_intersects_polygon():
+    assert G.rect_intersects_polygon(1, 1, 2, 2, SQUARE)        # rect inside
+    assert G.rect_intersects_polygon(-1, -1, 5, 5, SQUARE)      # poly inside rect
+    assert G.rect_intersects_polygon(3, 3, 5, 5, SQUARE)        # overlap
+    assert not G.rect_intersects_polygon(5, 5, 6, 6, SQUARE)    # disjoint
+    assert G.rect_intersects_polygon(3.5, -1, 6, 5, CONCAVE)    # edge cross only
+
+
+def test_bbox_and_centroid():
+    assert G.polygon_bbox(CONCAVE) == (0.0, 0.0, 4.0, 4.0)
+    cx, cy = G.polygon_centroid(SQUARE)
+    assert abs(cx - 2.0) < 1e-12 and abs(cy - 2.0) < 1e-12
+
+
+def test_haversine_known():
+    # quarter circumference: equator to pole
+    d = G.haversine_np([0.0], [0.0], [90.0], [0.0])[0]
+    assert abs(d - np.pi / 2 * G.EARTH_RADIUS_M) < 1.0
+    assert G.haversine_np([10.0], [20.0], [10.0], [20.0])[0] == 0.0

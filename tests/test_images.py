@@ -1,0 +1,45 @@
+"""Image codec kernels: round-trip fidelity (PSNR gate), phash behavior."""
+
+import numpy as np
+import pytest
+
+from osm_io_spark.functions import images as I
+
+RNG = np.random.default_rng(11)
+PIX = RNG.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+
+
+def test_raw_roundtrip_lossless():
+    data = I.encode(PIX, "raw")
+    back = I.decode(data, 32, 24, "raw")
+    assert (back == PIX).all()
+    assert I.psnr(PIX, back) == float("inf")
+
+
+def test_q5_roundtrip_psnr_gate():
+    data = I.encode(PIX, "q5")
+    back = I.decode(data, 32, 24, "q5")
+    p = I.psnr(PIX, back)
+    assert p >= 40.0, f"lossy PSNR {p:.2f} < 40 dB"
+    assert np.abs(back.astype(int) - PIX.astype(int)).max() <= 7
+
+
+def test_unknown_fmt_raises():
+    with pytest.raises(NotImplementedError):
+        I.encode(PIX, "jpeg")
+    with pytest.raises(NotImplementedError):
+        I.decode(b"", 1, 1, "webp")
+
+
+def test_phash_properties():
+    h1 = I.phash64(PIX)
+    assert h1 == I.phash64(PIX.copy())  # deterministic
+    # small perturbation → small hamming distance
+    noisy = np.clip(PIX.astype(int) + RNG.integers(-3, 4, PIX.shape), 0, 255).astype(np.uint8)
+    assert I.hamming64(h1, I.phash64(noisy)) <= 10
+    # unrelated image → large distance
+    other = RNG.integers(0, 256, PIX.shape, dtype=np.uint8)
+    assert I.hamming64(h1, I.phash64(other)) >= 10
+    # q5 decode stays perceptually identical
+    dq = I.decode(I.encode(PIX, "q5"), 32, 24, "q5")
+    assert I.hamming64(h1, I.phash64(dq)) <= 6
