@@ -1,0 +1,107 @@
+"""Multimodal column operators: image bytes as opaque binary + typed
+metadata (w, h, fmt), processed with Arrow-batched mapInPandas kernels.
+
+Real codecs for the in-repo formats (raw, q5 — functions.images);
+jpeg/png/webp/audio/video decode is STUBBED with NotImplementedError
+because no media libraries exist in this container — the Spark-side
+plumbing (schema, batch shape, partitioning) is identical and is what
+these operators test.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import images as I
+
+DECODE_STATS = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("mean_pixel", T.DoubleType(), False),
+    T.StructField("phash_calc", T.LongType(), False),
+    T.StructField("phash_ok", T.BooleanType(), False),
+])
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every image and emit pixel statistics + a phash
+    verification flag (recomputed phash == stored phash)."""
+
+    def _stats(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                px = I.decode(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                ph = int(I.phash64(px))
+                rows.append((r.image_id, r.fmt, int(r.w), int(r.h),
+                             float(px.mean()), ph, ph == int(r.phash)))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_STATS.fields])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "phash"]
+    return images.select(*cols).mapInPandas(_stats, schema=DECODE_STATS)
+
+
+def resize(images: DataFrame, out_size: int) -> DataFrame:
+    """Decode → deterministic block-mean resize (grayscale path of the
+    phash pipeline applied per channel) → re-encode raw. Returns the
+    input schema with bytes/w/h/fmt replaced."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ])
+
+    def _resize(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                px = I.decode(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                small = np.stack(
+                    [I._block_mean_resize(px[:, :, c].astype(np.float64), out_size)
+                     for c in range(3)], axis=2)
+                small8 = np.clip(np.round(small), 0, 255).astype(np.uint8)
+                rows.append((r.image_id, I.encode(small8, "raw"),
+                             out_size, out_size, "raw"))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _resize, schema=schema)
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — container has no video codec; the operator
+    exists to pin the schema/signature. Raises on execution."""
+
+    def _sample(batches):
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "video decode unavailable in this environment "
+                    "(no ffmpeg/cv2); plumbing-only stub")
+            yield pdf
+
+    return videos.mapInPandas(_sample, schema=videos.schema)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Audio feature extraction stub (no soundfile/librosa here)."""
+
+    def _feat(batches):
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "audio decode unavailable in this environment; "
+                    "plumbing-only stub")
+            yield pdf
+
+    return audio.mapInPandas(_feat, schema=audio.schema)

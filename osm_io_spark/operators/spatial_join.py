@@ -30,8 +30,23 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import json
+
+from .. import schemas
 from ..functions import cells as C
 from ..functions import geometry as G
+
+# The Arrow<->pandas bridge rejects ragged array<array<struct>> columns
+# (numpy "inhomogeneous shape") when polygons have differing ring
+# counts, so ring geometry crosses pandas-UDF boundaries as JSON and is
+# restored JVM-side with from_json.
+_RINGS_TYPE = schemas.POLYGONS["rings"].dataType
+
+
+def _rings_to_np(rings_json: str):
+    rings = json.loads(rings_json)
+    import numpy as _np
+    return [_np.array([(p["lon"], p["lat"]) for p in ring]) for ring in rings]
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +97,9 @@ def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
     if not refine:
         return covered
 
-    schema = covered.schema
+    jsonified = (covered.withColumn("_rings_json", F.to_json("rings"))
+                 .drop("rings"))
+    schema = jsonified.schema
 
     def _refine(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -91,13 +108,19 @@ def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
                 continue
             keep = np.ones(len(pdf), bool)
             bounds = C.cell_bounds_np(pdf[out].to_numpy(), res)
-            for i, (rings, cl, cb, cr, ct) in enumerate(
-                    zip(pdf["rings"], bounds[0], bounds[1], bounds[2], bounds[3])):
-                rr = [np.array([(p["lon"], p["lat"]) for p in ring]) for ring in rings]
+            ring_cache: dict[str, list] = {}
+            for i, (rj, cl, cb, cr, ct) in enumerate(
+                    zip(pdf["_rings_json"], bounds[0], bounds[1],
+                        bounds[2], bounds[3])):
+                rr = ring_cache.get(rj)
+                if rr is None:
+                    rr = ring_cache[rj] = _rings_to_np(rj)
                 keep[i] = G.rect_intersects_polygon(cl, cb, cr, ct, rr)
             yield pdf[keep]
 
-    return covered.mapInPandas(_refine, schema=schema)
+    refined = jsonified.mapInPandas(_refine, schema=schema)
+    return (refined.withColumn("rings", F.from_json("_rings_json", _RINGS_TYPE))
+            .drop("_rings_json"))
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +144,9 @@ def refine_pip(df: DataFrame, lat: str = "lat", lon: str = "lon",
     """Exact point-in-polygon via the vectorized even-odd ray-cast kernel
     (osm_io_spark.functions.geometry.points_in_polygon), applied
     Arrow-batch-at-a-time grouped by polygon within each batch."""
-    schema = df.schema
+    jsonified = (df.withColumn("_rings_json", F.to_json(rings_col))
+                 .drop(rings_col))
+    schema = jsonified.schema
 
     def _pip(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -131,13 +156,14 @@ def refine_pip(df: DataFrame, lat: str = "lat", lon: str = "lon",
             keep = np.zeros(len(pdf), bool)
             for _, idx in pdf.groupby("polygon_id").groups.items():
                 idx = np.asarray(idx)
-                rings = pdf[rings_col].iloc[idx[0]]
-                rr = [np.array([(p["lon"], p["lat"]) for p in ring]) for ring in rings]
+                rr = _rings_to_np(pdf["_rings_json"].iloc[idx[0]])
                 keep[idx] = G.points_in_polygon(
                     pdf[lon].to_numpy()[idx], pdf[lat].to_numpy()[idx], rr)
             yield pdf[keep]
 
-    return df.mapInPandas(_pip, schema=schema)
+    refined = jsonified.mapInPandas(_pip, schema=schema)
+    return (refined.withColumn(rings_col, F.from_json("_rings_json", _RINGS_TYPE))
+            .drop("_rings_json"))
 
 
 # ---------------------------------------------------------------------------

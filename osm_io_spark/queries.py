@@ -102,7 +102,47 @@ TRIS_SQL = f"""
 """
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the osm_io_spark package to executors via addPyFile — the
+    programmatic twin of ``spark-submit --py-files engine.zip``. Without
+    it, pandas-UDF closures fail to unpickle on workers whenever the
+    driver process wasn't launched from the repo root."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    h = hashlib.md5()
+    for s in sorted(sources):
+        with open(s, "rb") as fh:
+            h.update(fh.read())
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"osm_io_spark_{h.hexdigest()[:12]}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for s in sorted(sources):
+                rel = os.path.relpath(s, os.path.dirname(pkg_dir))
+                z.write(s, rel)
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -722,6 +762,104 @@ FROM ranked WHERE rnk <= 5
 
 
 # ---------------------------------------------------------------------------
+# engine-native queries (non-SQL-expressible → rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def _fixture_pbf_path(spark, seed: int = 42, history: bool = False) -> str:
+    import os
+    import tempfile
+
+    from .sources import synth
+    from .sources.pbf import decode as PD
+    from .sources.pbf import encode as PE
+
+    ensure_shipped(spark)
+    tag = f"{seed}{'h' if history else ''}"
+    path = os.path.join(tempfile.gettempdir(), f"osm_io_spark_fixture_{tag}.osm.pbf")
+    if not os.path.exists(path):
+        nodes, ways, relations, _ = synth.osm_elements_local(
+            seed=seed, n_nodes=2000, n_ways=150, n_relations=12, history=history)
+        rows = []
+        for n in nodes:
+            rows.append(("node", n["id"], n["version"], n["lat"], n["lon"],
+                         n["timestamp"], n["changeset"], n["uid"], n["user"],
+                         n["visible"], n["tags"], None, None))
+        for w_ in ways:
+            rows.append(("way", w_["id"], w_["version"], None, None,
+                         w_["timestamp"], w_["changeset"], w_["uid"], w_["user"],
+                         w_["visible"], w_["tags"], w_["refs"], None))
+        for r in relations:
+            rows.append(("relation", r["id"], r["version"], None, None,
+                         r["timestamp"], r["changeset"], r["uid"], r["user"],
+                         r["visible"], r["tags"], None, r["members"]))
+        els = spark.createDataFrame(rows, schema=PD.ELEMENTS)
+        PE.write_pbf(els, path, history=history)
+    return path
+
+
+def q_pbf_roundtrip_counts(spark, sf_dir):
+    """S1-S12: synthesize fixture → PBF write → PBF read → count by type
+    (the reference's golden-count contract, tests/test_pbf_reader.rs)."""
+    from .sources.pbf import decode as PD
+    path = _fixture_pbf_path(spark)
+    els = PD.read_pbf(spark, path)
+    return els.groupBy("etype").agg(
+        F.count("*").alias("n"), F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"))
+
+
+def q_polygon_assembly(spark, sf_dir):
+    """J2/J3: way/relation → polygon assembly over the PBF fixture."""
+    from .operators import assemble as ASM
+    from .sources.pbf import decode as PD
+    path = _fixture_pbf_path(spark)
+    polys = ASM.assemble_polygons(PD.read_pbf(spark, path))
+    return polys.groupBy("source").agg(
+        F.count("*").alias("n_polygons"),
+        F.sum(F.size("rings")).alias("n_rings"))
+
+
+def q_pbf_spatial_join(spark, sf_dir):
+    """The full spine: PBF → assembly → cell cover → join + PIP refine
+    against a deterministic probe grid (validated vs numpy brute force
+    in tests/test_assemble_and_join.py)."""
+    from .operators import assemble as ASM
+    from .sources.pbf import decode as PD
+    path = _fixture_pbf_path(spark)
+    polys = ASM.assemble_polygons(PD.read_pbf(spark, path))
+    probe = (spark.range(20000).select(F.col("id").alias("img_id"))
+             .withColumn("lat", F.expr(
+                 "CAST((img_id * 2654435761) % 1000000 AS DOUBLE) / 1e6")
+                 * F.lit(0.6) - F.lit(19.35))
+             .withColumn("lon", F.expr(
+                 "CAST((img_id * 2971215073) % 1000000 AS DOUBLE) / 1e6")
+                 * F.lit(0.6) - F.lit(170.16)))
+    out = SJ.spatial_join_polygons(probe, polys, res=12)
+    return out.groupBy("polygon_id", "source").agg(F.count("*").alias("n_images"))
+
+
+def q_mm_decode_stats(spark, sf_dir):
+    """Multimodal plumbing: deterministic synthetic image table (bytes +
+    metadata) → Arrow-batched decode → per-fmt stats + phash check."""
+    from .operators import multimodal as MM
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
+    stats = MM.decode_stats(imgs)
+    return stats.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("phash_ok"), 1).otherwise(0)).alias("n_phash_ok"),
+        F.sum(F.floor(F.col("mean_pixel") * 1000).cast("long")).alias("mean_pixel_milli_sum"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
+    vs brute force measured in tests; rows-only driver check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ANN.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -755,6 +893,12 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
     "ann_topk_cosine": q_ann_topk,
+    # engine-native (rows-only driver check; no SQL equivalent)
+    "pbf_roundtrip_counts": q_pbf_roundtrip_counts,
+    "polygon_assembly": q_polygon_assembly,
+    "pbf_spatial_join": q_pbf_spatial_join,
+    "mm_decode_stats": q_mm_decode_stats,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 ORACLES = {

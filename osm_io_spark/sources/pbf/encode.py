@@ -1,0 +1,244 @@
+"""PBF write path: ordered sink (S9), 8000-element same-type re-blocking
+(S10), dictionary + delta encode (S12) — Spark-first:
+
+  elements DataFrame
+    → global order (type rank, id, version)       [O2 total order,
+      element.rs:207-318; writer requirement writer.rs:160-163]
+    → block id = row_number // 8000 per type      [element_accumulator.rs:18]
+    → applyInPandas(encode_block) → (block_id, blob bytes)
+    → driver drains toLocalIterator IN ORDER and appends to the file
+
+The parallel-encode/ordered-write shape is exactly the reference's
+ParallelWriter (encode pool + ordering buffer, parallel_writer.rs:250-289)
+— Spark's sorted shuffle is the ordering buffer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from . import proto as P
+
+BLOCK_SIZE = 8000  # element_accumulator.rs:18
+_TYPE_RANK = {"node": 0, "way": 1, "relation": 2}
+
+
+class StringTableBuilder:
+    """Per-block string dictionary; index 0 reserved empty
+    (string_table_builder.rs:10-38)."""
+
+    def __init__(self):
+        self._idx: dict[str, int] = {"": 0}
+        self._strings: list[str] = [""]
+
+    def add(self, s: str) -> int:
+        i = self._idx.get(s)
+        if i is None:
+            i = len(self._strings)
+            self._idx[s] = i
+            self._strings.append(s)
+        return i
+
+    def serialize(self) -> bytes:
+        return b"".join(P.field_len(1, s.encode("utf-8")) for s in self._strings)
+
+
+def _info_bytes(st: StringTableBuilder, row, date_gran: int) -> bytes:
+    out = b""
+    if row.version is not None and row.version >= 0:
+        out += P.field_varint(1, int(row.version))
+    if row.timestamp is not None and not pd.isna(row.timestamp):
+        out += P.field_varint(2, int(row.timestamp) // date_gran)
+    if row.changeset is not None and not pd.isna(row.changeset):
+        out += P.field_varint(3, int(row.changeset))
+    if row.uid is not None and not pd.isna(row.uid):
+        out += P.field_varint(4, int(row.uid))
+    if row.user is not None:
+        out += P.field_varint(5, st.add(str(row.user)))
+    if row.visible is not None and not row.visible:
+        out += P.field_varint(6, 0)
+    return out
+
+
+def _kv_bytes(st: StringTableBuilder, tags) -> bytes:
+    if tags is None or len(tags) == 0:
+        return b""
+    keys = np.array([st.add(t["k"]) for t in tags], np.uint64)
+    vals = np.array([st.add(t["v"]) for t in tags], np.uint64)
+    return P.field_packed_varints(2, keys) + P.field_packed_varints(3, vals)
+
+
+def encode_block(pdf: pd.DataFrame, granularity: int = 100,
+                 date_granularity: int = 1000, compress: bool = True) -> bytes:
+    """Encode one same-type element batch → framed bytes
+    (4-byte BE len + BlobHeader + Blob), one primitive group per block."""
+    st = StringTableBuilder()
+    etype = pdf["etype"].iloc[0]
+    assert (pdf["etype"] == etype).all(), "blocks must be single-type (S10)"
+
+    if etype == "node":
+        n = len(pdf)
+        ids = pdf["id"].to_numpy(np.int64)
+        lat = np.round(pdf["lat"].to_numpy(np.float64) * 1e9 / granularity).astype(np.int64)
+        lon = np.round(pdf["lon"].to_numpy(np.float64) * 1e9 / granularity).astype(np.int64)
+        kv: list[int] = []
+        for tags in pdf["tags"]:
+            if tags is not None:
+                for t in tags:
+                    kv.append(st.add(t["k"]))
+                    kv.append(st.add(t["v"]))
+            kv.append(0)
+        versions = pdf["version"].fillna(-1).to_numpy(np.int64)
+        ts = (pdf["timestamp"].fillna(0).to_numpy(np.int64) // date_granularity)
+        cs = pdf["changeset"].fillna(0).to_numpy(np.int64)
+        uid = pdf["uid"].fillna(0).to_numpy(np.int64)
+        sids = np.array([st.add(u) if u is not None else 0
+                         for u in pdf["user"]], np.int64)
+        vis = pdf["visible"].fillna(True).to_numpy(bool).astype(np.uint64)
+
+        dinfo = (P.field_packed_varints(1, versions.astype(np.uint64))
+                 + P.field_packed_sints(2, P.delta_encode(ts))
+                 + P.field_packed_sints(3, P.delta_encode(cs))
+                 + P.field_packed_sints(4, P.delta_encode(uid))
+                 + P.field_packed_sints(5, P.delta_encode(sids))
+                 + P.field_packed_varints(6, vis))
+        dense = (P.field_packed_sints(1, P.delta_encode(ids))
+                 + P.field_len(5, dinfo)
+                 + P.field_packed_sints(8, P.delta_encode(lat))
+                 + P.field_packed_sints(9, P.delta_encode(lon))
+                 + P.field_packed_varints(10, np.array(kv, np.uint64)))
+        group = P.field_len(2, dense)
+
+    elif etype == "way":
+        parts = []
+        for row in pdf.itertuples():
+            body = P.field_varint(1, int(row.id))
+            body += _kv_bytes(st, row.tags)
+            body += P.field_len(4, _info_bytes(st, row, date_granularity))
+            refs = np.asarray(list(row.refs), np.int64)
+            body += P.field_packed_sints(8, P.delta_encode(refs))
+            parts.append(P.field_len(3, body))
+        group = b"".join(parts)
+
+    elif etype == "relation":
+        mt = {"Node": 0, "Way": 1, "Relation": 2}
+        parts = []
+        for row in pdf.itertuples():
+            body = P.field_varint(1, int(row.id))
+            body += _kv_bytes(st, row.tags)
+            body += P.field_len(4, _info_bytes(st, row, date_granularity))
+            members = list(row.members) if row.members is not None else []
+            roles = np.array([st.add(m["role"]) for m in members], np.uint64)
+            memids = np.array([m["id"] for m in members], np.int64)
+            types = np.array([mt[m["type"]] for m in members], np.uint64)
+            body += P.field_packed_varints(8, roles)
+            body += P.field_packed_sints(9, P.delta_encode(memids))
+            body += P.field_packed_varints(10, types)
+            parts.append(P.field_len(4, body))
+        group = b"".join(parts)
+    else:
+        raise ValueError(f"unknown element type {etype}")
+
+    block = P.field_len(1, st.serialize()) + P.field_len(2, group)
+    if granularity != 100:
+        block += P.field_varint(17, granularity)
+    if date_granularity != 1000:
+        block += P.field_varint(18, date_granularity)
+    return frame_blob("OSMData", block, compress)
+
+
+def frame_blob(btype: str, payload: bytes, compress: bool) -> bytes:
+    """payload → Blob (+zlib) → BlobHeader → 4-byte BE length framing
+    (file_block.rs:171-212, writer.rs:145-158)."""
+    if compress:
+        blob = (P.field_varint(2, len(payload))
+                + P.field_len(3, zlib.compress(payload, 6)))
+    else:
+        blob = P.field_len(1, payload) + P.field_varint(2, len(payload))
+    header = (P.field_len(1, btype.encode()) + P.field_varint(3, len(blob)))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def header_block_bytes(bbox: list[float] | None, required: list[str],
+                       optional: list[str], writingprogram: str = "osm-io-spark",
+                       compress: bool = True) -> bytes:
+    body = b""
+    if bbox is not None:
+        left, bottom, right, top = bbox
+        bb = (P.field_sint(1, int(round(left * 1e9)))
+              + P.field_sint(2, int(round(right * 1e9)))
+              + P.field_sint(3, int(round(top * 1e9)))
+              + P.field_sint(4, int(round(bottom * 1e9))))
+        body += P.field_len(1, bb)
+    for s in required:
+        body += P.field_len(4, s.encode())
+    for s in optional:
+        body += P.field_len(5, s.encode())
+    body += P.field_len(16, writingprogram.encode())
+    return frame_blob("OSMHeader", body, compress)
+
+
+# ---------------------------------------------------------------------------
+# Spark writer
+# ---------------------------------------------------------------------------
+
+_BLOCK_OUT = T.StructType([
+    T.StructField("block_id", T.LongType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def write_pbf(elements: DataFrame, path: str, compress: bool = True,
+              history: bool = False, bbox: list[float] | None = None) -> int:
+    """Unified element DataFrame → .osm.pbf file. Returns #data blocks.
+
+    Global order Node < Way < Relation then (id, version) — the
+    Sort.Type_then_ID contract. Blocks encode in parallel on executors;
+    the driver streams them back in block order and appends (the
+    reference's ordering-buffer semantics via sorted partitions).
+    """
+    if bbox is None:
+        agg = (elements.filter(F.col("etype") == "node")
+               .agg(F.min("lon"), F.min("lat"), F.max("lon"), F.max("lat"))
+               .collect()[0])
+        bbox = [agg[0], agg[1], agg[2], agg[3]] if agg[0] is not None else None
+
+    rank = (F.when(F.col("etype") == "node", 0)
+            .when(F.col("etype") == "way", 1).otherwise(2))
+    w = Window.partitionBy("etype").orderBy("id", "version")
+    blocked = (elements
+               .withColumn("_rank", rank)
+               .withColumn("_blk_in_type", (F.row_number().over(w) - 1)
+                           / F.lit(BLOCK_SIZE))
+               .withColumn("block_id",
+                           F.col("_rank") * F.lit(1 << 40)
+                           + F.floor(F.col("_blk_in_type")).cast("long"))
+               .drop("_rank", "_blk_in_type"))
+
+    def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["id", "version"])
+        data = encode_block(pdf.drop(columns=["block_id"]), compress=compress)
+        return pd.DataFrame({"block_id": [key[0]], "data": [data]})
+
+    enc = (blocked.groupBy("block_id").applyInPandas(_encode, schema=_BLOCK_OUT)
+           .orderBy("block_id"))
+
+    required = ["OsmSchema-V0.6", "DenseNodes"]
+    if history:
+        required.append("HistoricalInformation")
+    n_blocks = 0
+    with open(path, "wb") as f:
+        f.write(header_block_bytes(bbox, required, ["Sort.Type_then_ID"],
+                                   compress=compress))
+        for row in enc.toLocalIterator():
+            f.write(bytes(row["data"]))
+            n_blocks += 1
+    return n_blocks
