@@ -1,0 +1,113 @@
+"""spark-submit entrypoint: the flagship checkpoint-resumable spatial join.
+
+Launch (the north rule's mandated shape)::
+
+    spark-submit --py-files $(python -m osm_io_spark.jobs.engine_zip) \\
+        -m osm_io_spark.jobs.spatial_join_job -- \\
+        --sf-dir /root/testdata/sf0.1 --catalog /tmp/catalog \\
+        --res 10 --n-buckets 16
+
+or equivalently ``python -m osm_io_spark.jobs.spatial_join_job ...`` (the
+session factory ships the engine zip itself via addPyFile).
+
+The job partitions the probe table into ``--n-buckets`` hash buckets of
+``img_id`` and runs the J7 cell-join + exact refinement per bucket,
+committing each bucket into the snapshot catalog with lineage + metrics.
+Re-running the identical command after a crash resumes: completed buckets
+are read from the latest snapshot manifest and skipped.
+
+Bucketing by probe key (not by cell) keeps resume units balanced even
+under Zipf-skewed geodata — a hot cell spreads across all buckets.
+``--fail-after N`` injects a crash after N buckets (test hook used by
+tests/test_snapshots.py to prove resume semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from ..plans.snapshots import ResumableJob, SnapshotCatalog
+from ..session import get_spark
+
+
+class InjectedFailure(RuntimeError):
+    pass
+
+
+def run(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--catalog", required=True)
+    ap.add_argument("--table", default="image_polygon_matches")
+    ap.add_argument("--res", type=int, default=10)
+    ap.add_argument("--n-buckets", type=int, default=8)
+    ap.add_argument("--salt", type=int, default=0,
+                    help="salt factor for hot cells (0 = AQE only)")
+    ap.add_argument("--hot-threshold", type=int, default=2_000_000)
+    ap.add_argument("--commit-every", type=int, default=4)
+    ap.add_argument("--fail-after", type=int, default=0,
+                    help="TEST HOOK: raise after N buckets")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("osm-io-spark-spatial-join", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from .. import queries as Q
+    from ..operators import spatial_join as SJ
+
+    images = Q.images_probe(spark, args.sf_dir)
+    rects = Q.rect_polygons(spark, args.sf_dir)
+
+    hot: list[int] = []
+    if args.salt > 1:
+        probe_cells = SJ.tag_probe_cells(images, args.res)
+        hot = SJ.hot_cells(probe_cells, threshold_rows=args.hot_threshold)
+
+    catalog = SnapshotCatalog(args.catalog)
+    table = catalog.table(args.table)
+    job = ResumableJob(
+        table, "spatial_join_j7",
+        inputs={"sf_dir": args.sf_dir, "res": args.res,
+                "n_buckets": args.n_buckets, "salt": args.salt},
+        commit_every=args.commit_every)
+
+    plan = [f"bucket={b:04d}" for b in range(args.n_buckets)]
+
+    def task(pk: str):
+        b = int(pk.split("=")[1])
+        probe = images.filter(F.pmod(F.col("img_id"), F.lit(args.n_buckets)) == b)
+        out = SJ.spatial_join_rect(probe, rects, res=args.res,
+                                   salt=args.salt, hot=hot)
+        return out.select("img_id", "polygon_id", "cell")
+
+    done_count = {"n": len(table.completed_partitions())}
+
+    def on_partition(entry: dict) -> None:
+        done_count["n"] += 1
+        print(f"# committed {entry['partition']}: rows={entry['rows']} "
+              f"bytes={entry['bytes']}", file=sys.stderr)
+        if args.fail_after and done_count["n"] >= args.fail_after:
+            # publish progress so far, then die (simulated crash)
+            table.commit_partitions([entry], "spatial_join_j7:progress",
+                                    {"job": "spatial_join_j7"})
+            raise InjectedFailure(f"injected failure after {done_count['n']} buckets")
+
+    snap = job.run(plan, task, on_partition=on_partition)
+    result = {
+        "table": args.table,
+        "snapshot_version": snap.version,
+        "n_partitions": snap.summary["n_partitions"],
+        "total_rows": snap.summary["total_rows"],
+        "total_bytes": snap.summary["total_bytes"],
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,307 @@
+"""Iceberg-style snapshot/manifest table layer (SURVEY.md §4.4, §7.5).
+
+The north rule requires jobs "resumable from Iceberg-snapshot checkpoints
+with per-partition lineage + row-count/byte metrics". No Iceberg runtime
+jar ships in this sandbox (verified absent from $SPARK_HOME/jars), so the
+engine provides Iceberg-*style* semantics itself — honest atomic commits,
+a snapshot log, manifests of data files with per-partition statistics,
+and resume-by-manifest-diff — without claiming wire compatibility.
+
+Layout of a catalog table directory::
+
+    <root>/<table>/
+      data/<partition>/part-*.parquet     committed data files
+      _staging/<partition>-<nonce>/       in-flight writes (never read)
+      snapshots/v{N}.json                 immutable snapshot manifests
+      VERSION                             pointer file -> latest N (atomic)
+
+Commit protocol (crash-safe on a POSIX filesystem, same as Iceberg's
+version-hint strategy):
+
+1. write data files into ``_staging/...`` (Spark write, any parallelism),
+2. ``os.rename`` the staged directory to its final ``data/<partition>``
+   path (atomic; partition either fully appears or not at all),
+3. write ``snapshots/v{N+1}.json.tmp`` then ``os.replace`` to final name,
+4. ``os.replace`` the VERSION pointer.
+
+A reader only ever sees the file list of a committed snapshot, so
+half-written partitions are invisible; a crashed job leaves stale
+``_staging`` dirs that the next run garbage-collects.
+
+Reference precedent: osm-io's resumability unit is the whole file (its
+writer either completes or the output is garbage —
+/root/reference/src/osm/pbf/writer.rs:136-206); our unit is the
+partition, which is what makes 10^12-row jobs restartable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERSION_FILE = "VERSION"
+
+
+def _utcnow_iso() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+def _parquet_stats(path: str) -> tuple[int, int, list[dict]]:
+    """Footer-only scan of the parquet files under ``path`` → (rows,
+    bytes, per-file entries). Driver-side and cheap: reads metadata
+    footers, never row data — the analogue of Iceberg manifest stats."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    nbytes = 0
+    files: list[dict] = []
+    for dirpath, _dirs, fnames in os.walk(path):
+        for fn in sorted(fnames):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(dirpath, fn)
+            md = pq.read_metadata(fp)
+            sz = os.path.getsize(fp)
+            rows += md.num_rows
+            nbytes += sz
+            files.append({
+                "path": os.path.relpath(fp, path),
+                "rows": md.num_rows,
+                "bytes": sz,
+                "row_groups": md.num_row_groups,
+            })
+    return rows, nbytes, files
+
+
+@dataclass
+class Snapshot:
+    version: int
+    table: str
+    created_at: str
+    operation: str
+    lineage: dict[str, Any]
+    partitions: dict[str, dict]          # partition key -> manifest entry
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "format": "osm-io-spark/snapshot-v1",
+            "version": self.version,
+            "table": self.table,
+            "created_at": self.created_at,
+            "operation": self.operation,
+            "lineage": self.lineage,
+            "partitions": self.partitions,
+            "summary": self.summary,
+        }, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        d = json.loads(text)
+        return Snapshot(
+            version=d["version"], table=d["table"],
+            created_at=d["created_at"], operation=d["operation"],
+            lineage=d["lineage"], partitions=d["partitions"],
+            summary=d.get("summary", {}))
+
+
+class SnapshotTable:
+    """One versioned table inside the catalog root."""
+
+    def __init__(self, root: str, name: str):
+        self.name = name
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.staging_dir = os.path.join(self.dir, "_staging")
+        self.snap_dir = os.path.join(self.dir, "snapshots")
+        for d in (self.data_dir, self.staging_dir, self.snap_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- snapshot log ------------------------------------------------------
+
+    def current_version(self) -> int:
+        vf = os.path.join(self.dir, _VERSION_FILE)
+        if not os.path.exists(vf):
+            return 0
+        with open(vf) as fh:
+            return int(fh.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return None
+        with open(os.path.join(self.snap_dir, f"v{v}.json")) as fh:
+            return Snapshot.from_json(fh.read())
+
+    def history(self) -> list[Snapshot]:
+        out = []
+        for v in range(1, self.current_version() + 1):
+            s = self.snapshot(v)
+            if s is not None:
+                out.append(s)
+        return out
+
+    def _commit_snapshot(self, snap: Snapshot) -> None:
+        tmp = os.path.join(self.snap_dir, f"v{snap.version}.json.tmp")
+        final = os.path.join(self.snap_dir, f"v{snap.version}.json")
+        with open(tmp, "w") as fh:
+            fh.write(snap.to_json())
+        os.replace(tmp, final)
+        vtmp = os.path.join(self.dir, _VERSION_FILE + ".tmp")
+        with open(vtmp, "w") as fh:
+            fh.write(str(snap.version))
+        os.replace(vtmp, os.path.join(self.dir, _VERSION_FILE))
+
+    # -- staging / gc ------------------------------------------------------
+
+    def gc_staging(self) -> int:
+        """Drop leftovers of crashed writers. Safe: staged dirs are never
+        referenced by any committed snapshot."""
+        n = 0
+        for d in os.listdir(self.staging_dir):
+            shutil.rmtree(os.path.join(self.staging_dir, d), ignore_errors=True)
+            n += 1
+        return n
+
+    # -- write paths -------------------------------------------------------
+
+    def write_partition(self, df: DataFrame, partition: str,
+                        lineage: dict[str, Any] | None = None) -> dict:
+        """Stage one partition's data; returns its manifest entry. Does
+        NOT commit — callers batch entries into commit_partitions so one
+        snapshot can cover many partitions."""
+        nonce = uuid.uuid4().hex[:12]
+        staged = os.path.join(self.staging_dir, f"{partition}-{nonce}")
+        df.write.mode("overwrite").parquet(staged)
+        # drop Spark's _SUCCESS marker; the manifest is the commit record
+        marker = os.path.join(staged, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        rows, nbytes, files = _parquet_stats(staged)
+        final = os.path.join(self.data_dir, partition)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staged, final)
+        return {
+            "partition": partition,
+            "rows": rows,
+            "bytes": nbytes,
+            "files": files,
+            "lineage": lineage or {},
+            "committed_at": _utcnow_iso(),
+        }
+
+    def commit_partitions(self, entries: list[dict], operation: str,
+                          lineage: dict[str, Any] | None = None,
+                          replace: bool = False) -> Snapshot:
+        """Fold new partition entries into a new snapshot (append or
+        replace semantics) and atomically publish it."""
+        prev = self.snapshot()
+        parts: dict[str, dict] = {} if (replace or prev is None) else dict(prev.partitions)
+        for e in entries:
+            parts[e["partition"]] = e
+        snap = Snapshot(
+            version=self.current_version() + 1,
+            table=self.name,
+            created_at=_utcnow_iso(),
+            operation=operation,
+            lineage=lineage or {},
+            partitions=parts,
+            summary={
+                "n_partitions": len(parts),
+                "total_rows": sum(p["rows"] for p in parts.values()),
+                "total_bytes": sum(p["bytes"] for p in parts.values()),
+                "parent_version": prev.version if prev else 0,
+            })
+        self._commit_snapshot(snap)
+        return snap
+
+    def write(self, df: DataFrame, operation: str = "overwrite",
+              lineage: dict[str, Any] | None = None) -> Snapshot:
+        """Single-shot table write (one logical partition 'all')."""
+        entry = self.write_partition(df, "all", lineage)
+        return self.commit_partitions([entry], operation, lineage, replace=True)
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        if snap is None or not snap.partitions:
+            raise FileNotFoundError(f"table {self.name} has no committed snapshot")
+        paths = [os.path.join(self.data_dir, p) for p in sorted(snap.partitions)]
+        return spark.read.parquet(*paths)
+
+    def completed_partitions(self) -> set[str]:
+        snap = self.snapshot()
+        return set(snap.partitions) if snap else set()
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned job
+# ---------------------------------------------------------------------------
+
+class ResumableJob:
+    """Checkpoint-resumable bulk job: a *plan* of named partitions, each
+    produced by ``task_fn(partition_key) -> DataFrame``.
+
+    Each completed partition is committed into the target table's
+    snapshot log with lineage (job name, inputs, partition key) and
+    row/byte metrics. ``run`` skips partitions already present in the
+    latest snapshot — re-running after a crash reprocesses ONLY the
+    missing partitions, then publishes one final snapshot.
+
+    ``commit_every`` bounds the re-work window: a snapshot is published
+    every K partitions, so a crash loses at most K-1 partitions of work
+    (they are staged or even renamed, but the manifest is the truth).
+    """
+
+    def __init__(self, table: SnapshotTable, job_name: str,
+                 inputs: dict[str, Any] | None = None,
+                 commit_every: int = 8):
+        self.table = table
+        self.job_name = job_name
+        self.inputs = inputs or {}
+        self.commit_every = max(1, commit_every)
+
+    def pending(self, plan: list[str]) -> list[str]:
+        done = self.table.completed_partitions()
+        return [p for p in plan if p not in done]
+
+    def run(self, plan: list[str],
+            task_fn: Callable[[str], DataFrame],
+            on_partition: Callable[[dict], None] | None = None) -> Snapshot:
+        self.table.gc_staging()
+        todo = self.pending(plan)
+        lineage_base = {"job": self.job_name, "inputs": self.inputs}
+        batch: list[dict] = []
+        for pk in todo:
+            df = task_fn(pk)
+            entry = self.table.write_partition(
+                df, pk, lineage={**lineage_base, "partition_key": pk})
+            batch.append(entry)
+            if on_partition:
+                on_partition(entry)
+            if len(batch) >= self.commit_every:
+                self.table.commit_partitions(batch, f"{self.job_name}:progress",
+                                             lineage_base)
+                batch = []
+        if batch or todo or self.table.snapshot() is None:
+            return self.table.commit_partitions(batch, f"{self.job_name}:complete",
+                                                lineage_base)
+        return self.table.snapshot()

@@ -1,0 +1,166 @@
+"""Snapshot/manifest layer: atomic commit, lineage+metrics, crash resume,
+and the spark-submit --py-files launch path (north-rule ops gates)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_io_spark.jobs import spatial_join_job
+from osm_io_spark.jobs.engine_zip import build_engine_zip
+from osm_io_spark.plans.snapshots import ResumableJob, SnapshotCatalog
+
+SF_DIR = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_write_read_roundtrip_and_metrics(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("demo")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 3).alias("v"))
+    snap = t.write(df, operation="test", lineage={"src": "range"})
+
+    assert snap.version == 1
+    assert snap.summary["total_rows"] == 1000
+    assert snap.summary["total_bytes"] > 0
+    # per-partition manifest entries carry files with rows+bytes
+    entry = snap.partitions["all"]
+    assert entry["rows"] == 1000
+    assert sum(f["rows"] for f in entry["files"]) == 1000
+    assert entry["lineage"] == {"src": "range"}
+
+    back = t.read(spark)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * 999 * 1000 // 2
+
+
+def test_snapshot_log_versions_are_immutable(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("demo")
+    t.write(spark.range(10).select("id"), operation="v1")
+    t.write(spark.range(20).select("id"), operation="v2")
+    assert t.current_version() == 2
+    assert t.read(spark, version=2).count() == 20
+    hist = t.history()
+    assert [s.operation for s in hist] == ["v1", "v2"]
+    assert hist[0].summary["total_rows"] == 10
+
+
+def test_resumable_job_skips_completed_partitions(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("out")
+    calls: list[str] = []
+
+    def task(pk: str):
+        calls.append(pk)
+        n = int(pk.split("=")[1])
+        return spark.range(100 + n).select("id")
+
+    plan = [f"p={i}" for i in range(6)]
+    job = ResumableJob(t, "test_job", inputs={"x": 1}, commit_every=2)
+
+    # first run: fail after 3 partitions (committed via commit_every=2 → 2 safe)
+    class Boom(Exception):
+        pass
+
+    def failing_task(pk: str):
+        if len(calls) == 3:
+            raise Boom()
+        return task(pk)
+
+    with pytest.raises(Boom):
+        job.run(plan, failing_task)
+    done_before = t.completed_partitions()
+    assert 0 < len(done_before) < 6
+
+    # resume: only missing partitions are recomputed
+    calls.clear()
+    snap = job.run(plan, task)
+    assert set(calls) == set(plan) - done_before
+    assert snap.summary["n_partitions"] == 6
+    assert t.completed_partitions() == set(plan)
+    # lineage recorded per partition
+    assert snap.partitions["p=0"]["lineage"]["job"] == "test_job"
+    assert snap.partitions["p=0"]["lineage"]["partition_key"] == "p=0"
+    # second resume is a no-op
+    calls.clear()
+    job.run(plan, task)
+    assert calls == []
+
+
+def test_staging_gc_hides_halfwritten_data(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("demo")
+    # simulate a crashed writer: stage data but never commit
+    os.makedirs(os.path.join(t.staging_dir, "p=9-deadbeef"))
+    t.write(spark.range(5).select("id"), operation="v1")
+    assert t.read(spark).count() == 5
+    assert t.gc_staging() >= 0
+    assert os.listdir(t.staging_dir) == []
+
+
+def test_spatial_join_job_crash_and_resume(tmp_path):
+    """End-to-end: the flagship job crashes mid-run, then resumes and
+    produces exactly the rows of an uninterrupted run."""
+    cat_dir = str(tmp_path / "cat")
+    argv = ["--sf-dir", SF_DIR, "--catalog", cat_dir,
+            "--n-buckets", "6", "--commit-every", "2", "--master", "local[4]"]
+
+    with pytest.raises(spatial_join_job.InjectedFailure):
+        spatial_join_job.run(argv + ["--fail-after", "2"])
+
+    cat = SnapshotCatalog(cat_dir)
+    t = cat.table("image_polygon_matches")
+    partial = len(t.completed_partitions())
+    assert 0 < partial < 6
+
+    result = spatial_join_job.run(argv)
+    assert result["n_partitions"] == 6
+
+    # uninterrupted control run → identical totals
+    control = spatial_join_job.run(
+        ["--sf-dir", SF_DIR, "--catalog", str(tmp_path / "cat2"),
+         "--n-buckets", "6", "--master", "local[4]"])
+    assert result["total_rows"] == control["total_rows"]
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_launch(tmp_path):
+    """The literal north-rule launch shape: spark-submit --py-files
+    engine.zip running the ingest job from a cwd OUTSIDE the repo."""
+    zpath = build_engine_zip(str(tmp_path / "engine.zip"))
+
+    # tiny fixture PBF via the engine itself
+    from osm_io_spark import queries as Q
+    from osm_io_spark.session import get_spark
+    spark = get_spark("fixture-builder", master="local[4]")
+    pbf = Q._fixture_pbf_path(spark)
+
+    launcher = tmp_path / "launch.py"
+    launcher.write_text(
+        "from osm_io_spark.jobs.ingest_pbf import run\n"
+        f"run(['--pbf', {str(pbf)!r}, '--catalog', {str(tmp_path / 'cat')!r},"
+        " '--master', 'local[2]'])\n")
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[2]", "--py-files", zpath,
+         str(launcher)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["nodes"]["rows"] > 0
+    assert out["ways"]["rows"] > 0
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    nodes = cat.table("nodes")
+    snap = nodes.snapshot()
+    assert snap.lineage["source"] == pbf
+    assert snap.summary["total_rows"] == out["nodes"]["rows"]
