@@ -838,6 +838,67 @@ def q_pbf_spatial_join(spark, sf_dir):
     return out.groupBy("polygon_id", "source").agg(F.count("*").alias("n_images"))
 
 
+def q_apidb_roundtrip(spark, sf_dir):
+    """S7/S8/S11 + J1-J6: elements → apidb pg_dump dir (COPY text, toc) →
+    read back → star-schema reassembly (tag/ref/member joins, broadcast
+    user lookup) → per-type counts. Exercises the reference's second
+    storage format end-to-end (apidb_dump/read + write)."""
+    import os
+    import tempfile
+
+    from .sources import apidb
+    from .sources.pbf import decode as PD
+
+    ensure_shipped(spark)
+    path = _fixture_pbf_path(spark)
+    dump_dir = os.path.join(tempfile.gettempdir(), "osm_io_spark_apidb_dump")
+    if not os.path.exists(os.path.join(dump_dir, "toc.dat")):
+        apidb.write_apidb_dump(PD.read_pbf(spark, path), dump_dir)
+    els = apidb.elements_from_apidb(apidb.read_apidb_dump(spark, dump_dir))
+    return els.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("tags")).alias("n_tags"),
+        F.count_distinct("user").alias("n_users"))
+
+
+_STREAM_RUN_N = [0]
+
+
+def q_stream_hourly_window(spark, sf_dir):
+    """Structured Streaming: watermarked 1-hour tumbling windows over a
+    file-source stream of the events table, drained with availableNow —
+    result must equal the batch/SQL aggregation (streaming §2.9)."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"osm_io_stream_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_hourly_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    agg = SE.windowed_counts(SE.stream_events(spark, src),
+                             window="1 hour", watermark="30 minutes")
+    agg = agg.select(
+        F.unix_timestamp("win_start").alias("hour_epoch"),
+        "event_type", "n", "sum_cents")
+    SE.run_available_now_complete(agg, ckpt, name)
+    return spark.table(name)
+
+
+SQL_STREAM_W = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_mm_decode_stats(spark, sf_dir):
     """Multimodal plumbing: deterministic synthetic image table (bytes +
     metadata) → Arrow-batched decode → per-fmt stats + phash check."""
@@ -897,6 +958,8 @@ QUERIES = {
     "pbf_roundtrip_counts": q_pbf_roundtrip_counts,
     "polygon_assembly": q_polygon_assembly,
     "pbf_spatial_join": q_pbf_spatial_join,
+    "apidb_roundtrip_counts": q_apidb_roundtrip,
+    "stream_hourly_window": q_stream_hourly_window,
     "mm_decode_stats": q_mm_decode_stats,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
@@ -927,4 +990,5 @@ ORACLES = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
     "ann_topk_cosine": SQL_ANN,
+    "stream_hourly_window": SQL_STREAM_W,
 }

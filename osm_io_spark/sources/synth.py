@@ -162,8 +162,11 @@ def osm_elements_local(seed: int = 42, n_nodes: int = 2000, n_ways: int = 150,
             tags = [{"k": "amenity", "v": "cafe"}, {"k": "name", "v": f"node {nid}"}]
         nodes.append({
             "id": nid, "version": 1, "lat": lat, "lon": lon,
+            # uid is a function of changeset: the apidb schema stores
+            # authorship only on changesets (element uid is derived via
+            # the changeset->user lookup, element_iterator.rs:120-122)
             "timestamp": base_ts + i * 1000, "changeset": 1000 + i % 37,
-            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",
+            "uid": 1 + (i % 37) % 11, "user": f"user{1 + (i % 37) % 11}",
             "visible": True, "tags": tags,
         })
 
@@ -180,7 +183,7 @@ def osm_elements_local(seed: int = 42, n_nodes: int = 2000, n_ways: int = 150,
         ways.append({
             "id": wid, "version": 1, "refs": refs,
             "timestamp": base_ts + i * 2000, "changeset": 2000 + i % 29,
-            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",
+            "uid": 1 + (i % 29) % 11, "user": f"user{1 + (i % 29) % 11}",
             "visible": True,
             "tags": [{"k": "building", "v": "yes"}] if i % 2 == 0 else
                     [{"k": "landuse", "v": "forest"}],
@@ -200,7 +203,7 @@ def osm_elements_local(seed: int = 42, n_nodes: int = 2000, n_ways: int = 150,
         relations.append({
             "id": rid, "version": 1, "members": members,
             "timestamp": base_ts + i * 3000, "changeset": 3000 + i,
-            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",
+            "uid": 1 + i % 11, "user": f"user{1 + i % 11}",  # changeset unique per relation
             "visible": True,
             "tags": [{"k": "type", "v": "multipolygon"}],
         })

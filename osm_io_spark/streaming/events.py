@@ -1,0 +1,187 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference is batch-only, but its parallel writer implements exactly
+the mechanics Structured Streaming formalizes: a bounded out-of-orderness
+buffer with a tracked minimum and a hard error on late data
+(/root/reference/src/osm/pbf/parallel_writer.rs:109-144), and Sentinel
+punctuation as end-of-group markers
+(parallel_element_iteration_command.rs:31). Here those become, Spark-first:
+
+* ``stream_events``      file-source stream over an events directory
+* ``windowed_counts``    watermark + tumbling-window aggregation — the
+                         watermark IS the reference's ordering-buffer
+                         minimum, except late rows are *dropped* (policy)
+                         rather than panicking (assertion)
+* ``sessionize``         custom stateful operator via
+                         applyInPandasWithState: per-user session windows
+                         closed by event-time gap + watermark timeout
+* ``stream_cell_enrich`` stateless streaming enrichment: geotag → Z-order
+                         cell id + broadcast polygon lookup (the J7 join's
+                         streaming twin; stateless ops compose freely)
+
+Tests drive these with ``trigger(availableNow=True)`` so each run drains
+the input exactly once and terminates — batch-equivalent semantics with
+real streaming plans (checkpointed offsets, state store).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, events_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of event rows (schema fixed up front — file
+    streams cannot infer)."""
+    reader = (spark.readStream.schema(EVENTS_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(events_dir)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time windows with late-data bound. State for a
+    window is droppable once the watermark passes its end — bounded
+    memory at any scale, the property the reference engineered with its
+    `reader_tasks * 8000 * n` buffer-sizing rule."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.expr(
+                     "CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias("sum_cents"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n", "sum_cents"))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("closed_by", T.StringType()),   # gap | timeout
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_ms", T.LongType()),
+    T.StructField("last_ms", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _session_fn(gap_ms: int):
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterable[pd.DataFrame]:
+        user_id = key[0]
+        out: list[tuple] = []
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            out.append((user_id, start_ms, last_ms, n, "timeout"))
+            state.remove()
+        else:
+            ts_ms = pd.concat(
+                [pdf["ts"] for pdf in pdfs]).astype("int64").sort_values() // 10**6
+            if state.exists:
+                start_ms, last_ms, n = state.get
+            else:
+                start_ms = last_ms = int(ts_ms.iloc[0])
+                n = 0
+            for t in ts_ms:
+                t = int(t)
+                if t - last_ms > gap_ms:
+                    out.append((user_id, start_ms, last_ms, n, "gap"))
+                    start_ms, n = t, 0
+                last_ms = t
+                n += 1
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+
+        if out:
+            df = pd.DataFrame(out, columns=[
+                "user_id", "session_start", "session_end", "n_events",
+                "closed_by"])
+            df["session_start"] = pd.to_datetime(df["session_start"], unit="ms")
+            df["session_end"] = pd.to_datetime(df["session_end"], unit="ms")
+            yield df
+
+    return fn
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "1 hour") -> DataFrame:
+    """Per-user event-time sessionization as a custom stateful operator
+    (applyInPandasWithState). Sessions close when the in-batch gap
+    exceeds ``gap`` or when the event-time watermark passes
+    last_event + gap (EventTimeTimeout). State is one (start, last, n)
+    triple per live user — O(active users), not O(events)."""
+    import re
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    mult = {"second": 1000, "minute": 60_000, "hour": 3_600_000}[m.group(2)]
+    gap_ms = int(m.group(1)) * mult
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn(gap_ms),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def stream_cell_enrich(events: DataFrame, polygons_cells: DataFrame,
+                       res: int = 10) -> DataFrame:
+    """Stateless streaming enrichment: derive a deterministic geotag from
+    user_id (stand-in for a geotagged event feed), attach the res-``res``
+    cell, and broadcast-join against a static polygon-cover table —
+    stream-static joins need no state and keep the J7 plan shape."""
+    from ..functions import cells as C
+    lat = (F.col("user_id") * 2654435761 % 120000000) / 1e6 - 60.0
+    lon = (F.col("user_id") * 2971215073 % 360000000) / 1e6 - 180.0
+    tagged = (events
+              .withColumn("lat", lat).withColumn("lon", lon)
+              .withColumn("cell", C.cell_at_col(F.col("lat"), F.col("lon"), res)))
+    return tagged.join(F.broadcast(polygons_cells), on="cell", how="inner")
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str,
+                      out_table: str) -> None:
+    """Drain all currently-available input into an in-memory sink and
+    stop — the batch-equivalent execution tests and backfills use."""
+    q = (stream_df.writeStream
+         .format("memory").queryName(out_table)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def run_available_now_complete(stream_df: DataFrame, checkpoint: str,
+                               out_table: str) -> None:
+    q = (stream_df.writeStream
+         .format("memory").queryName(out_table)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

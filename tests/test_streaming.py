@@ -1,0 +1,109 @@
+"""Structured Streaming: watermark windows, stateful sessionization,
+stream-static cell join — batch-cross-checked via availableNow drains."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_io_spark.streaming import events as SE
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    (spark.read.parquet(f"{SF_DIR}/events.parquet")
+     .repartition(4).write.mode("overwrite").parquet(d))
+    return d
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = SE.stream_events(spark, events_dir)
+    agg = SE.windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    SE.run_available_now_complete(agg, str(tmp_path / "ckpt"), "win_counts")
+    got = spark.table("win_counts")
+
+    batch = (spark.read.parquet(events_dir)
+             .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+             .agg(F.count("*").alias("n")))
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n")).collect()[0][0] == \
+        spark.read.parquet(events_dir).count()
+
+
+def test_windowed_counts_incremental_files(spark, events_dir, tmp_path):
+    """Drain twice with new files arriving in between: the checkpoint
+    resumes offsets; counts accumulate without reprocessing."""
+    import os
+    import shutil
+    d = str(tmp_path / "inc")
+    os.makedirs(d)
+    parts = sorted(p for p in os.listdir(events_dir) if p.startswith("part-"))
+    shutil.copy(os.path.join(events_dir, parts[0]), d)
+
+    stream = SE.stream_events(spark, d)
+    agg = SE.windowed_counts(stream)
+    ckpt = str(tmp_path / "ckpt")
+    SE.run_available_now_complete(agg, ckpt, "inc_counts")
+    n1 = spark.table("inc_counts").agg(F.sum("n")).collect()[0][0]
+
+    for p in parts[1:]:
+        shutil.copy(os.path.join(events_dir, p), d)
+    stream2 = SE.stream_events(spark, d)
+    SE.run_available_now_complete(SE.windowed_counts(stream2), ckpt, "inc_counts2")
+    n2 = spark.table("inc_counts2").agg(F.sum("n")).collect()[0][0]
+    total = spark.read.parquet(events_dir).count()
+    assert n1 < n2 == total
+
+
+def test_sessionize_stateful(spark, events_dir, tmp_path):
+    stream = SE.stream_events(spark, events_dir)
+    sessions = SE.sessionize(stream, gap="30 minutes", watermark="1 hour")
+    SE.run_available_now(sessions, str(tmp_path / "ckpt"), "sessions")
+    got = spark.table("sessions").toPandas()
+    assert len(got) > 0
+    assert (got["session_end"] >= got["session_start"]).all()
+    assert (got["n_events"] >= 1).all()
+    assert set(got["closed_by"]) <= {"gap", "timeout"}
+
+    # oracle: single-node pandas sessionization over the same rows.
+    # availableNow drains everything, so gap-closed sessions must match
+    # the batch gap-split exactly for every user with >1 session.
+    ev = spark.read.parquet(events_dir).select("user_id", "ts").toPandas()
+    gap = pd.Timedelta(minutes=30)
+    expected_gap_sessions = 0
+    for _uid, grp in ev.groupby("user_id"):
+        ts = grp["ts"].sort_values()
+        expected_gap_sessions += int((ts.diff() > gap).sum())
+    got_gap = (got["closed_by"] == "gap").sum()
+    assert got_gap == expected_gap_sessions
+
+
+def test_stream_static_cell_join(spark, events_dir, tmp_path):
+    from osm_io_spark import queries as Q
+    from osm_io_spark.operators import spatial_join as SJ
+
+    # build side: rectangles centered on the derived geotags of a few
+    # user_ids, so the stream is guaranteed to hit them
+    uids = [r[0] for r in (spark.read.parquet(events_dir)
+                           .select("user_id").distinct().limit(5).collect())]
+    rects = spark.createDataFrame(
+        [(int(u),
+          (u * 2654435761 % 120000000) / 1e6 - 60.0,
+          (u * 2971215073 % 360000000) / 1e6 - 180.0) for u in uids],
+        "polygon_id long, clat double, clon double").selectExpr(
+        "polygon_id", "clon - 0.5 as left", "clon + 0.5 as right",
+        "clat - 0.5 as bottom", "clat + 0.5 as top")
+    covers = SJ.cover_bbox_cells(rects, res=6).select("cell", "polygon_id")
+
+    stream = SE.stream_events(spark, events_dir)
+    joined = SE.stream_cell_enrich(stream, covers, res=6)
+    SE.run_available_now(joined.select("event_id", "polygon_id", "cell"),
+                         str(tmp_path / "ckpt"), "enriched")
+    got = spark.table("enriched")
+
+    batch = SE.stream_cell_enrich(spark.read.parquet(events_dir), covers, res=6)
+    assert got.count() == batch.count() > 0
