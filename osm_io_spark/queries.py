@@ -913,6 +913,22 @@ def q_mm_decode_stats(spark, sf_dir):
         F.sum(F.floor(F.col("mean_pixel") * 1000).cast("long")).alias("mean_pixel_milli_sum"))
 
 
+def q_mm_row_invariants(spark, sf_dir):
+    """The driver's per-row invariant (BASELINE.json input_hint):
+    decoded-pixel PSNR ≥ 40 dB vs independently regenerated reference
+    pixels + caption equality, aggregated per fmt."""
+    from .operators import multimodal as MM
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
+    inv = MM.invariant_check(imgs, seed=42)
+    return inv.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("psnr_ok"), 1).otherwise(0)).alias("n_psnr_ok"),
+        F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+        F.floor(F.min("psnr_db")).cast("long").alias("min_psnr_floor"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
     vs brute force measured in tests; rows-only driver check)."""
@@ -961,6 +977,7 @@ QUERIES = {
     "apidb_roundtrip_counts": q_apidb_roundtrip,
     "stream_hourly_window": q_stream_hourly_window,
     "mm_decode_stats": q_mm_decode_stats,
+    "mm_row_invariants": q_mm_row_invariants,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
 

@@ -239,3 +239,17 @@ def osm_elements_local(seed: int = 42, n_nodes: int = 2000, n_ways: int = 150,
         }
     }
     return nodes, ways, relations, analysis
+
+
+def reference_pixels_caption(i: int, seed: int, w: int, h: int,
+                             fmt: str) -> tuple[np.ndarray, str]:
+    """The single-row reference oracle behind images_pdf: the exact
+    pre-encode pixel array and caption for id ``i`` (pure function of
+    (seed, id) — used by multimodal.invariant_check as independent
+    reference data)."""
+    centers = _cluster_centers(seed)
+    k = int(np.searchsorted(_CLUSTER_CDF, _u01(np.array([i]), f"cl{seed}")[0]))
+    caption = f"synthetic scene {i} cluster {k} fmt {fmt}"
+    rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + i))
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return px, caption

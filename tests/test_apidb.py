@@ -148,3 +148,21 @@ def test_zorder_tile_written_for_nodes(spark, tmp_path):
 
     for r in sample:
         assert r["tile"] == ref_tile(r["latitude"] / 1e7, r["longitude"] / 1e7)
+
+
+def test_convert_job_all_directions(spark, tmp_path):
+    """jobs/convert: pbf→apidb→pbf→pbf preserves golden counts (the
+    reference's conversion-pipe tests, SURVEY.md §3.3/§5)."""
+    from osm_io_spark import queries as Q
+    from osm_io_spark.jobs import convert
+    pbf = Q._fixture_pbf_path(spark)
+    d = str(tmp_path)
+    r1 = convert.run(["--from", "pbf", "--to", "apidb", "--input", pbf,
+                      "--output", f"{d}/dump", "--master", "local[4]"])
+    r2 = convert.run(["--from", "apidb", "--to", "pbf", "--input", f"{d}/dump",
+                      "--output", f"{d}/out.osm.pbf", "--master", "local[4]"])
+    r3 = convert.run(["--from", "pbf", "--to", "pbf",
+                      "--input", f"{d}/out.osm.pbf",
+                      "--output", f"{d}/rt.osm.pbf", "--master", "local[4]"])
+    assert r1["data"] == r2["data"] == r3["data"]
+    assert r1["data"]["count"]["nodes"] == 2000

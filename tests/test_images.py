@@ -43,3 +43,29 @@ def test_phash_properties():
     # q5 decode stays perceptually identical
     dq = I.decode(I.encode(PIX, "q5"), 32, 24, "q5")
     assert I.hamming64(h1, I.phash64(dq)) <= 6
+
+
+def test_per_row_invariants_distributed(spark):
+    """Driver per-row invariant: PSNR >= 40 dB vs regenerated reference
+    pixels + caption equality, across both codecs, distributed."""
+    from osm_io_spark.operators import multimodal as MM
+    from osm_io_spark.sources import synth as SY
+    from osm_io_spark import queries as Q
+    Q.ensure_shipped(spark)
+    imgs = SY.images_df(spark, 120, seed=42, partitions=4)
+    inv = MM.invariant_check(imgs, seed=42).toPandas()
+    assert len(inv) == 120
+    assert inv["psnr_ok"].all()
+    assert inv["caption_ok"].all()
+    assert set(inv["fmt"]) == {"raw", "q5"}
+    # lossless rows are bit-exact (sentinel 999), lossy rows in [40, 999)
+    assert (inv.loc[inv.fmt == "raw", "psnr_db"] == 999.0).all()
+    assert (inv.loc[inv.fmt == "q5", "psnr_db"] >= 40.0).all()
+
+    # a corrupted byte must be caught
+    from pyspark.sql import functions as F
+    bad = imgs.withColumn(
+        "caption", F.when(F.col("image_id") == "img-000000000003",
+                          F.lit("tampered")).otherwise(F.col("caption")))
+    inv_bad = MM.invariant_check(bad, seed=42).toPandas()
+    assert (~inv_bad["caption_ok"]).sum() == 1
