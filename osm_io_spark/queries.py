@@ -838,6 +838,33 @@ def q_pbf_spatial_join(spark, sf_dir):
     return out.groupBy("polygon_id", "source").agg(F.count("*").alias("n_images"))
 
 
+def q_ref_fixture_parity(spark, sf_dir):
+    """Decode the reference's own niue-230109.osm.pbf fixture (when
+    present) and emit the golden-analysis facts its E2E tests assert:
+    per-type counts, min/max ids, and the exact bbox in lat7/lon7 fixed
+    point (tests/test_pbf_reader.rs golden contract). Falls back to the
+    synthetic fixture when the reference tree is absent."""
+    import os
+    import tempfile
+
+    ensure_shipped(spark)
+    from .sources.pbf import decode as PD
+    ref = "/root/reference/tests/fixtures/niue-230109.osm.pbf"
+    path = ref if os.path.exists(ref) else _fixture_pbf_path(spark)
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"osm_io_ref_parity_{os.path.basename(path)}.parquet")
+    if not os.path.exists(cache):
+        PD.read_pbf(spark, path).write.mode("overwrite").parquet(cache)
+    els = spark.read.parquet(cache)
+    return (els.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("min_id"), F.max("id").alias("max_id"),
+        F.round(F.min(F.coalesce("lon", F.lit(0.0))) * 1e7).cast("long").alias("left7"),
+        F.round(F.min(F.coalesce("lat", F.lit(0.0))) * 1e7).cast("long").alias("bottom7"),
+        F.round(F.max(F.coalesce("lon", F.lit(0.0))) * 1e7).cast("long").alias("right7"),
+        F.round(F.max(F.coalesce("lat", F.lit(0.0))) * 1e7).cast("long").alias("top7")))
+
+
 def q_apidb_roundtrip(spark, sf_dir):
     """S7/S8/S11 + J1-J6: elements → apidb pg_dump dir (COPY text, toc) →
     read back → star-schema reassembly (tag/ref/member joins, broadcast
@@ -975,6 +1002,7 @@ QUERIES = {
     "polygon_assembly": q_polygon_assembly,
     "pbf_spatial_join": q_pbf_spatial_join,
     "apidb_roundtrip_counts": q_apidb_roundtrip,
+    "ref_fixture_parity": q_ref_fixture_parity,
     "stream_hourly_window": q_stream_hourly_window,
     "mm_decode_stats": q_mm_decode_stats,
     "mm_row_invariants": q_mm_row_invariants,
