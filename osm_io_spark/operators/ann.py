@@ -106,3 +106,89 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "cand_id", "cos"))
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
+             n_centroids: int = 32, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k (the inverted-file scale path).
+
+    1. Seed centroids: the ``n_centroids`` candidates with the smallest
+       stable hash of their id (deterministic sample, no RNG).
+    2. One Lloyd refinement: assign every candidate to its nearest seed
+       under exact integer squared-L2 on quantized vectors, recompute
+       centroids as element-wise means (exact long sums → deterministic
+       doubles regardless of aggregation order).
+    3. Index: candidates partitioned by final cluster id — at planet
+       scale this is the one shuffle, reusable across query batches.
+    4. Search: each (broadcast) query probes its ``n_probe`` nearest
+       clusters, exact cosine re-rank inside them.
+
+    Approximate by construction; recall vs brute_force_topk is measured
+    in tests/test_ann.py.
+    """
+    c = (candidates.select(F.col(id_col).alias("cand_id"),
+                           quantize(F.col(vec_col)).alias("_cv"))
+         .withColumn("_cn", norm_sq_q(F.col("_cv"))))
+
+    seeds = (c.withColumn("_h", F.xxhash64(F.col("cand_id")))
+             .orderBy("_h", "cand_id").limit(n_centroids)
+             .select(F.col("cand_id").alias("_cid0"), F.col("_cv").alias("_sv"),
+                     F.col("_cn").alias("_sn")))
+    seeds = (seeds.withColumn(
+        "centroid_id",
+        F.row_number().over(Window.orderBy("_cid0")) - 1)
+        .select("centroid_id", "_sv", "_sn"))
+
+    assigned0 = (c.crossJoin(F.broadcast(seeds))
+                 .withColumn("_d", F.col("_cn") + F.col("_sn")
+                             - 2 * dot_q(F.col("_cv"), F.col("_sv"))))
+    w0 = Window.partitionBy("cand_id").orderBy(F.col("_d").asc(),
+                                               F.col("centroid_id").asc())
+    assigned0 = (assigned0.withColumn("_rn", F.row_number().over(w0))
+                 .filter(F.col("_rn") == 1)
+                 .select("cand_id", "_cv", "_cn", "centroid_id"))
+
+    # element-wise mean per cluster from exact long sums
+    dim_df = (assigned0.select("centroid_id",
+                               F.posexplode("_cv").alias("_i", "_x"))
+              .groupBy("centroid_id", "_i")
+              .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n")))
+    centroids = (dim_df.withColumn("_m", F.col("_s").cast("double") / F.col("_n"))
+                 .groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+                     lambda s: F.floor(s["_m"] + F.lit(0.5)).cast("long")
+                 ).alias("_sv")))
+    centroids = centroids.withColumn("_sn", norm_sq_q(F.col("_sv")))
+
+    index = (c.crossJoin(F.broadcast(centroids))
+             .withColumn("_d", F.col("_cn") + F.col("_sn")
+                         - 2 * dot_q(F.col("_cv"), F.col("_sv"))))
+    wi = Window.partitionBy("cand_id").orderBy(F.col("_d").asc(),
+                                               F.col("centroid_id").asc())
+    index = (index.withColumn("_rn", F.row_number().over(wi))
+             .filter(F.col("_rn") == 1)
+             .select("cand_id", "_cv", "_cn", "centroid_id"))
+
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        quantize(F.col(vec_col)).alias("_qv"))
+         .withColumn("_qn", norm_sq_q(F.col("_qv"))))
+    probes = (q.crossJoin(F.broadcast(centroids))
+              .withColumn("_d", F.col("_qn") + F.col("_sn")
+                          - 2 * dot_q(F.col("_qv"), F.col("_sv"))))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d").asc(),
+                                                F.col("centroid_id").asc())
+    probes = (probes.withColumn("_rn", F.row_number().over(wq))
+              .filter(F.col("_rn") <= n_probe)
+              .select("query_id", "_qv", "_qn", "centroid_id"))
+
+    pairs = (index.join(F.broadcast(probes), on="centroid_id")
+             .filter(F.col("cand_id") != F.col("query_id"))
+             .withColumn("_dot", dot_q(F.col("_qv"), F.col("_cv")))
+             .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn"), F.col("_cn"))))
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                F.col("cand_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cos"))

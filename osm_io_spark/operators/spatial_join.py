@@ -199,19 +199,25 @@ def salted_cell_join(probe: DataFrame, build_cells: DataFrame,
     granularity but cannot split a single giant key without salting)."""
     if not hot or n_salt <= 1:
         return cell_join(probe, build_cells, cell=cell)
-    hot_lit = F.array([F.lit(int(h)) for h in hot])
-    is_hot_p = F.array_contains(hot_lit, F.col(cell))
+    # NO filter on the probe's cell column: a Filter predicate inlines
+    # the (self-duplicating) Morton expression where whole-stage-codegen
+    # CSE does not reach — measured 60x slower than evaluating the same
+    # expression in a Project (119s vs 2s on a 20M-row probe). Hot and
+    # cold cells are disjoint, so two unfiltered joins partition the
+    # matches exactly: hot probe rows only match build_hot (on cell +
+    # salt), cold rows only match build_cold (on cell).
+    hot_vals = [int(h) for h in hot]
 
-    probe_hot = probe.filter(is_hot_p).withColumn(
+    probe_s = probe.withColumn(
         "_salt", F.pmod(F.hash(F.col(probe_key)), F.lit(n_salt)))
-    probe_cold = probe.filter(~is_hot_p)
+    build_hot = (build_cells.filter(F.col(cell).isin(hot_vals))
+                 .withColumn("_salt", F.explode(
+                     F.sequence(F.lit(0), F.lit(n_salt - 1)))))
+    build_cold = build_cells.filter(~F.col(cell).isin(hot_vals))
 
-    build_hot = (build_cells.filter(F.array_contains(hot_lit, F.col(cell)))
-                 .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))))
-    build_cold = build_cells.filter(~F.array_contains(hot_lit, F.col(cell)))
-
-    joined_hot = probe_hot.join(build_hot, on=[cell, "_salt"], how="inner").drop("_salt")
-    joined_cold = probe_cold.join(F.broadcast(build_cold), on=cell, how="inner")
+    joined_hot = probe_s.join(build_hot, on=[cell, "_salt"],
+                              how="inner").drop("_salt")
+    joined_cold = probe.join(F.broadcast(build_cold), on=cell, how="inner")
     return joined_hot.unionByName(joined_cold)
 
 

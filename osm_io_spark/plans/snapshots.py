@@ -53,15 +53,19 @@ def _utcnow_iso() -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
 
-def _parquet_stats(path: str) -> tuple[int, int, list[dict]]:
+def _parquet_stats(path: str, stats_columns: list[str] | None = None
+                   ) -> tuple[int, int, list[dict], dict]:
     """Footer-only scan of the parquet files under ``path`` → (rows,
-    bytes, per-file entries). Driver-side and cheap: reads metadata
-    footers, never row data — the analogue of Iceberg manifest stats."""
+    bytes, per-file entries, column min/max). Driver-side and cheap:
+    reads metadata footers, never row data — the analogue of Iceberg
+    manifest stats. ``stats_columns`` min/max come from row-group
+    statistics and power partition pruning in ``read_pruned``."""
     import pyarrow.parquet as pq
 
     rows = 0
     nbytes = 0
     files: list[dict] = []
+    col_stats: dict[str, dict] = {}
     for dirpath, _dirs, fnames in os.walk(path):
         for fn in sorted(fnames):
             if not fn.endswith(".parquet"):
@@ -77,7 +81,22 @@ def _parquet_stats(path: str) -> tuple[int, int, list[dict]]:
                 "bytes": sz,
                 "row_groups": md.num_row_groups,
             })
-    return rows, nbytes, files
+            if stats_columns:
+                name_to_idx = {md.schema.column(i).name: i
+                               for i in range(len(md.schema))}
+                for col in stats_columns:
+                    ci = name_to_idx.get(col)
+                    if ci is None:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        cur = col_stats.setdefault(col, {"min": st.min,
+                                                         "max": st.max})
+                        cur["min"] = min(cur["min"], st.min)
+                        cur["max"] = max(cur["max"], st.max)
+    return rows, nbytes, files, col_stats
 
 
 @dataclass
@@ -173,10 +192,12 @@ class SnapshotTable:
     # -- write paths -------------------------------------------------------
 
     def write_partition(self, df: DataFrame, partition: str,
-                        lineage: dict[str, Any] | None = None) -> dict:
+                        lineage: dict[str, Any] | None = None,
+                        stats_columns: list[str] | None = None) -> dict:
         """Stage one partition's data; returns its manifest entry. Does
         NOT commit — callers batch entries into commit_partitions so one
-        snapshot can cover many partitions."""
+        snapshot can cover many partitions. ``stats_columns`` records
+        per-partition min/max in the manifest (data-skipping metadata)."""
         nonce = uuid.uuid4().hex[:12]
         staged = os.path.join(self.staging_dir, f"{partition}-{nonce}")
         df.write.mode("overwrite").parquet(staged)
@@ -184,12 +205,12 @@ class SnapshotTable:
         marker = os.path.join(staged, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
-        rows, nbytes, files = _parquet_stats(staged)
+        rows, nbytes, files, col_stats = _parquet_stats(staged, stats_columns)
         final = os.path.join(self.data_dir, partition)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(staged, final)
-        return {
+        entry = {
             "partition": partition,
             "rows": rows,
             "bytes": nbytes,
@@ -197,6 +218,9 @@ class SnapshotTable:
             "lineage": lineage or {},
             "committed_at": _utcnow_iso(),
         }
+        if col_stats:
+            entry["column_stats"] = col_stats
+        return entry
 
     def commit_partitions(self, entries: list[dict], operation: str,
                           lineage: dict[str, Any] | None = None,
@@ -224,9 +248,10 @@ class SnapshotTable:
         return snap
 
     def write(self, df: DataFrame, operation: str = "overwrite",
-              lineage: dict[str, Any] | None = None) -> Snapshot:
+              lineage: dict[str, Any] | None = None,
+              stats_columns: list[str] | None = None) -> Snapshot:
         """Single-shot table write (one logical partition 'all')."""
-        entry = self.write_partition(df, "all", lineage)
+        entry = self.write_partition(df, "all", lineage, stats_columns)
         return self.commit_partitions([entry], operation, lineage, replace=True)
 
     # -- read path ---------------------------------------------------------
@@ -237,6 +262,31 @@ class SnapshotTable:
             raise FileNotFoundError(f"table {self.name} has no committed snapshot")
         paths = [os.path.join(self.data_dir, p) for p in sorted(snap.partitions)]
         return spark.read.parquet(*paths)
+
+    def read_pruned(self, spark: SparkSession, column: str,
+                    lo, hi, version: int | None = None
+                    ) -> tuple[DataFrame, list[str]]:
+        """Manifest-level data skipping (Iceberg-style): read ONLY the
+        partitions whose recorded [min, max] for ``column`` overlaps
+        [lo, hi] — partitions without recorded stats are conservatively
+        kept. Returns (DataFrame, selected partition names); the caller
+        still applies the exact row filter (pruning is file-level).
+        At 100 TB this is the difference between listing thousands of
+        files and a handful — the manifest scan is O(#partitions) JSON,
+        no filesystem listing at all."""
+        snap = self.snapshot(version)
+        if snap is None or not snap.partitions:
+            raise FileNotFoundError(f"table {self.name} has no committed snapshot")
+        keep: list[str] = []
+        for name, entry in sorted(snap.partitions.items()):
+            st = entry.get("column_stats", {}).get(column)
+            if st is None or not (st["max"] < lo or st["min"] > hi):
+                keep.append(name)
+        if not keep:
+            df = self.read(spark, version).limit(0)
+            return df, []
+        paths = [os.path.join(self.data_dir, p) for p in keep]
+        return spark.read.parquet(*paths), keep
 
     def completed_partitions(self) -> set[str]:
         snap = self.snapshot()
@@ -273,11 +323,13 @@ class ResumableJob:
 
     def __init__(self, table: SnapshotTable, job_name: str,
                  inputs: dict[str, Any] | None = None,
-                 commit_every: int = 8):
+                 commit_every: int = 8,
+                 stats_columns: list[str] | None = None):
         self.table = table
         self.job_name = job_name
         self.inputs = inputs or {}
         self.commit_every = max(1, commit_every)
+        self.stats_columns = stats_columns
 
     def pending(self, plan: list[str]) -> list[str]:
         done = self.table.completed_partitions()
@@ -293,7 +345,8 @@ class ResumableJob:
         for pk in todo:
             df = task_fn(pk)
             entry = self.table.write_partition(
-                df, pk, lineage={**lineage_base, "partition_key": pk})
+                df, pk, lineage={**lineage_base, "partition_key": pk},
+                stats_columns=self.stats_columns)
             batch.append(entry)
             if on_partition:
                 on_partition(entry)

@@ -963,6 +963,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ANN.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF-flat — deterministic seeded centroids, one
+    exact-integer Lloyd step, n_probe nearest clusters per query, exact
+    re-rank (recall vs brute force measured in tests/test_ann.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ANN.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                        n_centroids=16, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1007,6 +1016,7 @@ QUERIES = {
     "mm_decode_stats": q_mm_decode_stats,
     "mm_row_invariants": q_mm_row_invariants,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {

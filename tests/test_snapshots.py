@@ -164,3 +164,36 @@ def test_spark_submit_py_files_launch(tmp_path):
     snap = nodes.snapshot()
     assert snap.lineage["source"] == pbf
     assert snap.summary["total_rows"] == out["nodes"]["rows"]
+
+
+def test_manifest_data_skipping(spark, tmp_path):
+    """Iceberg-style pruning: partitions carry min/max column stats in
+    the manifest; read_pruned reads only overlapping partitions and the
+    pruned+filtered result equals the full-scan filter."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("cells")
+
+    def task(pk: str):
+        b = int(pk.split("=")[1])
+        return (spark.range(b * 1000, (b + 1) * 1000)
+                .select(F.col("id").alias("cell"),
+                        (F.col("id") * 7).alias("v")))
+
+    job = ResumableJob(t, "skip_job", stats_columns=["cell"])
+    plan = [f"p={i}" for i in range(8)]
+    snap = job.run(plan, task)
+    st = snap.partitions["p=3"]["column_stats"]["cell"]
+    assert st["min"] == 3000 and st["max"] == 3999
+
+    df, kept = t.read_pruned(spark, "cell", 2500, 4200)
+    assert kept == ["p=2", "p=3", "p=4"]  # only overlapping partitions
+    got = df.filter("cell BETWEEN 2500 AND 4200")
+    full = t.read(spark).filter("cell BETWEEN 2500 AND 4200")
+    assert got.count() == full.count() == 1701
+    assert got.agg(F.sum("v")).collect()[0][0] == \
+        full.agg(F.sum("v")).collect()[0][0]
+
+    # disjoint range → zero partitions, empty frame with same schema
+    df0, kept0 = t.read_pruned(spark, "cell", 50_000, 60_000)
+    assert kept0 == [] and df0.count() == 0
+    assert df0.schema == df.schema
