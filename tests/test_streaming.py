@@ -107,3 +107,47 @@ def test_stream_static_cell_join(spark, events_dir, tmp_path):
 
     batch = SE.stream_cell_enrich(spark.read.parquet(events_dir), covers, res=6)
     assert got.count() == batch.count() > 0
+
+
+def test_stream_to_snapshot_sink_incremental(spark, events_dir, tmp_path):
+    """foreachBatch → snapshot commits: each epoch is one atomic
+    partition with lineage; changes() exposes incremental epochs; a
+    second drain with new files appends without duplicating."""
+    import os
+    import shutil
+
+    from osm_io_spark.plans.snapshots import SnapshotCatalog, changes
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    parts = sorted(p for p in os.listdir(events_dir) if p.startswith("part-"))
+    shutil.copy(os.path.join(events_dir, parts[0]), src)
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("events_ingest")
+    from osm_io_spark.streaming.snapshot_sink import run_stream_to_snapshots
+    ckpt = str(tmp_path / "ckpt")
+
+    run_stream_to_snapshots(
+        SE.stream_events(spark, src, max_files_per_trigger=1), t, ckpt,
+        "ingest_events", stats_columns=["user_id"])
+    v1 = t.current_version()
+    n1 = t.read(spark).count()
+    assert n1 > 0 and v1 >= 1
+    snap = t.snapshot()
+    first = sorted(snap.partitions)[0]
+    assert snap.partitions[first]["lineage"]["mode"] == "streaming"
+    assert "user_id" in snap.partitions[first]["column_stats"]
+
+    # more files arrive; only the new epochs appear in changes()
+    for p in parts[1:]:
+        shutil.copy(os.path.join(events_dir, p), src)
+    run_stream_to_snapshots(
+        SE.stream_events(spark, src, max_files_per_trigger=1), t, ckpt,
+        "ingest_events", stats_columns=["user_id"])
+    total = spark.read.parquet(events_dir).count()
+    assert t.read(spark).count() == total  # no duplicates across drains
+
+    inc, changed = changes(t, spark, from_version=v1)
+    assert changed  # new epochs exist
+    assert inc.count() == total - n1
