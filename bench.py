@@ -45,6 +45,14 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # Contract: exactly ONE JSON line on stdout. The Spark JVM is a
+    # child process sharing fd 1 and can write GC/log noise there, so
+    # redirect fd 1 → fd 2 at the OS level before the JVM launches and
+    # keep a private dup of the real stdout for the final JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -74,7 +82,7 @@ def main() -> None:
     n_images = Q.images_probe(spark, sf_dir).count()
     throughput = n_images / timings["j7_spatial_cell_join"]
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "images_joined_tiled_per_sec",
         "value": round(throughput, 2),
         "unit": "sec",
@@ -83,7 +91,8 @@ def main() -> None:
         "n_images": n_images,
         "cpus": int(cpus),
         "sf": float(sf),
-    }))
+    })
+    os.write(real_stdout, (line + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -110,6 +110,14 @@ def knn_join(probe: DataFrame, build: DataFrame, k: int, res: int,
         # dedup before the settle test: duplicate (probe, build) rows
         # would occupy ranks and understate the k-th distance
         acc = acc.dropDuplicates(["_pid", "_bid"])
+        # prune to the per-probe top-k NOW: a row outside the current
+        # top-k can never re-enter it (distances are fixed), and the
+        # prune bounds the checkpointed state at k·|probe| rows — the
+        # difference between bounded and unbounded memory at 10^12 scale
+        wk = Window.partitionBy("_pid").orderBy(F.col("_dist_sq").asc(),
+                                                F.col("_bid").asc())
+        acc = (acc.withColumn("_rn", F.row_number().over(wk))
+               .filter(F.col("_rn") <= k).drop("_rn"))
         acc = acc.localCheckpoint(eager=True)  # truncate lineage per round
 
         safe = (r_hi * min_sz) ** 2

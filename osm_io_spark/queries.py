@@ -509,6 +509,216 @@ FROM documents WHERE list_contains(string_split(text, ' '), 'spark')
 """
 
 # ---------------------------------------------------------------------------
+# SURVEY §2 completeness: A3/A6/O2/C2/C5/F4, top-k, rollup, 3-way assembly
+# ---------------------------------------------------------------------------
+
+def q_a3_block_bbox(spark, sf_dir):
+    """A3 (osm_data.rs:53-86): block-level bbox — partial bbox per
+    storage block, here per coarse cell (the engine's 'block' unit)."""
+    img = SJ.tag_probe_cells(images_probe(spark, sf_dir), 5)
+    return (img.groupBy("cell")
+            .agg(F.min("lon").alias("left"), F.min("lat").alias("bottom"),
+                 F.max("lon").alias("right"), F.max("lat").alias("top"),
+                 F.count("*").alias("n")))
+
+
+SQL_A3 = f"""
+WITH images AS ({IMAGES_SQL})
+SELECT {C.cell_at_sql('lat', 'lon', 5)} AS cell,
+       min(lon) AS "left", min(lat) AS "bottom",
+       max(lon) AS "right", max(lat) AS "top",
+       CAST(count(*) AS BIGINT) AS n
+FROM images GROUP BY 1
+"""
+
+
+def q_a6_distinct_dims(spark, sf_dir):
+    """A6 (apidb writer.rs:380-463): synthesized dimension emission —
+    distinct users with span stats, the Spark form of the B-tree range
+    scan that emits the users/changesets tables."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+SQL_A6 = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events GROUP BY user_id
+"""
+
+
+def q_o2_global_order(spark, sf_dir):
+    """O2 (element.rs:207-318): the total-order contract (type rank,
+    then id) realized as an explicit global position column."""
+    ev = _t(spark, sf_dir, "events").filter(F.expr("event_id % 50 = 0"))
+    w = Window.orderBy(F.col("event_type").asc(), F.col("event_id").asc())
+    return (ev.select("event_id", "event_type")
+            .withColumn("pos", F.row_number().over(w).cast("long")))
+
+
+SQL_O2 = """
+SELECT event_id, event_type,
+       CAST(row_number() OVER (ORDER BY event_type, event_id) AS BIGINT) AS pos
+FROM events WHERE event_id % 50 = 0
+"""
+
+
+def q_o5_topk_per_group(spark, sf_dir):
+    """Top-k per group (the kNN J9 ranking core in relational form):
+    3 priciest lineitems per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        cents.desc(), F.col("l_linenumber").asc())
+    return (li.withColumn("price_cents", cents)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("l_orderkey", "rank", "l_linenumber", "price_cents"))
+
+
+SQL_O5 = """
+SELECT l_orderkey, CAST(rnk AS BIGINT) AS rank, l_linenumber, price_cents
+FROM (SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) DESC,
+                                         l_linenumber) AS rnk
+      FROM lineitem)
+WHERE rnk <= 3
+"""
+
+
+def q_c2_fixed_point(spark, sf_dir):
+    """C2 (coordinate.rs:19-29): fixed-point lat7/lon7 views
+    (half-up rounding = floor(x*1e7+0.5), matching Rust round for the
+    coordinate domain) plus the /1e7 decode round-trip."""
+    img = images_probe(spark, sf_dir).filter(F.expr("img_id % 41 = 0"))
+    return img.select(
+        "img_id",
+        F.expr("CAST(floor(lat * 1e7 + 0.5) AS BIGINT)").alias("lat7"),
+        F.expr("CAST(floor(lon * 1e7 + 0.5) AS BIGINT)").alias("lon7"),
+        F.expr("CAST(floor(lat * 1e7 + 0.5) AS BIGINT) / 1e7").alias("lat_rt"),
+        F.expr("CAST(floor(lon * 1e7 + 0.5) AS BIGINT) / 1e7").alias("lon_rt"))
+
+
+SQL_C2 = f"""
+WITH images AS ({IMAGES_SQL})
+SELECT img_id,
+       CAST(floor(lat * 1e7 + 0.5) AS BIGINT) AS lat7,
+       CAST(floor(lon * 1e7 + 0.5) AS BIGINT) AS lon7,
+       CAST(floor(lat * 1e7 + 0.5) AS BIGINT) / 1e7 AS lat_rt,
+       CAST(floor(lon * 1e7 + 0.5) AS BIGINT) / 1e7 AS lon_rt
+FROM images WHERE img_id % 41 = 0
+"""
+
+
+def q_c5_timestamp_convert(spark, sf_dir):
+    """C5 (sql.rs:6-8,38-48; converters/mod.rs:4-8): timestamp
+    parse/format — epoch seconds and the apidb naive text format."""
+    ev = _t(spark, sf_dir, "events").filter(F.expr("event_id % 100 = 0"))
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"))
+
+
+SQL_C5 = """
+SELECT event_id,
+       CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT) AS epoch_s,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strftime(ts, '%Y-%m-%d') AS day_str
+FROM events WHERE event_id % 100 = 0
+"""
+
+
+def q_f4_current_visible(spark, sf_dir):
+    """F4 + A5 (current_object.rs:18-31,55-68): the 'current_*' view —
+    latest version per key, row suppressed when the latest version is
+    invisible (visible := event_id % 7 != 0)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & F.expr("event_id % 7 != 0"))
+            .select("user_id", "event_id", "event_type"))
+
+
+SQL_F4 = """
+SELECT user_id, event_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND event_id % 7 != 0
+"""
+
+
+def q_rollup_multires(spark, sf_dir):
+    """Hierarchical cell rollup (hypertable-style): one pass producing
+    res-5, res-3, and global aggregates via ROLLUP; parent cell is pure
+    bit arithmetic (cell >> 2·steps), so the rollup never recomputes
+    geometry."""
+    img = SJ.tag_probe_cells(images_probe(spark, sf_dir), 5)
+    img = (img.withColumnRenamed("cell", "cell5")
+           .withColumn("cell3", C.cell_parent_col(F.col("cell5"), 2)))
+    return (img.rollup("cell3", "cell5")
+            .agg(F.count("*").alias("n_images"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("cell3", F.lit(-1)).alias("cell3"),
+                    F.coalesce("cell5", F.lit(-1)).alias("cell5"),
+                    F.col("gid").cast("long").alias("gid"),
+                    "n_images"))
+
+
+SQL_ROLLUP_MR = f"""
+WITH images AS ({IMAGES_SQL}),
+cells AS (
+  SELECT {C.cell_at_sql('lat', 'lon', 5)} AS cell5,
+         {C.cell_at_sql('lat', 'lon', 3)} AS cell3
+  FROM images)
+SELECT coalesce(cell3, -1) AS cell3, coalesce(cell5, -1) AS cell5,
+       CAST(GROUPING(cell3, cell5) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_images
+FROM cells GROUP BY ROLLUP(cell3, cell5)
+"""
+
+
+def q_j2_threeway_assembly(spark, sf_dir):
+    """J2 (way_relations_reader.rs:69-160) in relational form: 3-way
+    join parent ⋈ ordered-children ⋈ broadcast dim, children assembled
+    positionally (way → refs with node order preserved)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    li = _t(spark, sf_dir, "lineitem")
+    refs = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"].cast("string")),
+        ",")
+    items = li.groupBy("l_orderkey").agg(refs.alias("refs_str"),
+                                         F.count("*").alias("n_items"))
+    return (orders.join(items, orders.o_orderkey == items.l_orderkey, "inner")
+            .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+            .select("o_orderkey", "c_name", "refs_str", "n_items"))
+
+
+SQL_J2 = """
+SELECT o.o_orderkey, c.c_name, l.refs_str, l.n_items
+FROM orders o
+JOIN (SELECT l_orderkey,
+             string_agg(CAST(l_partkey AS VARCHAR), ','
+                        ORDER BY l_linenumber, l_partkey) AS refs_str,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey) l
+  ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
 
@@ -987,10 +1197,19 @@ QUERIES = {
     "a2_bounding_box": q_a2_bounding_box,
     # relational / reference operator analogues
     "a1_count_by_type": q_a1_count_by_type,
+    "a3_block_bbox": q_a3_block_bbox,
     "a4_ordered_assembly": q_a4_ordered_assembly,
     "a5_latest_version": q_a5_latest_version,
+    "a6_distinct_dims": q_a6_distinct_dims,
     "a7_stats": q_a7_stats,
+    "o2_global_order": q_o2_global_order,
+    "o5_topk_per_group": q_o5_topk_per_group,
+    "c2_fixed_point": q_c2_fixed_point,
+    "c5_timestamp_convert": q_c5_timestamp_convert,
+    "f4_current_visible": q_f4_current_visible,
+    "rollup_multires": q_rollup_multires,
     "j1_sortmerge_group_join": q_j1_sortmerge_group_join,
+    "j2_threeway_assembly": q_j2_threeway_assembly,
     "j4_broadcast_lookup": q_j4_broadcast_lookup,
     "w1_hourly_window": q_w1_hourly_window,
     "f1_token_filter": q_f1_token_filter,
@@ -1028,10 +1247,19 @@ ORACLES = {
     "agg_cell_rollup": SQL_ROLLUP,
     "a2_bounding_box": SQL_A2,
     "a1_count_by_type": SQL_A1,
+    "a3_block_bbox": SQL_A3,
     "a4_ordered_assembly": SQL_A4,
     "a5_latest_version": SQL_A5,
+    "a6_distinct_dims": SQL_A6,
     "a7_stats": SQL_A7,
+    "o2_global_order": SQL_O2,
+    "o5_topk_per_group": SQL_O5,
+    "c2_fixed_point": SQL_C2,
+    "c5_timestamp_convert": SQL_C5,
+    "f4_current_visible": SQL_F4,
+    "rollup_multires": SQL_ROLLUP_MR,
     "j1_sortmerge_group_join": SQL_J1,
+    "j2_threeway_assembly": SQL_J2,
     "j4_broadcast_lookup": SQL_J4,
     "w1_hourly_window": SQL_W1,
     "f1_token_filter": SQL_F1,

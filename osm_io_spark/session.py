@@ -19,6 +19,16 @@ from pyspark.sql import SparkSession
 ARROW_BATCH_ROWS = 8000
 
 DEFAULT_CONF = {
+    # Local mode runs driver + all executor threads in ONE JVM; the
+    # Spark default heap (1g) starves 32 threads of Arrow-heavy work
+    # (observed: GCLocker retry warnings, then hard OOM in the kNN
+    # ring-expansion at sf0.1). On a real cluster spark-submit supplies
+    # per-executor memory instead; this only applies when WE launch the
+    # JVM. -Xlog:disable keeps JVM unified-logging warnings off stdout
+    # (bench.py's contract is ONE JSON line on stdout).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    "spark.driver.maxResultSize": "4g",
+    "spark.driver.extraJavaOptions": "-Xlog:disable",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
