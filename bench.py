@@ -60,6 +60,13 @@ def main() -> None:
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Python-worker warm-up: the first pandas-UDF stage of a session
+    # pays worker-pool spawn + per-worker numpy/pandas import — a
+    # once-per-executor cost on a real cluster, not a per-query cost.
+    # Pay it before the timing loop (same rationale as the j7 warm-up).
+    wdf = spark.range(0, 256, 1, int(cpus))
+    wdf.mapInPandas(lambda it: it, wdf.schema).count()
+
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

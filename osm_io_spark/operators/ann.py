@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import hash64_py
+from .util import widen
 
 
 def quantize(col: Column, scale: int = 1000) -> Column:
@@ -47,8 +48,8 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,
     q = (queries.select(F.col(id_col).alias("query_id"),
                         quantize(F.col(vec_col)).alias("_qv"))
          .withColumn("_qn", norm_sq_q(F.col("_qv"))))
-    c = (candidates.select(F.col(id_col).alias("cand_id"),
-                           quantize(F.col(vec_col)).alias("_cv"))
+    c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
+                                  quantize(F.col(vec_col)).alias("_cv"))
          .withColumn("_cn", norm_sq_q(F.col("_cv"))))
     pairs = (c.crossJoin(F.broadcast(q))
              .filter(F.col("cand_id") != F.col("query_id"))
@@ -94,9 +95,9 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
                         quantize(F.col(vec_col)).alias("_qv"),
                         lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
          .withColumn("_qn", norm_sq_q(F.col("_qv"))))
-    c = (candidates.select(F.col(id_col).alias("cand_id"),
-                           quantize(F.col(vec_col)).alias("_cv"),
-                           lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
+    c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
+                                  quantize(F.col(vec_col)).alias("_cv"),
+                                  lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
          .withColumn("_cn", norm_sq_q(F.col("_cv"))))
     pairs = (c.join(F.broadcast(q), on="_bucket")
              .filter(F.col("cand_id") != F.col("query_id"))
@@ -127,8 +128,8 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     Approximate by construction; recall vs brute_force_topk is measured
     in tests/test_ann.py.
     """
-    c = (candidates.select(F.col(id_col).alias("cand_id"),
-                           quantize(F.col(vec_col)).alias("_cv"))
+    c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
+                                  quantize(F.col(vec_col)).alias("_cv"))
          .withColumn("_cn", norm_sq_q(F.col("_cv"))))
 
     seeds = (c.withColumn("_h", F.xxhash64(F.col("cand_id")))

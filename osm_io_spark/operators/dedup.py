@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64_col
 from .ann import cosine_q, dot_q, norm_sq_q, quantize
+from .util import widen
 
 
 def tokens_col(text: Column) -> Column:
@@ -51,15 +52,19 @@ def minhash_lsh_pairs(docs: DataFrame, n_perm: int = 8, band_size: int = 2,
     """(id_a, id_b) candidate near-dup pairs sharing ≥1 LSH band."""
     sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col)
     n_bands = n_perm // band_size
-    bands = []
+    # ONE projection with an exploded band array — a unionByName of
+    # per-band selects would re-run the whole shingle+signature pipeline
+    # once per band (4x the work; measured dominant at sf0.1)
+    keys = []
     for b in range(n_bands):
         parts = [F.col(f"minhash_{b * band_size + j}").cast("string")
                  for j in range(band_size)]
-        key = hash64_col(F.concat_ws("_", F.lit(str(b)), *parts))
-        bands.append(sig.select(F.col(id_col).alias("_id"), key.alias("_band")))
-    allbands = bands[0]
-    for b in bands[1:]:
-        allbands = allbands.unionByName(b)
+        keys.append(hash64_col(F.concat_ws("_", F.lit(str(b)), *parts)))
+    allbands = sig.select(F.col(id_col).alias("_id"),
+                          F.explode(F.array(*keys)).alias("_band"))
+    # lazy local checkpoint: the self-join reads allbands twice; without
+    # it each side recomputes the signatures from raw text
+    allbands = allbands.localCheckpoint(eager=False)
     left = allbands.select(F.col("_id").alias("id_a"), "_band")
     right = allbands.select(F.col("_id").alias("id_b"), "_band")
     return (left.join(right, on="_band")
@@ -71,8 +76,8 @@ def simhash(docs: DataFrame, nbits: int = 16,
             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — majority-vote bit folding of per-token hashes
     (token OCCURRENCES, not distinct — repeated tokens vote repeatedly)."""
-    toks = (docs.select(F.col(id_col),
-                        F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    toks = (widen(docs).select(F.col(id_col),
+                               F.explode(tokens_col(F.col(text_col))).alias("tok"))
             .withColumn("_h", hash64_col(F.col("tok"))))
     aggs = [F.sum(F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
                          F.lit(1)).otherwise(F.lit(-1))).alias(f"_v{b}")
@@ -96,7 +101,8 @@ def shingles_df(docs: DataFrame, n: int = 3,
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
                                      for j in range(n)]))
-    return (docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")))
+    return (widen(docs)
+            .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
@@ -105,7 +111,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
     jaccard*100 ≥ min_pct. Inverted-index join on shingle → only pairs
     sharing ≥1 shingle are ever materialized; the threshold test is
     integer-exact (inter*100 ≥ min_pct*union_n)."""
-    sh = shingles_df(docs, n, id_col, text_col)
+    # lazy local checkpoint: sh feeds three consumers (sizes + both join
+    # sides); without it the shingle explode runs three times
+    sh = shingles_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -126,7 +134,8 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
                              vec_col: str = "embedding") -> DataFrame:
     """(id_a, id_b, dot_q, cos) pairs with cosine ≥ threshold_pct/100.
     Threshold test is integer-exact: dot>0 ∧ dot²·10⁴ ≥ pct²·na·nb."""
-    q = (vecs.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_v"))
+    q = (widen(vecs)
+         .select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_v"))
          .withColumn("_n", norm_sq_q(F.col("_v"))))
     a = q.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = q.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))

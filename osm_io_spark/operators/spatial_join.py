@@ -35,6 +35,7 @@ import json
 from .. import schemas
 from ..functions import cells as C
 from ..functions import geometry as G
+from .util import widen
 
 # The Arrow<->pandas bridge rejects ragged array<array<struct>> columns
 # (numpy "inhomogeneous shape") when polygons have differing ring
@@ -93,7 +94,7 @@ def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
     cells. bbox cover computed JVM-side; optional exact rect∩polygon
     refinement runs as an Arrow-batched numpy kernel to drop cover cells
     that don't actually touch the polygon (tighter cover → smaller join)."""
-    covered = cover_bbox_cells(polygons, res, out=out)
+    covered = cover_bbox_cells(widen(polygons), res, out=out)
     if not refine:
         return covered
 
