@@ -89,10 +89,9 @@ def simhash(docs: DataFrame, nbits: int = 16,
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
-def shingles_df(docs: DataFrame, n: int = 3,
-                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per DISTINCT n-gram shingle per doc."""
-    toks = tokens_col(F.col(text_col))
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """array<string> of DISTINCT word n-gram shingles (pure Column)."""
+    toks = tokens_col(text_col)
     # 1-indexed element_at windows: shingle i = tokens[i..i+n-1]
     m = F.size(toks) - (n - 1)
     idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
@@ -101,8 +100,15 @@ def shingles_df(docs: DataFrame, n: int = 3,
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
                                      for j in range(n)]))
+    return F.array_distinct(sh)
+
+
+def shingles_df(docs: DataFrame, n: int = 3,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per DISTINCT n-gram shingle per doc."""
     return (widen(docs)
-            .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")))
+            .select(F.col(id_col),
+                    F.explode(shingle_array(F.col(text_col), n)).alias("shingle")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
@@ -111,18 +117,31 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
     jaccard*100 ≥ min_pct. Inverted-index join on shingle → only pairs
     sharing ≥1 shingle are ever materialized; the threshold test is
     integer-exact (inter*100 ≥ min_pct*union_n)."""
-    # lazy local checkpoint: sh feeds three consumers (sizes + both join
-    # sides); without it the shingle explode runs three times
-    sh = shingles_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # shingle-set size computed AT EXPLODE TIME (size of the distinct
+    # array) — no aggregate and no size-lookup join, which would need a
+    # non-broadcastable 1-row-per-doc build side at 10^12 docs.
+    # Lazy local checkpoint: sh feeds both self-join sides.
+    sh = (widen(docs)
+          .select(F.col(id_col),
+                  shingle_array(F.col(text_col), n).alias("_arr"))
+          .select(F.col(id_col), F.size("_arr").alias("_sz"),
+                  F.explode("_arr").alias("shingle"))
+          .localCheckpoint(eager=False))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle",
+                  F.col("_sz").alias("_sza"))
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle",
+                  F.col("_sz").alias("_szb"))
+    # lossless length filter (PPJoin-style): J(A,B) ≤ min/max of the set
+    # sizes, so pairs failing min·100 ≥ t·max can be dropped INSIDE the
+    # shingle join — before the pair-count shuffle, which is the operator's
+    # scale bottleneck on skewed (hot-shingle) corpora
     inter = (a.join(b, on="shingle")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.least("_sza", "_szb") * 100
+                        >= F.lit(min_pct) * F.greatest("_sza", "_szb")))
+             .groupBy("id_a", "id_b", "_sza", "_szb")
+             .agg(F.count("*").alias("inter")))
     out = (inter
-           .join(sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-           .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
            .withColumn("union_n", F.col("_sza") + F.col("_szb") - F.col("inter"))
            .filter(F.col("inter") * 100 >= F.lit(min_pct) * F.col("union_n"))
            .withColumn("jaccard", F.col("inter").cast("double") / F.col("union_n").cast("double")))
