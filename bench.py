@@ -39,8 +39,15 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "text_token_count",
+    "text_language_id",
+    "text_quality",
     "text_fingerprint",
+    "rollup_multires",
+    "o5_topk_per_group",
+    "j2_threeway_assembly",
+    "mm_decode_stats",
 ]
 
 
