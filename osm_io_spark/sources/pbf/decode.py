@@ -173,13 +173,21 @@ def decode_block(data: bytes) -> pd.DataFrame:
     lat_off = P.first(msg, 19, 0)
     lon_off = P.first(msg, 20, 0)
 
+    frames: list[pd.DataFrame] = []
     rows: list[tuple] = []
+
+    def _flush_rows():
+        if rows:
+            frames.append(pd.DataFrame(rows, columns=_COLS))
+            rows.clear()
+
     for group_buf in msg.get(2, []):
         g = P.parse_message(group_buf)
 
         # --- DenseNodes (field 2) ---
         dense = P.first(g, 2)
         if dense is not None:
+            _flush_rows()
             d = P.parse_message(dense)
             ids = P.delta_decode(P.decode_sint_packed(P.first(d, 1, b"")))
             lat_raw = P.delta_decode(P.decode_sint_packed(P.first(d, 8, b"")))
@@ -220,25 +228,40 @@ def decode_block(data: bytes) -> pd.DataFrame:
             kv = P.decode_varints(P.first(d, 10, b"")).astype(np.int64)
             tags_per = [[] for _ in range(n)]
             if len(kv):
-                node_i = 0
-                j = 0
-                while j < len(kv):
-                    if kv[j] == 0:
-                        node_i += 1
-                        j += 1
-                    else:
-                        tags_per[node_i].append(
-                            {"k": str(strings[kv[j]]), "v": str(strings[kv[j + 1]])})
-                        j += 2
+                # vectorized zero-delimiter split: only nodes that
+                # actually carry tags touch Python (untagged nodes —
+                # the planet-scale majority — cost nothing)
+                zeros = np.flatnonzero(kv == 0)
+                starts = np.concatenate(([0], zeros[:-1] + 1))
+                tagged = np.flatnonzero(zeros > starts)
+                for i in tagged:
+                    seg = kv[starts[i]:zeros[i]]
+                    tags_per[int(i)] = [
+                        {"k": str(strings[seg[j]]), "v": str(strings[seg[j + 1]])}
+                        for j in range(0, len(seg), 2)]
 
-            for i in range(n):
-                rows.append(("node", int(ids[i]), int(versions[i]),
-                             float(lat[i]), float(lon[i]),
-                             int(ts[i]) if has_info else None,
-                             int(cs[i]) if has_info else None,
-                             int(uid[i]) if has_info else None,
-                             str(users[i]) if has_info and users[i] is not None else None,
-                             bool(vis[i]), tags_per[i], None, None))
+            # columnar frame — no per-row tuple construction (the
+            # row-wise form was allocator-bound and capped parallel
+            # decode at ~3x on 32 cores)
+            none_col = pd.Series([None] * n, dtype=object)
+            if has_info:
+                user_col = pd.Series(users, dtype=object).map(
+                    lambda u: str(u) if u is not None else None)
+            frames.append(pd.DataFrame({
+                "etype": pd.Series(["node"] * n, dtype=object),
+                "id": ids.astype(np.int64),
+                "version": versions.astype(np.int64),
+                "lat": lat.astype(np.float64),
+                "lon": lon.astype(np.float64),
+                "timestamp": ts.astype(np.int64) if has_info else none_col,
+                "changeset": cs.astype(np.int64) if has_info else none_col,
+                "uid": uid.astype(np.int64) if has_info else none_col,
+                "user": user_col if has_info else none_col,
+                "visible": vis.astype(bool),
+                "tags": pd.Series(tags_per, dtype=object),
+                "refs": none_col,
+                "members": none_col,
+            }, columns=_COLS))
 
         # --- plain Nodes (field 1) ---
         for nb in g.get(1, []):
@@ -295,7 +318,12 @@ def decode_block(data: bytes) -> pd.DataFrame:
         if 5 in g:  # changesets: reference panics too (osm_data.rs:310-314)
             raise NotImplementedError("changeset primitive groups not supported")
 
-    return pd.DataFrame(rows, columns=_COLS)
+    _flush_rows()
+    if not frames:
+        return pd.DataFrame(columns=_COLS)
+    if len(frames) == 1:
+        return frames[0]
+    return pd.concat(frames, ignore_index=True)
 
 
 # ---------------------------------------------------------------------------

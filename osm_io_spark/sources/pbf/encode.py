@@ -71,9 +71,15 @@ def _info_bytes(st: StringTableBuilder, row, date_gran: int) -> bytes:
 def _kv_bytes(st: StringTableBuilder, tags) -> bytes:
     if tags is None or len(tags) == 0:
         return b""
-    keys = np.array([st.add(t["k"]) for t in tags], np.uint64)
-    vals = np.array([st.add(t["v"]) for t in tags], np.uint64)
+    keys = [st.add(t["k"]) for t in tags]
+    vals = [st.add(t["v"]) for t in tags]
     return P.field_packed_varints(2, keys) + P.field_packed_varints(3, vals)
+
+
+def _delta_list(vals: list[int]) -> list[int]:
+    if not vals:
+        return []
+    return [vals[0]] + [b - a for a, b in zip(vals, vals[1:])]
 
 
 def encode_block(pdf: pd.DataFrame, granularity: int = 100,
@@ -123,8 +129,7 @@ def encode_block(pdf: pd.DataFrame, granularity: int = 100,
             body = P.field_varint(1, int(row.id))
             body += _kv_bytes(st, row.tags)
             body += P.field_len(4, _info_bytes(st, row, date_granularity))
-            refs = np.asarray(list(row.refs), np.int64)
-            body += P.field_packed_sints(8, P.delta_encode(refs))
+            body += P.field_packed_sints(8, _delta_list([int(r) for r in row.refs]))
             parts.append(P.field_len(3, body))
         group = b"".join(parts)
 
@@ -136,12 +141,9 @@ def encode_block(pdf: pd.DataFrame, granularity: int = 100,
             body += _kv_bytes(st, row.tags)
             body += P.field_len(4, _info_bytes(st, row, date_granularity))
             members = list(row.members) if row.members is not None else []
-            roles = np.array([st.add(m["role"]) for m in members], np.uint64)
-            memids = np.array([m["id"] for m in members], np.int64)
-            types = np.array([mt[m["type"]] for m in members], np.uint64)
-            body += P.field_packed_varints(8, roles)
-            body += P.field_packed_sints(9, P.delta_encode(memids))
-            body += P.field_packed_varints(10, types)
+            body += P.field_packed_varints(8, [st.add(m["role"]) for m in members])
+            body += P.field_packed_sints(9, _delta_list([int(m["id"]) for m in members]))
+            body += P.field_packed_varints(10, [mt[m["type"]] for m in members])
             parts.append(P.field_len(4, body))
         group = b"".join(parts)
     else:
@@ -191,9 +193,75 @@ def header_block_bytes(bbox: list[float] | None, required: list[str],
 # ---------------------------------------------------------------------------
 
 _BLOCK_OUT = T.StructType([
-    T.StructField("block_id", T.LongType(), False),
+    T.StructField("pid", T.IntegerType(), False),
+    T.StructField("seq", T.LongType(), False),
     T.StructField("data", T.BinaryType(), False),
 ])
+
+
+def _encode_partitions(elements: DataFrame, compress: bool) -> DataFrame:
+    """Range-partition on the global order, then encode each partition's
+    sorted run of elements into ≤8000-element same-type blobs IN PLACE —
+    no per-type window (a planet has ~10^11 nodes; `Window.partitionBy(
+    etype)` would funnel them through one task), no groupBy shuffle, no
+    second pass. Partition-edge blocks may hold <8000 elements, which
+    the format permits; type purity and global order are preserved
+    because range partitions tile the (rank, id, version) total order.
+    """
+    rank = (F.when(F.col("etype") == "node", 0)
+            .when(F.col("etype") == "way", 1).otherwise(2))
+    spark = elements.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism,
+                elements.rdd.getNumPartitions())
+    df = (elements.withColumn("_rank", rank)
+          .repartitionByRange(parts, "_rank", "id", "version")
+          .sortWithinPartitions("_rank", "id", "version")
+          .withColumn("_pid", F.spark_partition_id()))
+
+    def _encode(batches):
+        pid = None
+        seq = 0
+        pending: list[pd.DataFrame] = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal pending, pending_rows, seq
+            if not pending:
+                return None
+            pdf = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+            pending, pending_rows = [], 0
+            out = pd.DataFrame({"pid": [pid], "seq": [seq],
+                                "data": [encode_block(pdf, compress=compress)]})
+            seq += 1
+            return out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            pdf = pdf.drop(columns=["_rank", "_pid"])
+            # split the sorted batch at type changes and the 8000 cap
+            while len(pdf):
+                etype = pdf["etype"].iloc[0]
+                run = int((pdf["etype"] == etype).values.argmin()) or len(pdf)
+                take = min(run, BLOCK_SIZE - pending_rows)
+                if pending_rows and pending[0]["etype"].iloc[0] != etype:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                    take = min(run, BLOCK_SIZE)
+                pending.append(pdf.iloc[:take])
+                pending_rows += take
+                pdf = pdf.iloc[take:]
+                if pending_rows >= BLOCK_SIZE:
+                    out = flush()
+                    if out is not None:
+                        yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return df.mapInPandas(_encode, schema=_BLOCK_OUT)
 
 
 def write_pbf(elements: DataFrame, path: str, compress: bool = True,
@@ -211,34 +279,29 @@ def write_pbf(elements: DataFrame, path: str, compress: bool = True,
                .collect()[0])
         bbox = [agg[0], agg[1], agg[2], agg[3]] if agg[0] is not None else None
 
-    rank = (F.when(F.col("etype") == "node", 0)
-            .when(F.col("etype") == "way", 1).otherwise(2))
-    w = Window.partitionBy("etype").orderBy("id", "version")
-    blocked = (elements
-               .withColumn("_rank", rank)
-               .withColumn("_blk_in_type", (F.row_number().over(w) - 1)
-                           / F.lit(BLOCK_SIZE))
-               .withColumn("block_id",
-                           F.col("_rank") * F.lit(1 << 40)
-                           + F.floor(F.col("_blk_in_type")).cast("long"))
-               .drop("_rank", "_blk_in_type"))
-
-    def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["id", "version"])
-        data = encode_block(pdf.drop(columns=["block_id"]), compress=compress)
-        return pd.DataFrame({"block_id": [key[0]], "data": [data]})
-
-    enc = (blocked.groupBy("block_id").applyInPandas(_encode, schema=_BLOCK_OUT)
-           .orderBy("block_id"))
+    # Materialize the blob frame IN PARALLEL (persist + count), then
+    # stream it to the file: toLocalIterator alone would compute the
+    # partitions one-by-one, serializing the whole encode. The cached
+    # frame holds only encoded blobs (≈ output file size, spills to
+    # disk), and partitions drain in partition order — range partitions
+    # tile the global (type, id, version) order, so the stream is
+    # already the file order (the reference's ordering buffer for free).
+    from pyspark import StorageLevel
+    enc = _encode_partitions(elements, compress).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    enc.count()
 
     required = ["OsmSchema-V0.6", "DenseNodes"]
     if history:
         required.append("HistoricalInformation")
     n_blocks = 0
-    with open(path, "wb") as f:
-        f.write(header_block_bytes(bbox, required, ["Sort.Type_then_ID"],
-                                   compress=compress))
-        for row in enc.toLocalIterator():
-            f.write(bytes(row["data"]))
-            n_blocks += 1
+    try:
+        with open(path, "wb") as f:
+            f.write(header_block_bytes(bbox, required, ["Sort.Type_then_ID"],
+                                       compress=compress))
+            for row in enc.toLocalIterator():
+                f.write(bytes(row["data"]))
+                n_blocks += 1
+    finally:
+        enc.unpersist()
     return n_blocks

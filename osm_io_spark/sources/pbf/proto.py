@@ -177,16 +177,35 @@ def field_len(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | WT_LEN) + _varint(len(payload)) + payload
 
 
-def field_packed_varints(field: int, vals: np.ndarray) -> bytes:
-    if len(vals) == 0:
+# Below ~16 values the numpy kernels' fixed per-call overhead (~40µs:
+# array creation, ones, cumsum) dwarfs the work; way/relation encode
+# calls these with 2-10 values per row, so the scalar path is 10-30x
+# faster there while packed DenseNodes columns (8000 values) still take
+# the vectorized kernel.
+_SCALAR_CUTOFF = 16
+
+
+def field_packed_varints(field: int, vals) -> bytes:
+    n = len(vals)
+    if n == 0:
         return b""
+    if n <= _SCALAR_CUTOFF:
+        payload = b"".join(_varint(int(x)) for x in vals)
+        return field_len(field, payload)
     return field_len(field, encode_varints(np.asarray(vals, np.uint64)))
 
 
-def field_packed_sints(field: int, vals: np.ndarray) -> bytes:
-    if len(vals) == 0:
+def field_packed_sints(field: int, vals) -> bytes:
+    n = len(vals)
+    if n == 0:
         return b""
-    return field_len(field, encode_sint_packed(vals))
+    if n <= _SCALAR_CUTOFF:
+        # python-int zigzag: (v<<1)^(v>>63) in two's complement ==
+        # (v<<1)^(-1 if v<0 else 0) in unbounded ints
+        payload = b"".join(_varint((int(x) << 1) ^ (-1 if x < 0 else 0))
+                           for x in vals)
+        return field_len(field, payload)
+    return field_len(field, encode_sint_packed(np.asarray(vals, np.int64)))
 
 
 def field_sint(field: int, v: int) -> bytes:
