@@ -150,19 +150,90 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
 
 def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """(id_a, id_b, dot_q, cos) pairs with cosine ≥ threshold_pct/100.
-    Threshold test is integer-exact: dot>0 ∧ dot²·10⁴ ≥ pct²·na·nb."""
+                             vec_col: str = "embedding",
+                             block_rows: int = 1024) -> DataFrame:
+    """(id_a, id_b, dot_q, cos) pairs with cosine ≥ threshold_pct/100 —
+    EXACT all-pairs via blocked integer GEMM.
+
+    Vectors are hashed into ⌈n/block_rows⌉ blocks; every unordered block
+    pair (i ≤ j) becomes one applyInPandas group that stacks its two
+    sides into int64 matrices and computes A·Bᵀ with one numpy matmul —
+    the classic distributed block-nested-loop, ~100x less Python/JVM
+    expression overhead than a row-wise cross join. All arithmetic stays
+    in exact integers (quantize at 1e3), so results are bit-identical to
+    the row-wise formulation and the SQL oracle: dot>0 ∧ dot²·10⁴ ≥
+    pct²·na·nb. For corpora beyond ~10^7 vectors use the LSH/IVF paths
+    in operators.ann — exact all-pairs is quadratic no matter how it is
+    blocked."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_vec = vecs.count()
+    n_blocks = max(1, -(-n_vec // block_rows))
+
     q = (widen(vecs)
          .select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("_v"))
-         .withColumn("_n", norm_sq_q(F.col("_v"))))
-    a = q.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = q.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    pairs = (a.crossJoin(b)
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("dot_q", dot_q(F.col("_va"), F.col("_vb")))
-             .filter((F.col("dot_q") > 0)
-                     & (F.col("dot_q") * F.col("dot_q") * 10000
-                        >= F.lit(threshold_pct * threshold_pct) * F.col("_na") * F.col("_nb")))
-             .withColumn("cos", cosine_q(F.col("dot_q"), F.col("_na"), F.col("_nb"))))
-    return pairs.select("id_a", "id_b", "dot_q", "cos")
+         .withColumn("_n", norm_sq_q(F.col("_v")))
+         .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks))))
+
+    # membership explosion: block b serves as the A side of pairs (b, j≥b)
+    # and the B side of pairs (i≤b, b); pair key = i*n_blocks + j
+    a_keys = F.transform(
+        F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
+        lambda j: F.col("_blk") * n_blocks + j)
+    b_keys = F.transform(
+        F.sequence(F.lit(0), F.col("_blk")),
+        lambda i: i * n_blocks + F.col("_blk"))
+    sides = (q.select("_id", "_v", "_n",
+                      F.explode(a_keys).alias("_pair"), F.lit(0).alias("_side"))
+             .unionByName(
+                 q.select("_id", "_v", "_n",
+                          F.explode(b_keys).alias("_pair"), F.lit(1).alias("_side"))))
+
+    thr2 = threshold_pct * threshold_pct
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+        T.StructField("dot_q", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
+
+    def _gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = (key[0] // n_blocks) == (key[0] % n_blocks)
+        asel = pdf[pdf["_side"] == 0]
+        bsel = pdf[pdf["_side"] == 1]
+        if len(asel) == 0 or len(bsel) == 0:
+            return pd.DataFrame({c.name: [] for c in out_schema.fields})
+        ids_a = asel["_id"].to_numpy(np.int64)
+        ids_b = bsel["_id"].to_numpy(np.int64)
+        A = np.stack(asel["_v"].to_numpy())          # (na, d) int64
+        B = np.stack(bsel["_v"].to_numpy())
+        na = asel["_n"].to_numpy(np.int64)
+        nb = bsel["_n"].to_numpy(np.int64)
+        D = A @ B.T                                   # exact int64 GEMM
+        # int64 is exact here: unit-normalized embeddings quantized at
+        # 1e3 give dot ≤ ~1e6, so dot²·10⁴ ≤ 1e16 < 2^63 (same range
+        # contract as the JVM/DuckDB long arithmetic this must match)
+        if diagonal:
+            # both sides are the same block: each unordered pair shows
+            # up twice — keep the (a < b) half
+            order_ok = ids_a[:, None] < ids_b[None, :]
+        else:
+            # distinct blocks: the unordered pair occurs exactly once,
+            # in whichever orientation the hash assigned — keep it and
+            # normalize to (min, max) below
+            order_ok = ids_a[:, None] != ids_b[None, :]
+        ok = (order_ok & (D > 0)
+              & (D * D * np.int64(10000)
+                 >= np.int64(thr2) * na[:, None] * nb[None, :]))
+        ia, ib = np.nonzero(ok)
+        dots = D[ia, ib]
+        cos = dots / (np.sqrt(na[ia].astype(np.float64))
+                      * np.sqrt(nb[ib].astype(np.float64)))
+        lo = np.minimum(ids_a[ia], ids_b[ib])
+        hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "dot_q": dots, "cos": cos})
+
+    return sides.groupBy("_pair").applyInPandas(_gemm, schema=out_schema)

@@ -55,3 +55,21 @@ def test_lsh_recall_vs_exact(spark, emb):
     approx = _pairs(ANN.lsh_topk(q, emb, k=5, n_planes=2))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"LSH recall@5 {recall:.2f}"
+
+
+def test_blocked_gemm_matches_single_block(spark, emb):
+    """Multi-block GEMM must equal the single-block result — guards the
+    cross-block pair orientation (a pair whose id order disagrees with
+    its block order must still be emitted, normalized to (min, max))."""
+    from osm_io_spark.operators.dedup import embedding_near_dup_pairs
+
+    one = embedding_near_dup_pairs(emb, threshold_pct=40,
+                                   block_rows=10**9).toPandas()
+    many = embedding_near_dup_pairs(emb, threshold_pct=40,
+                                    block_rows=64).toPandas()
+    key = ["id_a", "id_b"]
+    one = one.sort_values(key).reset_index(drop=True)
+    many = many.sort_values(key).reset_index(drop=True)
+    assert len(one) == len(many) > 0
+    assert (one[key].values == many[key].values).all()
+    assert (one["dot_q"].values == many["dot_q"].values).all()
