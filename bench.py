@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_phash_hamming",
+    "mm_phash_near_dup",
     "ann_topk_cosine",
     "ann_ivf_topk",
     "text_token_count",

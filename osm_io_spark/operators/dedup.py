@@ -148,6 +148,46 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
     return out.select("id_a", "id_b", "inter", "union_n", "jaccard")
 
 
+def hamming_near_dup_pairs(df: DataFrame, max_k: int = 2, nbits: int = 16,
+                           fp_col: str = "fp",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(fp_a, fp_b) ≤ max_k —
+    the phash/simhash near-dup join for image and text fingerprints.
+
+    Pigeonhole multi-index: split the nbits fingerprint into max_k+1
+    contiguous bands; any pair within hamming max_k agrees EXACTLY on at
+    least one band, so an equi-join on (band_index, band_bits) finds all
+    candidates — never a cross join — and an exact popcount filter
+    (bit_count(a^b), JVM codegen) keeps true matches. At 10^12 rows this
+    is one shuffle on band keys; hot bands (constant image regions)
+    fall under the same salting/AQE treatment as hot spatial cells."""
+    n_bands = max_k + 1
+    sizes = [nbits // n_bands + (1 if i < nbits % n_bands else 0)
+             for i in range(n_bands)]
+    shifts = []
+    s = 0
+    for sz in sizes:
+        shifts.append((s, sz))
+        s += sz
+    keys = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftright(F.col(fp_col), sh)
+                 .bitwiseAND(F.lit((1 << sz) - 1)).alias("bits"))
+        for b, (sh, sz) in enumerate(shifts)])
+    bands = (widen(df)
+             .select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"),
+                     F.explode(keys).alias("_bk"))
+             .localCheckpoint(eager=False))
+    a = bands.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fpa"), "_bk")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fpb"), "_bk")
+    ham = F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))).cast("long")
+    return (a.join(b, on="_bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_k)
+            .distinct())
+
+
 def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

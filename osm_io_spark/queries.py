@@ -917,6 +917,52 @@ WHERE i.inter * 100 >= 50 * (sa.sz + sb.sz - i.inter)
 _QUANT = "CAST(floor(CAST({v} AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
 
 
+def q_dedup_phash_hamming(spark, sf_dir):
+    """Fingerprint (simhash/phash-style) near-dup via the pigeonhole
+    hamming band join — the image-dedup primitive applied to a text
+    fingerprint so DuckDB can oracle it bit-for-bit."""
+    corpus = _corpus(spark, sf_dir)
+    sim = DD.simhash(corpus, nbits=16)
+    return DD.hamming_near_dup_pairs(sim, max_k=2, nbits=16,
+                                     fp_col="simhash")
+
+
+def _hamming_sql(nbits: int = 16, max_k: int = 2) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nbits))
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(nbits))
+    n_bands = max_k + 1
+    sizes = [nbits // n_bands + (1 if i < nbits % n_bands else 0)
+             for i in range(n_bands)]
+    band_rows, s = [], 0
+    for bnum, sz in enumerate(sizes):
+        band_rows.append(f"SELECT doc_id, simhash, {bnum} AS b, "
+                         f"(simhash >> {s}) & {(1 << sz) - 1} AS bits FROM sim")
+        s += sz
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, {hash64_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bits = b.bits
+                            AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_k}
+"""
+
+
+SQL_DEDUP_HAMMING = _hamming_sql()
+
+
 def q_dedup_embedding(spark, sf_dir):
     return DD.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
                                        threshold_pct=40)
@@ -1166,6 +1212,27 @@ def q_mm_row_invariants(spark, sf_dir):
         F.floor(F.min("psnr_db")).cast("long").alias("min_psnr_floor"))
 
 
+def q_mm_phash_near_dup(spark, sf_dir):
+    """Image near-dup detection end-to-end: synthetic image table →
+    deterministic resize (decode → block-mean → re-encode) → recomputed
+    phash on BOTH variants → pigeonhole hamming band join. Each source
+    image must pair with its resized twin (engine-native; rows-only
+    driver check, brute-force-verified in tests/test_images.py)."""
+    from .operators import multimodal as MM
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
+    resized = (MM.resize(imgs, 16)
+               .select(F.concat(F.col("image_id"), F.lit("-r")).alias("image_id"),
+                       "bytes", "w", "h", "fmt")
+               .withColumn("phash", F.lit(0)))
+    both = imgs.select("image_id", "bytes", "w", "h", "fmt",
+                       "phash").unionByName(resized)
+    stats = MM.decode_stats(both).select("image_id", "phash_calc")
+    return DD.hamming_near_dup_pairs(stats, max_k=4, nbits=63,
+                                     fp_col="phash_calc", id_col="image_id")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
     vs brute force measured in tests; rows-only driver check)."""
@@ -1224,6 +1291,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "dedup_phash_hamming": q_dedup_phash_hamming,
     "ann_topk_cosine": q_ann_topk,
     # engine-native (rows-only driver check; no SQL equivalent)
     "pbf_roundtrip_counts": q_pbf_roundtrip_counts,
@@ -1234,6 +1302,7 @@ QUERIES = {
     "stream_hourly_window": q_stream_hourly_window,
     "mm_decode_stats": q_mm_decode_stats,
     "mm_row_invariants": q_mm_row_invariants,
+    "mm_phash_near_dup": q_mm_phash_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -1272,6 +1341,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
+    "dedup_phash_hamming": SQL_DEDUP_HAMMING,
     "ann_topk_cosine": SQL_ANN,
     "stream_hourly_window": SQL_STREAM_W,
 }

@@ -69,3 +69,30 @@ def test_per_row_invariants_distributed(spark):
                           F.lit("tampered")).otherwise(F.col("caption")))
     inv_bad = MM.invariant_check(bad, seed=42).toPandas()
     assert (~inv_bad["caption_ok"]).sum() == 1
+
+
+def test_phash_hamming_near_dup_matches_brute_force(spark):
+    """The pigeonhole band join must find exactly the pairs a brute-force
+    O(n²) popcount scan finds (completeness is the pigeonhole guarantee:
+    hamming ≤ k ⇒ some band of k+1 agrees exactly)."""
+    from osm_io_spark import queries as Q
+    from osm_io_spark.operators import dedup as DD
+    from osm_io_spark.operators import multimodal as MM
+    from osm_io_spark.sources import synth as SY
+
+    Q.ensure_shipped(spark)
+    imgs = SY.images_df(spark, 60, seed=7, partitions=4)
+    stats = MM.decode_stats(imgs).select("image_id", "phash_calc")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.hamming_near_dup_pairs(
+            stats, max_k=8, nbits=63, fp_col="phash_calc",
+            id_col="image_id").collect())
+
+    local = {r["image_id"]: r["phash_calc"] for r in stats.collect()}
+    ids = sorted(local)
+    want = sorted(
+        (a, b, bin(local[a] ^ local[b]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(local[a] ^ local[b]).count("1") <= 8)
+    assert got == want
