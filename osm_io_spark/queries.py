@@ -1182,6 +1182,75 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (§2.9): per-user event-time
+    sessionization via applyInPandasWithState (gap close + watermark
+    timeout), drained with availableNow. Engine-native (stateful
+    streaming is not SQL-expressible) — rows-only driver check; batch
+    equivalence is asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"osm_io_stream_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_sessions_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    sessions = SE.sessionize(SE.stream_events(spark, src),
+                             gap="30 minutes", watermark="1 hour")
+    SE.run_available_now(sessions, ckpt, name)
+    return (spark.table(name)
+            .select("user_id",
+                    F.unix_timestamp("session_start").alias("start_epoch"),
+                    F.unix_timestamp("session_end").alias("end_epoch"),
+                    "n_events", "closed_by"))
+
+
+def q_stream_cell_enrich(spark, sf_dir):
+    """Stateless stream-static join (§2.9): streamed events geotagged →
+    cell id → broadcast join vs the static polygon-cover table (the J7
+    plan shape under Structured Streaming). Engine-native rows-only."""
+    import os
+    import tempfile
+
+    from .operators import spatial_join as SJ
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"osm_io_stream_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_enrich_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    part = _t(spark, sf_dir, "part")
+    # large multipliers so centers wrap the modulus (spread globally)
+    # even at sf0.001's small p_partkey range
+    core = part.select(
+        F.col("p_partkey").alias("polygon_id"),
+        F.expr("(CAST((p_partkey * 2971215073) % 344000000 AS DOUBLE) / 1e6 - 172.0)").alias("clon"),
+        F.expr("(CAST((p_partkey * 2654435761) % 116000000 AS DOUBLE) / 1e6 - 58.0)").alias("clat"),
+        F.expr("3.0 + CAST((p_partkey * 13007) % 5000000 AS DOUBLE) / 1e6").alias("hw"),
+        F.expr("3.0 + CAST((p_partkey * 17389) % 5000000 AS DOUBLE) / 1e6").alias("hh"))
+    rects = core.select(
+        "polygon_id",
+        F.expr(_EDGE_L).alias("left"), F.expr(_EDGE_R).alias("right"),
+        F.expr(_EDGE_B).alias("bottom"), F.expr(_EDGE_T).alias("top"))
+    covers = SJ.cover_bbox_cells(rects, RES_JOIN)
+    enriched = SE.stream_cell_enrich(SE.stream_events(spark, src),
+                                     covers.select("cell", "polygon_id"),
+                                     res=RES_JOIN)
+    SE.run_available_now(enriched.select("event_id", "user_id",
+                                         "cell", "polygon_id"), ckpt, name)
+    return spark.table(name)
+
+
 def q_mm_decode_stats(spark, sf_dir):
     """Multimodal plumbing: deterministic synthetic image table (bytes +
     metadata) → Arrow-batched decode → per-fmt stats + phash check."""
@@ -1300,6 +1369,8 @@ QUERIES = {
     "apidb_roundtrip_counts": q_apidb_roundtrip,
     "ref_fixture_parity": q_ref_fixture_parity,
     "stream_hourly_window": q_stream_hourly_window,
+    "stream_sessionize": q_stream_sessionize,
+    "stream_cell_enrich": q_stream_cell_enrich,
     "mm_decode_stats": q_mm_decode_stats,
     "mm_row_invariants": q_mm_row_invariants,
     "mm_phash_near_dup": q_mm_phash_near_dup,
