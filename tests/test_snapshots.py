@@ -197,3 +197,21 @@ def test_manifest_data_skipping(spark, tmp_path):
     df0, kept0 = t.read_pruned(spark, "cell", 50_000, 60_000)
     assert kept0 == [] and df0.count() == 0
     assert df0.schema == df.schema
+
+
+def test_curate_job_runs_and_resumes(spark, tmp_path):
+    """The curation pipeline commits per-bucket partitions with metrics
+    and a re-run is a no-op resume (same snapshot version, no rework)."""
+    from osm_io_spark.jobs import curate
+
+    out = str(tmp_path / "curated")
+    s1 = curate.main(["--sf-dir", "/root/testdata/sf0.001",
+                      "--out", out, "--buckets", "3"])
+    s2 = curate.main(["--sf-dir", "/root/testdata/sf0.001",
+                      "--out", out, "--buckets", "3"])
+    assert s1["version"] == s2["version"] == 1
+    assert 0 < s1["rows"] <= 500
+    assert s1["n_partitions"] == 3
+
+    curated = curate.curated_documents(spark, "/root/testdata/sf0.001")
+    assert curated.count() == s1["rows"]
