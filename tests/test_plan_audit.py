@@ -59,3 +59,29 @@ def test_a2_partial_agg_single_reduce(spark):
     df = Q.q_a2_bounding_box(spark, SF_DIR)
     rep = A.audit(df, max_shuffles=1)  # partial agg → single final exchange
     assert rep["sort_merge_joins"] == 0
+
+
+def test_bucketed_join_is_zero_exchange(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key → sort-merge join with
+    NO shuffle exchange (bucket i joins bucket i in place) — the layout
+    that makes repeated 10^12-row fact-fact joins affordable."""
+    from osm_io_spark.plans import bucketing as B
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+                .withColumnRenamed("l_orderkey", "o_orderkey"))
+    B.write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    B.write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = B.bucketed_join(spark, "b_orders", "b_lineitem",
+                                 "o_orderkey")
+        rep = A.audit(joined, max_shuffles=0)
+        assert rep["sort_merge_joins"] == 1
+        n = joined.count()
+        want = (orders.join(lineitem, "o_orderkey").count())
+        assert n == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
