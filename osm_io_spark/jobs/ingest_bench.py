@@ -75,6 +75,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n-nodes", type=int, default=2_000_000)
     ap.add_argument("--n-ways", type=int, default=100_000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--read-only", action="store_true",
+                    help="reuse an existing bench file; time reads only "
+                         "(for scaling runs at several parallelism levels)")
     args = ap.parse_args(argv)
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -103,7 +106,11 @@ def main(argv: list[str] | None = None) -> dict:
             best = el if best is None else min(best, el)
         return best, out
 
-    t_write, n_blocks = best_of(lambda: PE.write_pbf(els, path, compress=True))
+    if args.read_only and os.path.exists(path):
+        t_write, n_blocks = float("nan"), -1
+    else:
+        t_write, n_blocks = best_of(
+            lambda: PE.write_pbf(els, path, compress=True))
 
     t_read, counts = best_of(lambda: {
         r["etype"]: r["n"] for r in
@@ -124,15 +131,16 @@ def main(argv: list[str] | None = None) -> dict:
         "file_bytes": os.path.getsize(path),
         "n_blocks": n_blocks,
         "cpus": cpus,
-        "write_s": round(t_write, 3),
-        "write_elements_per_s": round(n_el / t_write),
         "read_s": round(t_read, 3),
         "read_elements_per_s": round(n_el / t_read),
         "filtered_read_s": round(t_filter, 3),
     }
+    if not (args.read_only and n_blocks < 0):
+        res["write_s"] = round(t_write, 3)
+        res["write_elements_per_s"] = round(n_el / t_write)
     print(json.dumps(res))
 
-    if args.out:
+    if args.out and "write_s" in res:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as fh:
             fh.write(f"""# BENCH/INGEST — PBF codec throughput (single node, local[{cpus}])

@@ -56,6 +56,8 @@ ELEMENTS = T.StructType([
 
 _COLS = [f.name for f in ELEMENTS.fields]
 
+_EMPTY_TAGS: list = []
+
 
 # ---------------------------------------------------------------------------
 # framing
@@ -226,7 +228,11 @@ def decode_block(data: bytes) -> pd.DataFrame:
                 vis = visv.astype(bool) if len(visv) == n else np.ones(n, bool)
 
             kv = P.decode_varints(P.first(d, 10, b"")).astype(np.int64)
-            tags_per = [[] for _ in range(n)]
+            # one shared empty list for the untagged majority — consumers
+            # treat tag lists as read-only; 8000 distinct empty-list
+            # allocations per block measurably throttle parallel decode
+            # (the kernel is allocator-bound, not CPU-bound)
+            tags_per = [_EMPTY_TAGS] * n
             if len(kv):
                 # vectorized zero-delimiter split: only nodes that
                 # actually carry tags touch Python (untagged nodes —
@@ -350,7 +356,13 @@ def read_pbf(spark: SparkSession, path: str,
     read_header(path)  # feature check up front, as the reference does
     manifest = blob_manifest(spark, path)
     n = manifest.count()
-    parts = min(n, parallelism or spark.sparkContext.defaultParallelism) or 1
+    if parallelism is None:
+        # cap tasks at ~8 blobs (~64k elements): a planet file has
+        # millions of blobs — packing them into defaultParallelism
+        # partitions would make giant stragglers, and one-blob tasks
+        # would drown in per-task overhead
+        parallelism = max(spark.sparkContext.defaultParallelism, n // 8)
+    parts = min(n, parallelism) or 1
     return manifest.repartition(parts).mapInPandas(_decode_batches, schema=ELEMENTS)
 
 
