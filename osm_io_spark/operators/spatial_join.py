@@ -88,19 +88,24 @@ def cover_bbox_cells(df: DataFrame, res: int,
             .drop("_x", "_y"))
 
 
-def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
-                        out: str = "cell") -> DataFrame:
+def cover_polygon_cells_json(polygons: DataFrame, res: int,
+                             refine: bool = True,
+                             out: str = "cell") -> DataFrame:
     """Explode general ring polygons (schemas.POLYGONS) into covering
-    cells. bbox cover computed JVM-side; optional exact rect∩polygon
-    refinement runs as an Arrow-batched numpy kernel to drop cover cells
-    that don't actually touch the polygon (tighter cover → smaller join)."""
-    covered = cover_bbox_cells(widen(polygons), res, out=out)
+    cells, rings carried as a JSON string column ``_rings_json``
+    (serialized ONCE per polygon, before the cover explode — the Arrow
+    bridge rejects ragged array<array<struct>> columns, and keeping the
+    string form end-to-end avoids re-serializing per cover cell and per
+    matched pair). Optional exact rect∩polygon refinement drops cover
+    cells that don't actually touch the polygon (tighter cover →
+    smaller join)."""
+    jsonified = (widen(polygons)
+                 .withColumn("_rings_json", F.to_json("rings"))
+                 .drop("rings"))
+    covered = cover_bbox_cells(jsonified, res, out=out)
     if not refine:
         return covered
-
-    jsonified = (covered.withColumn("_rings_json", F.to_json("rings"))
-                 .drop("rings"))
-    schema = jsonified.schema
+    schema = covered.schema
 
     def _refine(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -119,8 +124,14 @@ def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
                 keep[i] = G.rect_intersects_polygon(cl, cb, cr, ct, rr)
             yield pdf[keep]
 
-    refined = jsonified.mapInPandas(_refine, schema=schema)
-    return (refined.withColumn("rings", F.from_json("_rings_json", _RINGS_TYPE))
+    return covered.mapInPandas(_refine, schema=schema)
+
+
+def cover_polygon_cells(polygons: DataFrame, res: int, refine: bool = True,
+                        out: str = "cell") -> DataFrame:
+    """Struct-rings façade over cover_polygon_cells_json."""
+    c = cover_polygon_cells_json(polygons, res, refine=refine, out=out)
+    return (c.withColumn("rings", F.from_json("_rings_json", _RINGS_TYPE))
             .drop("_rings_json"))
 
 
@@ -140,14 +151,13 @@ def refine_rect(df: DataFrame, lat: str = "lat", lon: str = "lon",
     return df.filter(pred)
 
 
-def refine_pip(df: DataFrame, lat: str = "lat", lon: str = "lon",
-               rings_col: str = "rings") -> DataFrame:
-    """Exact point-in-polygon via the vectorized even-odd ray-cast kernel
+def refine_pip_json(df: DataFrame, lat: str = "lat",
+                    lon: str = "lon") -> DataFrame:
+    """Exact point-in-polygon over rows carrying ``_rings_json`` via the
+    vectorized even-odd ray-cast kernel
     (osm_io_spark.functions.geometry.points_in_polygon), applied
     Arrow-batch-at-a-time grouped by polygon within each batch."""
-    jsonified = (df.withColumn("_rings_json", F.to_json(rings_col))
-                 .drop(rings_col))
-    schema = jsonified.schema
+    schema = df.schema
 
     def _pip(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -162,7 +172,15 @@ def refine_pip(df: DataFrame, lat: str = "lat", lon: str = "lon",
                     pdf[lon].to_numpy()[idx], pdf[lat].to_numpy()[idx], rr)
             yield pdf[keep]
 
-    refined = jsonified.mapInPandas(_pip, schema=schema)
+    return df.mapInPandas(_pip, schema=schema)
+
+
+def refine_pip(df: DataFrame, lat: str = "lat", lon: str = "lon",
+               rings_col: str = "rings") -> DataFrame:
+    """Struct-rings façade over refine_pip_json."""
+    jsonified = (df.withColumn("_rings_json", F.to_json(rings_col))
+                 .drop(rings_col))
+    refined = refine_pip_json(jsonified, lat=lat, lon=lon)
     return (refined.withColumn(rings_col, F.from_json("_rings_json", _RINGS_TYPE))
             .drop("_rings_json"))
 
@@ -240,9 +258,14 @@ def spatial_join_polygons(images: DataFrame, polygons: DataFrame, res: int,
                           salt: int = 0, hot: list[int] | None = None) -> DataFrame:
     """General-polygon spatial join: cell cover + numpy ray-cast refine."""
     probe = tag_probe_cells(images, res)
-    build = cover_polygon_cells(polygons, res, refine=refine_cover)
+    # rings stay in their JSON string form through cover → join → PIP:
+    # one serialization per polygon total, instead of a struct→JSON→
+    # struct round trip per cover cell and again per matched pair
+    build = cover_polygon_cells_json(polygons, res, refine=refine_cover)
     if salt and hot:
         joined = salted_cell_join(probe, build, salt, hot)
     else:
         joined = cell_join(probe, build)
-    return refine_pip(joined)
+    refined = refine_pip_json(joined)
+    return (refined.withColumn("rings", F.from_json("_rings_json", _RINGS_TYPE))
+            .drop("_rings_json"))
