@@ -531,32 +531,40 @@ def write_apidb_dump(els: DataFrame, out_dir: str,
     dump layout itself is single-file-per-table; at planet scale keep the
     parts and skip this merge — the reader accepts either via toc)."""
     os.makedirs(out_dir, exist_ok=True)
-    tables = apidb_tables_from_elements(els)
-    toc_entries = []
-    mapping: dict[str, str] = {}
-    oid = first_oid
-    for name in sorted(tables):
-        fields = TABLE_FIELDS[name]
-        fname = f"{oid}.dat"
-        oid += 1
-        part_dir = os.path.join(out_dir, f"_{name}.parts")
-        _copy_lines(tables[name], fields).write.mode("overwrite").text(part_dir)
-        final = os.path.join(out_dir, fname)
-        with open(final, "wb") as out:
-            for p in sorted(os.listdir(part_dir)):
-                if p.startswith("part-"):
-                    with open(os.path.join(part_dir, p), "rb") as src:
-                        out.write(src.read())
-            out.write(b"\\.\n")
-        import shutil
-        shutil.rmtree(part_dir)
-        quoted = [f'"{f}"' if f == "timestamp" else f for f in fields]
-        toc_entries.append(
-            f"COPY public.{name} ({', '.join(quoted)}) FROM stdin;\n;{fname}\n")
-        mapping[name] = fname
-    toc_path = os.path.join(out_dir, "toc.dat")
-    with open(toc_path, "wb") as fh:
-        fh.write(b"PGDMP-style toc (osm_io_spark apidb sink)\n")
-        for e in toc_entries:
-            fh.write(e.encode())
-    return mapping
+    # ~20 output tables each re-execute the upstream element plan (for a
+    # PBF source that is the whole Python decode pass, ~20x over) unless
+    # the frame is materialized once before the fan-out
+    from pyspark import StorageLevel
+    els = els.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tables = apidb_tables_from_elements(els)
+        toc_entries = []
+        mapping: dict[str, str] = {}
+        oid = first_oid
+        for name in sorted(tables):
+            fields = TABLE_FIELDS[name]
+            fname = f"{oid}.dat"
+            oid += 1
+            part_dir = os.path.join(out_dir, f"_{name}.parts")
+            _copy_lines(tables[name], fields).write.mode("overwrite").text(part_dir)
+            final = os.path.join(out_dir, fname)
+            with open(final, "wb") as out:
+                for p in sorted(os.listdir(part_dir)):
+                    if p.startswith("part-"):
+                        with open(os.path.join(part_dir, p), "rb") as src:
+                            out.write(src.read())
+                out.write(b"\\.\n")
+            import shutil
+            shutil.rmtree(part_dir)
+            quoted = [f'"{f}"' if f == "timestamp" else f for f in fields]
+            toc_entries.append(
+                f"COPY public.{name} ({', '.join(quoted)}) FROM stdin;\n;{fname}\n")
+            mapping[name] = fname
+        toc_path = os.path.join(out_dir, "toc.dat")
+        with open(toc_path, "wb") as fh:
+            fh.write(b"PGDMP-style toc (osm_io_spark apidb sink)\n")
+            for e in toc_entries:
+                fh.write(e.encode())
+        return mapping
+    finally:
+        els.unpersist()
