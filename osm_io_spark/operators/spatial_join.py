@@ -240,12 +240,37 @@ def salted_cell_join(probe: DataFrame, build_cells: DataFrame,
     return joined_hot.unionByName(joined_cold)
 
 
+def resolve_salt(probe: DataFrame, salt, hot: list[int] | None,
+                 cell: str = "cell",
+                 threshold_rows: int = 2_000_000,
+                 max_salt: int = 64) -> tuple[int, list[int]]:
+    """Resolve salt='auto' into (n_salt, hot_cells): measure the probe's
+    per-cell counts once, salt only when a Zipf head actually exists,
+    and size n_salt so the hottest cell splits into ~threshold-sized
+    shards. Returns the inputs unchanged for explicit settings."""
+    if salt != "auto":
+        return (salt or 0), (hot or [])
+    rows = (probe.groupBy(cell).count()
+            .orderBy(F.desc("count")).limit(1024).collect())
+    hot_auto = [r[cell] for r in rows if r["count"] > threshold_rows]
+    if not hot_auto:
+        return 0, []
+    n_salt = min(max_salt, -(-max(r["count"] for r in rows) // threshold_rows))
+    return max(2, n_salt), hot_auto
+
+
 def spatial_join_rect(images: DataFrame, rects: DataFrame, res: int,
-                      salt: int = 0, hot: list[int] | None = None) -> DataFrame:
+                      salt: int | str = 0,
+                      hot: list[int] | None = None,
+                      salt_threshold_rows: int = 2_000_000) -> DataFrame:
     """images(image-ish id, lat, lon) ⋈ rects(polygon_id, left, bottom,
-    right, top) → matched rows with exact strict containment."""
+    right, top) → matched rows with exact strict containment.
+    ``salt='auto'`` measures per-cell probe counts and salts Zipf-head
+    cells automatically (no-op when no cell exceeds the threshold)."""
     probe = tag_probe_cells(images, res)
     build = cover_bbox_cells(rects, res)
+    salt, hot = resolve_salt(probe, salt, hot,
+                             threshold_rows=salt_threshold_rows)
     if salt and hot:
         joined = salted_cell_join(probe, build, salt, hot)
     else:
@@ -255,9 +280,14 @@ def spatial_join_rect(images: DataFrame, rects: DataFrame, res: int,
 
 def spatial_join_polygons(images: DataFrame, polygons: DataFrame, res: int,
                           refine_cover: bool = True,
-                          salt: int = 0, hot: list[int] | None = None) -> DataFrame:
-    """General-polygon spatial join: cell cover + numpy ray-cast refine."""
+                          salt: int | str = 0,
+                          hot: list[int] | None = None,
+                          salt_threshold_rows: int = 2_000_000) -> DataFrame:
+    """General-polygon spatial join: cell cover + numpy ray-cast refine.
+    ``salt='auto'`` as in spatial_join_rect."""
     probe = tag_probe_cells(images, res)
+    salt, hot = resolve_salt(probe, salt, hot,
+                             threshold_rows=salt_threshold_rows)
     # rings stay in their JSON string form through cover → join → PIP:
     # one serialization per polygon total, instead of a struct→JSON→
     # struct round trip per cover cell and again per matched pair

@@ -137,3 +137,25 @@ def test_multipolygon_hole_semantics(spark):
                  SJ.spatial_join_polygons(probe, polys, res=6)
                  .select("img_id").collect())
     assert got == [2]
+
+
+def test_auto_salt_matches_plain_join(spark):
+    """salt='auto' must produce exactly the plain join's matches —
+    both when it triggers (tiny threshold → every cell is 'hot') and
+    when it does not (huge threshold → no-op)."""
+    from osm_io_spark import queries as Q
+    from osm_io_spark.operators import spatial_join as SJ
+
+    sf = "/root/testdata/sf0.001"
+    probe = Q.images_probe(spark, sf).withColumnRenamed("img_id", "image_id")
+    rects = Q.rect_polygons(spark, sf)
+    plain = sorted((r["image_id"], r["polygon_id"]) for r in
+                   SJ.spatial_join_rect(probe, rects, res=Q.RES_JOIN)
+                   .select("image_id", "polygon_id").collect())
+    for thresh in (1, 10**12):
+        auto = sorted((r["image_id"], r["polygon_id"]) for r in
+                      SJ.spatial_join_rect(probe, rects, res=Q.RES_JOIN,
+                                           salt="auto",
+                                           salt_threshold_rows=thresh)
+                      .select("image_id", "polygon_id").collect())
+        assert auto == plain
