@@ -121,9 +121,12 @@ def _read_varint(b: bytes, pos: int) -> tuple[int, int]:
 
 def parse_message(buf: bytes | memoryview) -> dict[int, list]:
     """Scan a message into {field_number: [value, ...]}.
-    varint → int, length-delimited → memoryview, i64/i32 → raw bytes."""
-    b = bytes(buf) if isinstance(buf, memoryview) else buf
-    view = memoryview(b)
+    varint → int, length-delimited → memoryview, i64/i32 → raw bytes.
+    Zero-copy: nested submessages arrive and leave as memoryviews into
+    the original blob buffer (indexing a memoryview yields ints, so the
+    varint scanner needs no bytes() copy)."""
+    view = buf if isinstance(buf, memoryview) else memoryview(buf)
+    b = view
     out: dict[int, list] = {}
     pos, end = 0, len(b)
     while pos < end:
