@@ -686,6 +686,45 @@ FROM cells GROUP BY ROLLUP(cell3, cell5)
 """
 
 
+def q_j3_member_assembly(spark, sf_dir):
+    """J3 (relation_relations_reader.rs:70-160) in relational form:
+    heterogeneous member assembly — per parent, an ordered list of
+    (type, id, role) members with the member type decoded from a coded
+    column, exactly the relation_members recomposition."""
+    li = _t(spark, sf_dir, "lineitem")
+    mtype = (F.when(F.col("l_returnflag") == "A", "Node")
+             .when(F.col("l_returnflag") == "R", "Way")
+             .otherwise("Relation"))
+    member = F.concat_ws(":", mtype, F.col("l_partkey").cast("string"),
+                         F.col("l_linestatus"))
+    members = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("l_linenumber", "l_partkey", member.alias("_m")))),
+            lambda s: s["_m"]),
+        ",")
+    return (li.groupBy("l_orderkey")
+            .agg(members.alias("members_str"),
+                 F.count("*").alias("n_members")))
+
+
+SQL_J3 = """
+SELECT l_orderkey,
+       string_agg(
+         (CASE WHEN l_returnflag = 'A' THEN 'Node'
+               WHEN l_returnflag = 'R' THEN 'Way'
+               ELSE 'Relation' END) || ':' ||
+         CAST(l_partkey AS VARCHAR) || ':' || l_linestatus,
+         ',' ORDER BY l_linenumber, l_partkey,
+             (CASE WHEN l_returnflag = 'A' THEN 'Node'
+                   WHEN l_returnflag = 'R' THEN 'Way'
+                   ELSE 'Relation' END) || ':' ||
+             CAST(l_partkey AS VARCHAR) || ':' || l_linestatus) AS members_str,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 def q_j2_threeway_assembly(spark, sf_dir):
     """J2 (way_relations_reader.rs:69-160) in relational form: 3-way
     join parent ⋈ ordered-children ⋈ broadcast dim, children assembled
@@ -1346,6 +1385,7 @@ QUERIES = {
     "rollup_multires": q_rollup_multires,
     "j1_sortmerge_group_join": q_j1_sortmerge_group_join,
     "j2_threeway_assembly": q_j2_threeway_assembly,
+    "j3_member_assembly": q_j3_member_assembly,
     "j4_broadcast_lookup": q_j4_broadcast_lookup,
     "w1_hourly_window": q_w1_hourly_window,
     "f1_token_filter": q_f1_token_filter,
@@ -1400,6 +1440,7 @@ ORACLES = {
     "rollup_multires": SQL_ROLLUP_MR,
     "j1_sortmerge_group_join": SQL_J1,
     "j2_threeway_assembly": SQL_J2,
+    "j3_member_assembly": SQL_J3,
     "j4_broadcast_lookup": SQL_J4,
     "w1_hourly_window": SQL_W1,
     "f1_token_filter": SQL_F1,
