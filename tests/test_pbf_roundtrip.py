@@ -207,3 +207,30 @@ def test_blob_structure(fixture_pbf):
     assert all(d["blob_type"] == "OSMData" for d in descs[1:])
     assert len(descs) == n_blocks + 1
     assert sum(1 for d in descs if d["blob_type"] == "OSMHeader") == 1
+
+
+def test_negative_paths_and_feature_rejection(spark, tmp_path):
+    """Mirrors the reference's negative-path reader tests
+    (tests/test_pbf_reader.rs:103-122: nonexistent / directory / text
+    inputs fail) and its required-feature check (reader.rs:206-227)."""
+    import pytest
+
+    from osm_io_spark.sources.pbf import decode as PD
+    from osm_io_spark.sources.pbf import encode as PE
+
+    with pytest.raises(OSError):
+        PD.read_header(str(tmp_path / "does-not-exist.osm.pbf"))
+    with pytest.raises(OSError):
+        PD.read_header(str(tmp_path))
+    txt = tmp_path / "not-a-pbf.txt"
+    txt.write_text("this is not a pbf file, not even close\n" * 10)
+    with pytest.raises(Exception):
+        PD.read_header(str(txt))
+
+    # unsupported REQUIRED feature must be rejected up front
+    bad = tmp_path / "bad-feature.osm.pbf"
+    with open(bad, "wb") as fh:
+        fh.write(PE.header_block_bytes(
+            None, ["OsmSchema-V0.6", "Exotic-Feature-v9"], []))
+    with pytest.raises(Exception, match="[Ff]eature"):
+        PD.read_header(str(bad))
