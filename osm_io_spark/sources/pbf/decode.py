@@ -299,7 +299,7 @@ def decode_block(data: bytes) -> pd.DataFrame:
                 if imsg is not None else (-1, None, None, None, None, True))
             rows.append(("way", wid, ver, None, None, ts1, cs1, uid1, user1, vis1,
                          _tags_from_kv(keys, vals, strings),
-                         [int(r) for r in refs], None))
+                         refs.tolist(), None))
 
         # --- Relations (field 4) ---
         member_types = ("Node", "Way", "Relation")

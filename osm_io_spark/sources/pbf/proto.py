@@ -31,9 +31,25 @@ WT_I32 = 5
 
 def decode_varints(buf: bytes | memoryview) -> np.ndarray:
     """Decode ALL varints in buf (a packed repeated field) → uint64 array."""
-    b = np.frombuffer(buf, np.uint8)
-    if b.size == 0:
+    if len(buf) == 0:
         return np.zeros(0, np.uint64)
+    if len(buf) <= 64:
+        # scalar path: way refs / relation members / per-element tag
+        # indexes are a handful of varints, where the numpy kernel's
+        # fixed per-call cost dominates (same trade as the encode side)
+        out = []
+        val = 0
+        shift = 0
+        for byte in bytes(buf):
+            val |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                out.append(val)
+                val = 0
+                shift = 0
+            else:
+                shift += 7
+        return np.array(out, np.uint64)
+    b = np.frombuffer(buf, np.uint8)
     ends = np.flatnonzero((b & 0x80) == 0)
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -83,6 +99,21 @@ def zigzag_encode(v: np.ndarray) -> np.ndarray:
 
 
 def decode_sint_packed(buf) -> np.ndarray:
+    if 0 < len(buf) <= 64:
+        # scalar path for tiny packed fields (way refs, member ids):
+        # fused varint+zigzag without numpy per-call overhead
+        vals = []
+        val = 0
+        shift = 0
+        for byte in bytes(buf):
+            val |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                vals.append((val >> 1) ^ -(val & 1))
+                val = 0
+                shift = 0
+            else:
+                shift += 7
+        return np.array(vals, np.int64)
     return zigzag_decode(decode_varints(buf))
 
 
