@@ -45,8 +45,10 @@ def run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--table", default="image_polygon_matches")
     ap.add_argument("--res", type=int, default=10)
     ap.add_argument("--n-buckets", type=int, default=8)
-    ap.add_argument("--salt", type=int, default=0,
-                    help="salt factor for hot cells (0 = AQE only)")
+    ap.add_argument("--salt", default="0",
+                    help="salt factor for hot cells, or 'auto' to "
+                         "measure the Zipf head and size the salt "
+                         "(0 = AQE only)")
     ap.add_argument("--hot-threshold", type=int, default=2_000_000)
     ap.add_argument("--commit-every", type=int, default=4)
     ap.add_argument("--fail-after", type=int, default=0,
@@ -64,9 +66,16 @@ def run(argv: list[str] | None = None) -> dict:
     rects = Q.rect_polygons(spark, args.sf_dir)
 
     hot: list[int] = []
-    if args.salt > 1:
+    if args.salt == "auto":
         probe_cells = SJ.tag_probe_cells(images, args.res)
-        hot = SJ.hot_cells(probe_cells, threshold_rows=args.hot_threshold)
+        salt, hot = SJ.resolve_salt(probe_cells, "auto", None,
+                                    threshold_rows=args.hot_threshold)
+    else:
+        salt = int(args.salt)
+        if salt > 1:
+            probe_cells = SJ.tag_probe_cells(images, args.res)
+            hot = SJ.hot_cells(probe_cells,
+                               threshold_rows=args.hot_threshold)
 
     catalog = SnapshotCatalog(args.catalog)
     table = catalog.table(args.table)
@@ -82,7 +91,7 @@ def run(argv: list[str] | None = None) -> dict:
         b = int(pk.split("=")[1])
         probe = images.filter(F.pmod(F.col("img_id"), F.lit(args.n_buckets)) == b)
         out = SJ.spatial_join_rect(probe, rects, res=args.res,
-                                   salt=args.salt, hot=hot)
+                                   salt=salt, hot=hot)
         return out.select("img_id", "polygon_id", "cell")
 
     done_count = {"n": len(table.completed_partitions())}
