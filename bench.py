@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "text_language_id",
     "text_quality",
     "text_fingerprint",
+    "text_repetition",
+    "text_vocab",
     "rollup_multires",
     "o5_topk_per_group",
     "j2_threeway_assembly",

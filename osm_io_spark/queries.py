@@ -826,6 +826,64 @@ FROM documents
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Within-document repetition ratio (Gopher-style corpus filter):
+    1 - distinct/total word 3-gram shingles; highly repetitive docs are
+    low-quality training data."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks) - 2
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.expr("cast(array() as array<int>)"))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(3)]))
+    total = F.size(sh).cast("long")
+    uniq = F.size(F.array_distinct(sh)).cast("long")
+    return (docs.select("doc_id", total.alias("n_shingles"),
+                        uniq.alias("n_distinct"))
+            .filter(F.col("n_shingles") > 0)
+            .withColumn("rep_ratio",
+                        F.lit(1.0) - F.col("n_distinct").cast("double")
+                        / F.col("n_shingles").cast("double")))
+
+
+SQL_TEXT_REP = """
+WITH sh AS (
+  SELECT doc_id,
+         [array_to_string(string_split(text, ' ')[i:i+2], ' ')
+          for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)] AS shingles
+  FROM documents)
+SELECT doc_id,
+       CAST(len(shingles) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+           / CAST(len(shingles) AS DOUBLE) AS rep_ratio
+FROM sh WHERE len(shingles) > 0
+"""
+
+
+def q_text_vocab(spark, sf_dir):
+    """Vocabulary build: corpus-wide token frequency table with a
+    deterministic rank (count desc, token asc) — the first step of any
+    tokenizer-training pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 200))
+
+
+SQL_TEXT_VOCAB = """
+SELECT token, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT token, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token)
+WHERE rnk <= 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family (documents + embeddings)
 # ---------------------------------------------------------------------------
@@ -1394,6 +1452,8 @@ QUERIES = {
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
+    "text_vocab": q_text_vocab,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1448,6 +1508,8 @@ ORACLES = {
     "text_language_id": SQL_LANG,
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
+    "text_repetition": SQL_TEXT_REP,
+    "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
