@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "a4_ordered_assembly",
     "a5_latest_version",
     "w1_hourly_window",
+    "w2_sessionize_batch",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

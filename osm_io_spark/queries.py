@@ -497,6 +497,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_w2_sessionize_batch(spark, sf_dir):
+    """Batch sessionization (the exact-SQL twin of the streaming
+    applyInPandasWithState operator): 30-minute-gap sessions via
+    lag + running-sum session ids, then per-session aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1).otherwise(0)
+    sess = (ev.withColumn("_new", is_new)
+            .withColumn("session_id", F.sum("_new").over(w).cast("long")))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+                 F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+                 F.count("*").alias("n_events")))
+
+
+SQL_W2 = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT)
+               - CAST(floor(CAST(epoch(lag(ts) OVER w) AS DOUBLE)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id,
+       min(CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT)) AS start_epoch,
+       max(CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT)) AS end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_f1_token_filter(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (docs.filter(F.array_contains(F.split("text", " "), "spark"))
@@ -1446,6 +1487,7 @@ QUERIES = {
     "j3_member_assembly": q_j3_member_assembly,
     "j4_broadcast_lookup": q_j4_broadcast_lookup,
     "w1_hourly_window": q_w1_hourly_window,
+    "w2_sessionize_batch": q_w2_sessionize_batch,
     "f1_token_filter": q_f1_token_filter,
     # text analysis
     "text_token_count": q_text_token_count,
@@ -1503,6 +1545,7 @@ ORACLES = {
     "j3_member_assembly": SQL_J3,
     "j4_broadcast_lookup": SQL_J4,
     "w1_hourly_window": SQL_W1,
+    "w2_sessionize_batch": SQL_W2,
     "f1_token_filter": SQL_F1,
     "text_token_count": SQL_TOKENS,
     "text_language_id": SQL_LANG,
