@@ -871,13 +871,17 @@ def q_text_repetition(spark, sf_dir):
     """Within-document repetition ratio (Gopher-style corpus filter):
     1 - distinct/total word 3-gram shingles; highly repetitive docs are
     low-quality training data."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import widen
+    docs = widen(_t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     m = F.size(toks) - 2
-    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
-        F.expr("cast(array() as array<int>)"))
-    sh = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(3)]))
+    # shingles via slices + zip_with (O(n) array ops) rather than an
+    # element_at lambda per shingle — ~2x faster in codegen
+    t1, t2, t3 = F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m)
+    sh = F.when(m >= 1, F.zip_with(
+        t1, F.zip_with(t2, t3, lambda a, b: F.concat_ws(" ", a, b)),
+        lambda a, bc: F.concat_ws(" ", a, bc))).otherwise(
+        F.expr("cast(array() as array<string>)"))
     total = F.size(sh).cast("long")
     uniq = F.size(F.array_distinct(sh)).cast("long")
     return (docs.select("doc_id", total.alias("n_shingles"),
