@@ -593,11 +593,13 @@ FROM events GROUP BY user_id
 
 def q_o2_global_order(spark, sf_dir):
     """O2 (element.rs:207-318): the total-order contract (type rank,
-    then id) realized as an explicit global position column."""
+    then id) realized as an explicit global position column — computed
+    scale-safe (range partitions + per-partition offsets, no
+    single-task Window; see operators/order.py)."""
+    from .operators.order import with_global_position
     ev = _t(spark, sf_dir, "events").filter(F.expr("event_id % 50 = 0"))
-    w = Window.orderBy(F.col("event_type").asc(), F.col("event_id").asc())
-    return (ev.select("event_id", "event_type")
-            .withColumn("pos", F.row_number().over(w).cast("long")))
+    return with_global_position(ev.select("event_id", "event_type"),
+                                ["event_type", "event_id"], "pos")
 
 
 SQL_O2 = """
@@ -914,9 +916,13 @@ def q_text_vocab(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    # bounded top-k: sort+limit plans as TakeOrderedAndProject (per-
+    # partition heap + driver merge of 200 rows) — scale-safe, unlike a
+    # corpus-wide single-partition rank Window. The rank Window below
+    # runs on ≤200 rows (bounded by the limit), not the vocabulary.
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(200)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 200))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 SQL_TEXT_VOCAB = """

@@ -61,6 +61,47 @@ def test_a2_partial_agg_single_reduce(spark):
     assert rep["sort_merge_joins"] == 0
 
 
+def test_text_vocab_topk_is_bounded(spark):
+    """Round-2 fix: vocabulary top-k must plan as TakeOrderedAndProject
+    (per-partition heap, driver merge of k rows), and any rank Window
+    must sit ABOVE the limit (bounded input) — never over the full
+    corpus vocabulary."""
+    df = Q.q_text_vocab(spark, SF_DIR)
+    plan = A.formatted_plan(df)
+    tree = A.operator_tree(plan)
+    assert A.count_op(plan, "TakeOrderedAndProject") == 1, tree
+    # the single shuffle is the token-count aggregation
+    A.audit(df, max_shuffles=1)
+    # the Window (rank) must consume the TakeOrderedAndProject output:
+    # in the operator tree, Window's child is the bounded top-k
+    lines = tree.splitlines()
+    widx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert widx and "TakeOrderedAndProject" in lines[widx[0] + 1], tree
+
+
+def test_o2_global_order_no_global_window(spark):
+    """Round-2 fix: the global-position contract must not use a
+    single-partition Window — offsets + per-partition arange only."""
+    df = Q.q_o2_global_order(spark, SF_DIR)
+    plan = A.formatted_plan(df)
+    assert A.count_op(plan, "Window") == 0, A.operator_tree(plan)
+    assert A.count_op(plan, "MapInPandas") == 1
+
+
+def test_o2_positions_are_dense_and_ordered(spark):
+    """pos must be exactly 1..n in (event_type, event_id) order even
+    when the source arrives as many partitions (multi-block path —
+    small-sf parity alone cannot see cross-partition offset bugs)."""
+    from osm_io_spark.operators.order import with_global_position
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .select("event_id", "event_type").repartition(13))
+    got = with_global_position(ev, ["event_type", "event_id"], "pos").toPandas()
+    got = got.sort_values("pos").reset_index(drop=True)
+    assert list(got["pos"]) == list(range(1, len(got) + 1))
+    want = got.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+    assert (got["event_id"] == want["event_id"]).all()
+
+
 def test_bucketed_join_is_zero_exchange(spark, tmp_path):
     """Both sides bucketed+sorted on the join key → sort-merge join with
     NO shuffle exchange (bucket i joins bucket i in place) — the layout
