@@ -93,6 +93,43 @@ def rect_intersects_polygon(left, bottom, right, top, rings) -> bool:
     return False
 
 
+WORLD_BBOX = (-180.0, -90.0, 180.0, 90.0)
+
+
+def bbox_from_str(s: str) -> tuple[float, float, float, float]:
+    """Parse 'left,bottom,right,top' (optional whitespace around commas)
+    into a validated bbox tuple — C9, mirroring the FromStr impl at
+    /root/reference/src/osm/model/bounding_box.rs:89-115 (range checks
+    lon ∈ [-180,180], lat ∈ [-90,90]; <4 parts rejected; extra parts
+    ignored, as there).
+
+    Raises ValueError with the offending input on malformed or
+    out-of-range values.
+    """
+    err = ValueError(
+        "Bounding box string must be in the form 'left,bottom,right,top' "
+        f"as in -180.0, -90.0, 180.0, 90.0 with optional white space "
+        f"around commas. Got {s!r} instead")
+    parts = [p.strip() for p in s.split(",")]
+    if len(parts) < 4:
+        raise err
+    try:
+        left, bottom, right, top = (float(p) for p in parts[:4])
+    except ValueError:
+        raise err from None
+    if not (-180.0 <= left <= 180.0 and -90.0 <= bottom <= 90.0
+            and -180.0 <= right <= 180.0 and -90.0 <= top <= 90.0):
+        raise err
+    return (left, bottom, right, top)
+
+
+def bbox_to_str(bbox) -> str:
+    """Inverse of bbox_from_str (Display impl, bounding_box.rs:83-87
+    uses named fields; we emit the parsable comma form)."""
+    left, bottom, right, top = bbox
+    return f"{left}, {bottom}, {right}, {top}"
+
+
 def polygon_bbox(rings) -> tuple[float, float, float, float]:
     """(left, bottom, right, top) — merge fold as in
     /root/reference/src/osm/model/bounding_box.rs:30-64."""

@@ -45,14 +45,19 @@ def run(argv: list[str] | None = None) -> dict:
     from ..sources.pbf import encode as PE
 
     Q.ensure_shipped(spark)
+    file_info = None
     if args.src_fmt == "pbf":
         els = PD.read_pbf(spark, args.input)
+        # carry header metadata (source + osmosis replication state)
+        # through pbf→pbf conversion — file_info.rs round-trip
+        file_info = PD.read_header(args.input)
     else:
         els = apidb.elements_from_apidb(
             apidb.read_apidb_dump(spark, args.input))
 
     if args.dst_fmt == "pbf":
-        PE.write_pbf(els, args.output, history=args.history)
+        PE.write_pbf(els, args.output, history=args.history,
+                     file_info=file_info)
     else:
         apidb.write_apidb_dump(els, args.output)
 

@@ -50,6 +50,11 @@ def run(argv: list[str] | None = None) -> dict:
                          "measure the Zipf head and size the salt "
                          "(0 = AQE only)")
     ap.add_argument("--hot-threshold", type=int, default=2_000_000)
+    ap.add_argument("--bbox", default=None,
+                    help="'left,bottom,right,top' probe filter (C9 "
+                         "validation, bounding_box.rs:89-121); probes "
+                         "outside the box are dropped before cell "
+                         "tagging, so the filter pushes to the scan")
     ap.add_argument("--commit-every", type=int, default=4)
     ap.add_argument("--fail-after", type=int, default=0,
                     help="TEST HOOK: raise after N buckets")
@@ -64,6 +69,12 @@ def run(argv: list[str] | None = None) -> dict:
 
     images = Q.images_probe(spark, args.sf_dir)
     rects = Q.rect_polygons(spark, args.sf_dir)
+    if args.bbox is not None:
+        from ..functions.geometry import bbox_from_str
+        left, bottom, right, top = bbox_from_str(args.bbox)
+        images = images.filter(
+            (F.col("lon") >= left) & (F.col("lon") <= right)
+            & (F.col("lat") >= bottom) & (F.col("lat") <= top))
 
     hot: list[int] = []
     if args.salt == "auto":
@@ -82,7 +93,8 @@ def run(argv: list[str] | None = None) -> dict:
     job = ResumableJob(
         table, "spatial_join_j7",
         inputs={"sf_dir": args.sf_dir, "res": args.res,
-                "n_buckets": args.n_buckets, "salt": args.salt},
+                "n_buckets": args.n_buckets, "salt": args.salt,
+                "bbox": args.bbox},
         commit_every=args.commit_every)
 
     plan = [f"bucket={b:04d}" for b in range(args.n_buckets)]

@@ -63,6 +63,7 @@ TABLE_FIELDS: dict[str, list[str]] = {
     "relation_tags": ["relation_id", "k", "v", "version"],
     "changesets": ["id", "user_id", "created_at", "min_lat", "max_lat",
                    "min_lon", "max_lon", "closed_at", "num_changes"],
+    "changeset_tags": ["changeset_id", "k", "v"],
     "users": ["email", "id", "pass_crypt", "creation_time", "display_name",
               "data_public", "description", "home_lat", "home_lon",
               "home_zoom", "pass_salt", "email_valid", "new_email",
@@ -89,6 +90,124 @@ TABLES_OF_INTEREST = [
     "nodes", "node_tags", "ways", "way_nodes", "way_tags",
     "relations", "relation_members", "relation_tags", "changesets", "users",
 ]
+
+# Auxiliary apidb tables the reference writes EMPTY so the dump restores
+# into a complete apidb schema (write/writer.rs:42-60 creates one
+# TableDataWriter per table; table_data_writers.rs:9-138 lists the set).
+# Column lists come from the public schema DDL the reference vendors
+# (src/osm/apidb_dump/sql/structure.sql, one CREATE TABLE each).
+AUX_TABLE_FIELDS: dict[str, list[str]] = {
+    "acls": ["id", "address", "k", "v", "domain", "mx"],
+    "active_storage_attachments": ["id", "name", "record_type", "record_id",
+                                   "blob_id", "created_at"],
+    "active_storage_blobs": ["id", "key", "filename", "content_type",
+                             "metadata", "byte_size", "checksum",
+                             "created_at", "service_name"],
+    "active_storage_variant_records": ["id", "blob_id", "variation_digest"],
+    "ar_internal_metadata": ["key", "value", "created_at", "updated_at"],
+    "changeset_comments": ["id", "changeset_id", "author_id", "body",
+                           "created_at", "visible"],
+    "changesets_subscribers": ["subscriber_id", "changeset_id"],
+    "client_applications": ["id", "name", "url", "support_url",
+                            "callback_url", "key", "secret", "user_id",
+                            "created_at", "updated_at", "allow_read_prefs",
+                            "allow_write_prefs", "allow_write_diary",
+                            "allow_write_api", "allow_read_gpx",
+                            "allow_write_gpx", "allow_write_notes"],
+    "delayed_jobs": ["id", "priority", "attempts", "handler", "last_error",
+                     "run_at", "locked_at", "failed_at", "locked_by",
+                     "queue", "created_at", "updated_at"],
+    "diary_comments": ["id", "diary_entry_id", "user_id", "body",
+                       "created_at", "updated_at", "visible", "body_format"],
+    "diary_entries": ["id", "user_id", "title", "body", "created_at",
+                      "updated_at", "latitude", "longitude",
+                      "language_code", "visible", "body_format"],
+    "diary_entry_subscriptions": ["user_id", "diary_entry_id"],
+    "friends": ["id", "user_id", "friend_user_id", "created_at"],
+    "gps_points": ["altitude", "trackid", "latitude", "longitude", "gpx_id",
+                   "timestamp", "tile"],
+    "gpx_file_tags": ["gpx_id", "tag", "id"],
+    "gpx_files": ["id", "user_id", "visible", "name", "size", "latitude",
+                  "longitude", "timestamp", "description", "inserted",
+                  "visibility"],
+    "issue_comments": ["id", "issue_id", "user_id", "body", "created_at",
+                       "updated_at"],
+    "issues": ["id", "reportable_type", "reportable_id", "reported_user_id",
+               "status", "assigned_role", "resolved_at", "resolved_by",
+               "updated_by", "reports_count", "created_at", "updated_at"],
+    "languages": ["code", "english_name", "native_name"],
+    "messages": ["id", "from_user_id", "title", "body", "sent_on",
+                 "message_read", "to_user_id", "to_user_visible",
+                 "from_user_visible", "body_format"],
+    "note_comments": ["id", "note_id", "visible", "created_at", "author_ip",
+                      "author_id", "body", "event"],
+    "notes": ["id", "latitude", "longitude", "tile", "updated_at",
+              "created_at", "status", "closed_at"],
+    "oauth_access_grants": ["id", "resource_owner_id", "application_id",
+                            "token", "expires_in", "redirect_uri",
+                            "created_at", "revoked_at", "scopes",
+                            "code_challenge", "code_challenge_method"],
+    "oauth_access_tokens": ["id", "resource_owner_id", "application_id",
+                            "token", "refresh_token", "expires_in",
+                            "revoked_at", "created_at", "scopes",
+                            "previous_refresh_token"],
+    "oauth_applications": ["id", "owner_type", "owner_id", "name", "uid",
+                           "secret", "redirect_uri", "scopes",
+                           "confidential", "created_at", "updated_at"],
+    "oauth_nonces": ["id", "nonce", "timestamp", "created_at", "updated_at"],
+    "oauth_tokens": ["id", "user_id", "type", "client_application_id",
+                     "token", "secret", "authorized_at", "invalidated_at",
+                     "created_at", "updated_at", "allow_read_prefs",
+                     "allow_write_prefs", "allow_write_diary",
+                     "allow_write_api", "allow_read_gpx", "allow_write_gpx",
+                     "callback_url", "verifier", "scope", "valid_to",
+                     "allow_write_notes"],
+    "redactions": ["id", "title", "description", "created_at", "updated_at",
+                   "user_id", "description_format"],
+    "reports": ["id", "issue_id", "user_id", "details", "category",
+                "created_at", "updated_at"],
+    "schema_migrations": ["version"],
+    "user_blocks": ["id", "user_id", "creator_id", "reason", "ends_at",
+                    "needs_view", "revoker_id", "created_at", "updated_at",
+                    "reason_format"],
+    "user_preferences": ["user_id", "k", "v"],
+    "user_roles": ["id", "user_id", "role", "created_at", "updated_at",
+                   "granter_id"],
+    "user_tokens": ["id", "user_id", "token", "expiry", "referer"],
+}
+
+# table → data file name, mirroring the reference's pg_dump template
+# (write/toc/mapping.json; the NNNN are the template archive's OIDs, so
+# our directory layout is file-for-file comparable with the reference's)
+TOC_FILE_MAPPING: dict[str, str] = {
+    "acls": "4210.dat", "active_storage_attachments": "4212.dat",
+    "active_storage_blobs": "4214.dat",
+    "active_storage_variant_records": "4216.dat",
+    "ar_internal_metadata": "4218.dat", "changeset_comments": "4219.dat",
+    "changeset_tags": "4221.dat", "changesets": "4222.dat",
+    "changesets_subscribers": "4224.dat", "client_applications": "4225.dat",
+    "current_node_tags": "4227.dat", "current_nodes": "4228.dat",
+    "current_relation_members": "4230.dat",
+    "current_relation_tags": "4231.dat", "current_relations": "4232.dat",
+    "current_way_nodes": "4234.dat", "current_way_tags": "4235.dat",
+    "current_ways": "4236.dat", "delayed_jobs": "4238.dat",
+    "diary_comments": "4240.dat", "diary_entries": "4242.dat",
+    "diary_entry_subscriptions": "4244.dat", "friends": "4245.dat",
+    "gps_points": "4247.dat", "gpx_file_tags": "4248.dat",
+    "gpx_files": "4250.dat", "issue_comments": "4252.dat",
+    "issues": "4254.dat", "languages": "4256.dat", "messages": "4257.dat",
+    "node_tags": "4259.dat", "nodes": "4260.dat",
+    "note_comments": "4261.dat", "notes": "4263.dat",
+    "oauth_access_grants": "4265.dat", "oauth_access_tokens": "4267.dat",
+    "oauth_applications": "4269.dat", "oauth_nonces": "4271.dat",
+    "oauth_tokens": "4273.dat", "redactions": "4275.dat",
+    "relation_members": "4277.dat", "relation_tags": "4278.dat",
+    "relations": "4279.dat", "reports": "4280.dat",
+    "schema_migrations": "4282.dat", "user_blocks": "4283.dat",
+    "user_preferences": "4285.dat", "user_roles": "4286.dat",
+    "user_tokens": "4288.dat", "users": "4290.dat",
+    "way_nodes": "4292.dat", "way_tags": "4293.dat", "ways": "4294.dat",
+}
 
 # per-column Spark types for the read path ('' = string)
 _LONG = {"node_id", "way_id", "relation_id", "member_id", "changeset_id",
@@ -135,10 +254,9 @@ def parse_toc(toc_path: str) -> dict[str, dict]:
         fname = toc[s + 1:k + 4].decode()
         name_part, _, cols_part = stmt.partition(" (")
         name = name_part.split(".")[-1]
-        if name in TABLE_FIELDS:
-            fields = [c.strip().strip('"') for c in
-                      cols_part.rstrip(")").split(", ")]
-            out[name] = {"file": fname, "fields": fields}
+        fields = [c.strip().strip('"') for c in
+                  cols_part.rstrip(")").split(", ")]
+        out[name] = {"file": fname, "fields": fields}
         i = j
     return out
 
@@ -452,6 +570,17 @@ def apidb_tables_from_elements(els: DataFrame) -> dict[str, DataFrame]:
                           F.col("created_at").alias("closed_at"),
                           F.lit(0).cast("long").alias("num_changes")))
 
+    # two synthesized tag rows per changeset, as the reference's
+    # write_changesets (writer.rs:383-398): created_by + replication
+    changeset_tags = (changesets.select(F.col("id").alias("changeset_id"))
+                      .select("changeset_id", F.explode(F.array(
+                          F.struct(F.lit("created_by").alias("k"),
+                                   F.lit("osm-io-spark").alias("v")),
+                          F.struct(F.lit("replication").alias("k"),
+                                   F.lit("true").alias("v")))).alias("t"))
+                      .select("changeset_id", F.col("t.k").alias("k"),
+                              F.col("t.v").alias("v")))
+
     # current_* views (A5): latest version per id, dropped when the
     # latest version is invisible (current_object.rs:18-31)
     from ..operators.current import latest_version
@@ -499,7 +628,8 @@ def apidb_tables_from_elements(els: DataFrame) -> dict[str, DataFrame]:
         "ways": ways, "way_nodes": way_nodes, "way_tags": way_tags,
         "relations": relations, "relation_members": relation_members,
         "relation_tags": relation_tags,
-        "changesets": changesets, "users": users,
+        "changesets": changesets, "changeset_tags": changeset_tags,
+        "users": users,
         "current_nodes": current_nodes, "current_node_tags": current_node_tags,
         "current_ways": current_ways, "current_way_nodes": current_way_nodes,
         "current_way_tags": current_way_tags,
@@ -523,13 +653,21 @@ def _copy_lines(df: DataFrame, fields: list[str]) -> DataFrame:
     return df.select(F.concat_ws("\t", *cols).alias("value"))
 
 
-def write_apidb_dump(els: DataFrame, out_dir: str,
-                     first_oid: int = 3836) -> dict[str, str]:
-    """elements → pg_dump-style directory (one .dat COPY file per table +
-    parsable toc.dat). Each table writes in parallel as text parts, then
-    parts concatenate into the single .dat the dump format requires (the
-    dump layout itself is single-file-per-table; at planet scale keep the
+def write_apidb_dump(els: DataFrame, out_dir: str) -> dict[str, str]:
+    """elements → pg_dump-style directory: the COMPLETE apidb table set
+    (53 tables, matching write/writer.rs:42-60 + table_data_writers.rs:
+    9-138) so the dump restores into a full apidb schema. Data tables
+    (+ derived current_* and synthesized dims) carry rows; the auxiliary
+    tables are written empty, exactly as the reference does. File names
+    follow the reference's template mapping (toc/mapping.json) and the
+    toc.dat lists every table's COPY statement.
+
+    Each data table writes in parallel as text parts, then parts
+    concatenate into the single .dat the dump format requires (the dump
+    layout itself is single-file-per-table; at planet scale keep the
     parts and skip this merge — the reader accepts either via toc)."""
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
     # ~20 output tables each re-execute the upstream element plan (for a
     # PBF source that is the whole Python decode pass, ~20x over) unless
@@ -540,22 +678,26 @@ def write_apidb_dump(els: DataFrame, out_dir: str,
         tables = apidb_tables_from_elements(els)
         toc_entries = []
         mapping: dict[str, str] = {}
-        oid = first_oid
-        for name in sorted(tables):
-            fields = TABLE_FIELDS[name]
-            fname = f"{oid}.dat"
-            oid += 1
-            part_dir = os.path.join(out_dir, f"_{name}.parts")
-            _copy_lines(tables[name], fields).write.mode("overwrite").text(part_dir)
+        for name in sorted(TOC_FILE_MAPPING):
+            fields = (TABLE_FIELDS.get(name) or AUX_TABLE_FIELDS[name])
+            fname = TOC_FILE_MAPPING[name]
             final = os.path.join(out_dir, fname)
-            with open(final, "wb") as out:
-                for p in sorted(os.listdir(part_dir)):
-                    if p.startswith("part-"):
-                        with open(os.path.join(part_dir, p), "rb") as src:
-                            out.write(src.read())
-                out.write(b"\\.\n")
-            import shutil
-            shutil.rmtree(part_dir)
+            if name in tables:
+                part_dir = os.path.join(out_dir, f"_{name}.parts")
+                _copy_lines(tables[name], fields).write.mode(
+                    "overwrite").text(part_dir)
+                with open(final, "wb") as out:
+                    for p in sorted(os.listdir(part_dir)):
+                        if p.startswith("part-"):
+                            with open(os.path.join(part_dir, p), "rb") as src:
+                                out.write(src.read())
+                    out.write(b"\\.\n")
+                shutil.rmtree(part_dir)
+            else:
+                # empty aux table: footer only (table_data_writer.rs
+                # close() writes the terminator on every table)
+                with open(final, "wb") as out:
+                    out.write(b"\\.\n")
             quoted = [f'"{f}"' if f == "timestamp" else f for f in fields]
             toc_entries.append(
                 f"COPY public.{name} ({', '.join(quoted)}) FROM stdin;\n;{fname}\n")

@@ -121,6 +121,18 @@ def read_header(path: str, check_features: bool = True) -> dict:
                            if P.first(msg, 16) is not None else None),
         "source": (bytes(P.first(msg, 17)).decode()
                    if P.first(msg, 17) is not None else None),
+        # osmosis replication state (FileInfo, file_info.rs:4-14;
+        # HeaderBlock fields 32/33/34, osm_header.rs:35-37) — int64
+        # varints (NOT zigzag) + a url string; absent → None
+        "osmosis_replication_timestamp": (
+            int(np.uint64(P.first(msg, 32)).astype(np.int64))
+            if P.first(msg, 32) is not None else None),
+        "osmosis_replication_sequence_number": (
+            int(np.uint64(P.first(msg, 33)).astype(np.int64))
+            if P.first(msg, 33) is not None else None),
+        "osmosis_replication_base_url": (
+            bytes(P.first(msg, 34)).decode()
+            if P.first(msg, 34) is not None else None),
     }
     bbox = P.first(msg, 1)
     if bbox is not None:

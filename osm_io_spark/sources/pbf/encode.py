@@ -171,7 +171,14 @@ def frame_blob(btype: str, payload: bytes, compress: bool) -> bytes:
 
 def header_block_bytes(bbox: list[float] | None, required: list[str],
                        optional: list[str], writingprogram: str = "osm-io-spark",
-                       compress: bool = True) -> bytes:
+                       compress: bool = True, source: str | None = None,
+                       osmosis_replication_timestamp: int | None = None,
+                       osmosis_replication_sequence_number: int | None = None,
+                       osmosis_replication_base_url: str | None = None) -> bytes:
+    """HeaderBlock incl. the osmosis replication state (FileInfo round-
+    trip, file_info.rs:4-14 / osm_header.rs:63-88): fields 17/32/33/34
+    re-emitted so incremental-update pipelines can resume from the
+    sequence number recorded in the file they produced."""
     body = b""
     if bbox is not None:
         left, bottom, right, top = bbox
@@ -185,6 +192,16 @@ def header_block_bytes(bbox: list[float] | None, required: list[str],
     for s in optional:
         body += P.field_len(5, s.encode())
     body += P.field_len(16, writingprogram.encode())
+    if source is not None:
+        body += P.field_len(17, source.encode())
+    if osmosis_replication_timestamp is not None:
+        body += P.field_varint(
+            32, int(osmosis_replication_timestamp) & 0xFFFFFFFFFFFFFFFF)
+    if osmosis_replication_sequence_number is not None:
+        body += P.field_varint(
+            33, int(osmosis_replication_sequence_number) & 0xFFFFFFFFFFFFFFFF)
+    if osmosis_replication_base_url is not None:
+        body += P.field_len(34, osmosis_replication_base_url.encode())
     return frame_blob("OSMHeader", body, compress)
 
 
@@ -265,8 +282,13 @@ def _encode_partitions(elements: DataFrame, compress: bool) -> DataFrame:
 
 
 def write_pbf(elements: DataFrame, path: str, compress: bool = True,
-              history: bool = False, bbox: list[float] | None = None) -> int:
+              history: bool = False, bbox: list[float] | None = None,
+              file_info: dict | None = None) -> int:
     """Unified element DataFrame → .osm.pbf file. Returns #data blocks.
+
+    ``file_info`` (the dict shape returned by decode.read_header) passes
+    through writingprogram/source and the osmosis replication state so
+    a read→write pipe preserves header metadata field-exact.
 
     Global order Node < Way < Relation then (id, version) — the
     Sort.Type_then_ID contract. Blocks encode in parallel on executors;
@@ -294,11 +316,20 @@ def write_pbf(elements: DataFrame, path: str, compress: bool = True,
     required = ["OsmSchema-V0.6", "DenseNodes"]
     if history:
         required.append("HistoricalInformation")
+    fi = file_info or {}
     n_blocks = 0
     try:
         with open(path, "wb") as f:
-            f.write(header_block_bytes(bbox, required, ["Sort.Type_then_ID"],
-                                       compress=compress))
+            f.write(header_block_bytes(
+                bbox, required, ["Sort.Type_then_ID"], compress=compress,
+                writingprogram=fi.get("writingprogram") or "osm-io-spark",
+                source=fi.get("source"),
+                osmosis_replication_timestamp=fi.get(
+                    "osmosis_replication_timestamp"),
+                osmosis_replication_sequence_number=fi.get(
+                    "osmosis_replication_sequence_number"),
+                osmosis_replication_base_url=fi.get(
+                    "osmosis_replication_base_url")))
             for row in enc.toLocalIterator():
                 f.write(bytes(row["data"]))
                 n_blocks += 1

@@ -87,6 +87,53 @@ def test_roundtrip_elements_apidb_elements(spark, tmp_path):
     assert b.exceptAll(a).count() == 0
 
 
+def test_full_table_surface_and_cold_readback(spark, tmp_path):
+    """S11 complete surface: the written dump contains ALL 53 apidb
+    tables (writer.rs:42-60 / table_data_writers.rs:9-138) under the
+    reference's template file names (toc/mapping.json), aux tables
+    empty-with-terminator; and a COLD python process re-parses our toc
+    and reproduces the golden counts (guards toc format drift)."""
+    import json
+    import subprocess
+    import sys
+
+    els = _synth_elements(spark)
+    out = str(tmp_path / "dump")
+    mapping = apidb.write_apidb_dump(els, out)
+
+    # complete table list, reference file names
+    assert set(mapping) == set(apidb.TOC_FILE_MAPPING)
+    assert len(mapping) == 53
+    assert mapping["nodes"] == "4260.dat"
+    assert mapping["changeset_tags"] == "4221.dat"
+    toc = apidb.parse_toc(os.path.join(out, "toc.dat"))
+    assert set(toc) == set(apidb.TOC_FILE_MAPPING)
+    for name, td in toc.items():
+        assert td["fields"] == (apidb.TABLE_FIELDS.get(name)
+                                or apidb.AUX_TABLE_FIELDS[name]), name
+        assert os.path.exists(os.path.join(out, td["file"])), name
+    # aux tables: terminator-only, as table_data_writer.rs close()
+    with open(os.path.join(out, mapping["gps_points"]), "rb") as fh:
+        assert fh.read() == b"\\.\n"
+    # synthesized changeset_tags: 2 rows per changeset (writer.rs:383-398)
+    n_changesets = sum(1 for _ in open(os.path.join(out, mapping["changesets"]))) - 1
+    n_cs_tags = sum(1 for _ in open(os.path.join(out, mapping["changeset_tags"]))) - 1
+    assert n_cs_tags == 2 * n_changesets > 0
+
+    script = f"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from osm_io_spark.sources import apidb
+toc = apidb.parse_toc({os.path.join(out, 'toc.dat')!r})
+print(json.dumps({{"n_tables": len(toc), "nodes_file": toc["nodes"]["file"]}}))
+"""
+    proc = subprocess.run([sys.executable, "-c", script],
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = json.loads(proc.stdout.strip())
+    assert got == {"n_tables": 53, "nodes_file": "4260.dat"}
+
+
 def test_roundtrip_history_current_semantics(spark, tmp_path):
     """History fixture: current_* keeps latest-visible versions only and
     drops ids whose latest version is invisible (current_object.rs)."""

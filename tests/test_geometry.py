@@ -60,3 +60,28 @@ def test_haversine_known():
     d = G.haversine_np([0.0], [0.0], [90.0], [0.0])[0]
     assert abs(d - np.pi / 2 * G.EARTH_RADIUS_M) < 1.0
     assert G.haversine_np([10.0], [20.0], [10.0], [20.0])[0] == 0.0
+
+
+def test_bbox_from_str_valid():
+    # mirrors bounding_box.rs:129-137 (test_from_str)
+    assert G.bbox_from_str("-180.0, -90.0, 180.0, 90.0") == (
+        -180.0, -90.0, 180.0, 90.0)
+    # no whitespace, extra precision
+    assert G.bbox_from_str("-170.1595029,-19.3548665,-169.5647229,-18.7534559") == (
+        -170.1595029, -19.3548665, -169.5647229, -18.7534559)
+    # round-trip through the Display form
+    bb = (-1.5, -2.5, 3.5, 4.5)
+    assert G.bbox_from_str(G.bbox_to_str(bb)) == bb
+
+
+def test_bbox_from_str_invalid():
+    import pytest
+    # mirrors bounding_box.rs:139-144 (test_invalid_values)
+    with pytest.raises(ValueError):
+        G.bbox_from_str("-180.1, -90.0, 180.0, 90.0")
+    with pytest.raises(ValueError):
+        G.bbox_from_str("-180.0, -90.0, 180.0")      # <4 parts
+    with pytest.raises(ValueError):
+        G.bbox_from_str("a, b, c, d")                # non-numeric
+    with pytest.raises(ValueError):
+        G.bbox_from_str("0, -91.0, 10, 90.0")        # lat out of range

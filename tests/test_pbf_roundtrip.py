@@ -91,6 +91,36 @@ def test_header(fixture_pbf):
     assert np.allclose(got, want, atol=1e-9)
 
 
+def test_replication_metadata_roundtrip(spark, fixture_pbf, tmp_path):
+    """FileInfo round-trip (file_info.rs:4-14, osm_header.rs:30-55):
+    writingprogram/source + osmosis_replication_* written by write_pbf
+    must read back field-exact through read_header."""
+    path, _, _, _ = fixture_pbf
+    els = D.read_pbf(spark, path)
+    fi = {
+        "writingprogram": "osm-io-spark-test",
+        "source": "synthetic fixture",
+        "osmosis_replication_timestamp": 1_673_222_400,
+        "osmosis_replication_sequence_number": 5_432_109,
+        "osmosis_replication_base_url":
+            "https://example.org/replication/minute",
+    }
+    out = str(tmp_path / "replicated.osm.pbf")
+    E.write_pbf(els, out, file_info=fi)
+    got = D.read_header(out)
+    for k, v in fi.items():
+        assert got[k] == v, (k, got[k], v)
+    # absent state stays absent: the original fixture header has none
+    base = D.read_header(path)
+    assert base["osmosis_replication_timestamp"] is None
+    assert base["osmosis_replication_sequence_number"] is None
+    assert base["osmosis_replication_base_url"] is None
+    # and a second pass (read the replicated file, write again) keeps it
+    out2 = str(tmp_path / "replicated2.osm.pbf")
+    E.write_pbf(D.read_pbf(spark, out), out2, file_info=D.read_header(out))
+    assert {k: D.read_header(out2)[k] for k in fi} == fi
+
+
 def test_golden_counts_and_ids(spark, fixture_pbf):
     path, analysis, _, _ = fixture_pbf
     els = D.read_pbf(spark, path)

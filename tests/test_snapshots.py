@@ -130,6 +130,27 @@ def test_spatial_join_job_crash_and_resume(tmp_path):
     assert result["total_rows"] == control["total_rows"]
 
 
+def test_spatial_join_job_bbox_flag(tmp_path):
+    """C9 wiring: --bbox filters the probe side (strictly fewer matches
+    for a half-world box than unfiltered) and malformed boxes are
+    rejected before any Spark work starts."""
+    # sf0.01: at sf0.001 the synthetic join is empty by construction
+    # (modular geo synthesis degenerates below ~60k probes)
+    base = ["--sf-dir", "/root/testdata/sf0.01",
+            "--n-buckets", "2", "--master", "local[4]"]
+    full = spatial_join_job.run(
+        base + ["--catalog", str(tmp_path / "cat_full")])
+    # matched probes cluster in lon ∈ [-172, -156]; -164 splits them
+    west = spatial_join_job.run(
+        base + ["--catalog", str(tmp_path / "cat_west"),
+                "--bbox", "-180, -90, -164, 90"])
+    assert 0 < west["total_rows"] < full["total_rows"]
+    with pytest.raises(ValueError):
+        spatial_join_job.run(
+            base + ["--catalog", str(tmp_path / "cat_bad"),
+                    "--bbox", "-190, -90, 0, 90"])
+
+
 @pytest.mark.slow
 def test_spark_submit_py_files_launch(tmp_path):
     """The literal north-rule launch shape: spark-submit --py-files
