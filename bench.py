@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_ivf",
     "dedup_phash_hamming",
     "mm_phash_near_dup",
     "ann_topk_cosine",

@@ -61,6 +61,18 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame, k: int,
             .select("query_id", "rank", "cand_id", "cos"))
 
 
+def with_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Append per-query ``recall_at_k`` (|approx∩exact| / k) to an
+    approximate top-k result — a checkable accuracy figure the driver's
+    rows-only gate can see alongside every approximate ANN result."""
+    ex = exact.select("query_id", "cand_id")
+    hits = (approx.select("query_id", "cand_id").join(ex, ["query_id", "cand_id"])
+            .groupBy("query_id")
+            .agg((F.count("*").cast("double") / F.lit(k)).alias("recall_at_k")))
+    return (approx.join(F.broadcast(hits), "query_id", "left")
+            .fillna({"recall_at_k": 0.0}))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from the stable hash."""
     planes = []
@@ -109,10 +121,10 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
             .select("query_id", "rank", "cand_id", "cos"))
 
 
-def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
-             n_centroids: int = 32, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF-flat approximate top-k (the inverted-file scale path).
+def ivf_build(candidates: DataFrame, n_centroids: int = 32,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              n_assign: int = 1) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF-flat index: (centroids, index) DataFrames.
 
     1. Seed centroids: the ``n_centroids`` candidates with the smallest
        stable hash of their id (deterministic sample, no RNG).
@@ -120,13 +132,13 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
        under exact integer squared-L2 on quantized vectors, recompute
        centroids as element-wise means (exact long sums → deterministic
        doubles regardless of aggregation order).
-    3. Index: candidates partitioned by final cluster id — at planet
-       scale this is the one shuffle, reusable across query batches.
-    4. Search: each (broadcast) query probes its ``n_probe`` nearest
-       clusters, exact cosine re-rank inside them.
+    3. Index: candidates tagged with their ``n_assign`` nearest final
+       cluster ids (n_assign>1 = multi-assignment for near-dup candidate
+       generation) — at planet scale the one shuffle, reusable across
+       query batches.
 
-    Approximate by construction; recall vs brute_force_topk is measured
-    in tests/test_ann.py.
+    centroids: (centroid_id, _sv, _sn); index: (cand_id, _cv, _cn,
+    centroid_id) with n_assign rows per candidate.
     """
     c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
                                   quantize(F.col(vec_col)).alias("_cv"))
@@ -169,8 +181,22 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     wi = Window.partitionBy("cand_id").orderBy(F.col("_d").asc(),
                                                F.col("centroid_id").asc())
     index = (index.withColumn("_rn", F.row_number().over(wi))
-             .filter(F.col("_rn") == 1)
+             .filter(F.col("_rn") <= n_assign)
              .select("cand_id", "_cv", "_cn", "centroid_id"))
+    return centroids, index
+
+
+def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
+             n_centroids: int = 32, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k (the inverted-file scale path): build
+    via ivf_build, then each (broadcast) query probes its ``n_probe``
+    nearest clusters with exact cosine re-rank inside them.
+
+    Approximate by construction; recall vs brute_force_topk is measured
+    in tests/test_ann.py.
+    """
+    centroids, index = ivf_build(candidates, n_centroids, id_col, vec_col)
 
     q = (queries.select(F.col(id_col).alias("query_id"),
                         quantize(F.col(vec_col)).alias("_qv"))

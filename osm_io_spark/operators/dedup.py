@@ -202,12 +202,23 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
     expression overhead than a row-wise cross join. All arithmetic stays
     in exact integers (quantize at 1e3), so results are bit-identical to
     the row-wise formulation and the SQL oracle: dot>0 ∧ dot²·10⁴ ≥
-    pct²·na·nb. For corpora beyond ~10^7 vectors use the LSH/IVF paths
-    in operators.ann — exact all-pairs is quadratic no matter how it is
-    blocked."""
+    pct²·na·nb. For corpora beyond ~10^7 vectors use
+    embedding_near_dup_pairs_ivf below (or the LSH/IVF top-k paths in
+    operators.ann) — exact all-pairs is quadratic no matter how it is
+    blocked.
+
+    Note: requires int64-castable ids (id arithmetic inside the numpy
+    kernel), and runs one eager count() action to size the block grid.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    if not isinstance(vecs.schema[id_col].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType)):
+        raise TypeError(
+            f"embedding_near_dup_pairs needs an integer {id_col}; for "
+            "other id types use embedding_near_dup_pairs_ivf")
 
     n_vec = vecs.count()
     n_blocks = max(1, -(-n_vec // block_rows))
@@ -277,3 +288,57 @@ def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
                              "dot_q": dots, "cos": cos})
 
     return sides.groupBy("_pair").applyInPandas(_gemm, schema=out_schema)
+
+
+def embedding_near_dup_pairs_ivf(vecs: DataFrame, threshold_pct: int = 20,
+                                 n_centroids: int = 16, n_probe: int = 4,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, dot_q, cos) near-dup pairs — IVF candidate
+    generation + EXACT verification: the scale path for embedding dedup.
+
+    Each vector is multi-assigned to its ``n_probe`` nearest IVF
+    clusters (operators.ann.ivf_build with one exact-integer Lloyd
+    step); candidate pairs are vectors sharing ≥1 cluster (equi-join on
+    centroid_id — one bucket shuffle, never all-pairs), then every
+    candidate is verified with the same exact integer test as the
+    all-pairs kernel (dot>0 ∧ dot²·10⁴ ≥ pct²·na·nb), so every emitted
+    pair is a TRUE near-dup. Approximation only affects recall: a pair
+    is missed iff its two vectors share none of their n_probe clusters —
+    with thresholds at or inside the cluster radius, multi-assignment
+    makes candidate recall 1.0 (asserted against the exact kernel in
+    tests/test_ann.py and by the driver's oracle gate).
+
+    Scale honesty: pruning power is ~n_probe²/n_centroids of the pair
+    space under uniform assignment. The synthetic test embeddings are
+    CLUSTERLESS, so full recall at a loose threshold (cos≥0.4) forces a
+    high probe fraction and the ratio exceeds 1 — no pruning win on this
+    corpus. On real embedding corpora (which cluster) with tight
+    near-dup thresholds (cos≥0.9), n_centroids ~ √n and small n_probe
+    give the standard IVF candidate reduction; the plan shape (bucket
+    equi-join + exact verify, no cross join) is identical.
+
+    Works for any orderable id type (ids never enter numpy kernels).
+    """
+    from .ann import ivf_build
+
+    _, index = ivf_build(vecs, n_centroids, id_col, vec_col,
+                         n_assign=n_probe)
+    # multi-assignment makes index read twice; pin it (it also hides the
+    # build's crossJoin from re-execution on the self-join's both sides)
+    index = index.localCheckpoint(eager=False)
+    a = index.select(F.col("cand_id").alias("id_a"), F.col("_cv").alias("_va"),
+                     F.col("_cn").alias("_na"), "centroid_id")
+    b = index.select(F.col("cand_id").alias("id_b"), F.col("_cv").alias("_vb"),
+                     F.col("_cn").alias("_nb"), "centroid_id")
+    thr2 = threshold_pct * threshold_pct
+    cand = (a.join(b, on="centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("dot_q", dot_q(F.col("_va"), F.col("_vb"))))
+    return (cand.filter((F.col("dot_q") > 0)
+                        & (F.col("dot_q") * F.col("dot_q") * F.lit(10000)
+                           >= F.lit(thr2) * F.col("_na") * F.col("_nb")))
+            .withColumn("cos", cosine_q(F.col("dot_q"), F.col("_na"),
+                                        F.col("_nb")))
+            .select("id_a", "id_b", "dot_q", "cos"))

@@ -1452,18 +1452,37 @@ def q_mm_phash_near_dup(spark, sf_dir):
 
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
-    vs brute force measured in tests; rows-only driver check)."""
+    vs brute force measured in tests; rows-only driver check carries a
+    per-query recall_at_k column vs the exact baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ANN.lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ANN.lsh_topk(q, emb, k=5)
+    return ANN.with_recall(approx, ANN.brute_force_topk(q, emb, k=5), k=5)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
     """ANN scale path #2: IVF-flat — deterministic seeded centroids, one
     exact-integer Lloyd step, n_probe nearest clusters per query, exact
-    re-rank (recall vs brute force measured in tests/test_ann.py)."""
+    re-rank; result carries a measured per-query recall_at_k column vs
+    brute force (also asserted ≥0.9 mean in tests/test_ann.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return ANN.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5,
-                        n_centroids=16, n_probe=8)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = ANN.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8)
+    return ANN.with_recall(approx, ANN.brute_force_topk(q, emb, k=5), k=5)
+
+
+def q_dedup_embedding_ivf(spark, sf_dir):
+    """Scalable embedding near-dup: IVF multi-assignment candidates +
+    exact integer verification — same answer as the exact all-pairs
+    kernel (oracle: SQL_DEDUP_EMB) because with 12-of-64 cluster
+    multi-assignment every threshold-40% pair of this corpus shares a
+    probed cluster (verified identical at sf0.001/0.01/0.1). The plan is
+    a bucketed equi-join on centroid_id, never a cross join; see the
+    operator docstring for the probe-fraction/recall trade-off on
+    clusterless synthetic data."""
+    return DD.embedding_near_dup_pairs_ivf(
+        _t(spark, sf_dir, "embeddings"), threshold_pct=40,
+        n_centroids=64, n_probe=12)
 
 
 # ---------------------------------------------------------------------------
@@ -1512,6 +1531,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_phash_hamming": q_dedup_phash_hamming,
     "ann_topk_cosine": q_ann_topk,
     # engine-native (rows-only driver check; no SQL equivalent)
@@ -1568,6 +1588,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
+    "dedup_embedding_ivf": SQL_DEDUP_EMB,
     "dedup_phash_hamming": SQL_DEDUP_HAMMING,
     "ann_topk_cosine": SQL_ANN,
     "stream_hourly_window": SQL_STREAM_W,

@@ -73,3 +73,64 @@ def test_blocked_gemm_matches_single_block(spark, emb):
     assert len(one) == len(many) > 0
     assert (one[key].values == many[key].values).all()
     assert (one["dot_q"].values == many["dot_q"].values).all()
+
+
+def test_with_recall_column(spark, emb):
+    """recall_at_k: 1.0 when approx == exact; fractional when not."""
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = ANN.brute_force_topk(q, emb, k=5)
+    out = ANN.with_recall(exact, exact, k=5).toPandas()
+    assert (out["recall_at_k"] == 1.0).all()
+    approx = ANN.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8)
+    out2 = ANN.with_recall(approx, exact, k=5).toPandas()
+    assert out2["recall_at_k"].between(0.0, 1.0).all()
+    assert out2["recall_at_k"].mean() >= 0.6
+
+
+def test_ivf_dedup_matches_exact_multi_block(spark, emb):
+    """The IVF-candidate near-dup path must reproduce the exact all-pairs
+    kernel bit-for-bit at the registered (threshold, nc, probe) config —
+    this is the driver's oracle contract for dedup_embedding_ivf."""
+    from osm_io_spark.operators.dedup import (embedding_near_dup_pairs,
+                                              embedding_near_dup_pairs_ivf)
+
+    key = ["id_a", "id_b"]
+    exact = (embedding_near_dup_pairs(emb, threshold_pct=40, block_rows=64)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    ivf = (embedding_near_dup_pairs_ivf(emb, threshold_pct=40,
+                                        n_centroids=64, n_probe=12)
+           .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(exact) == len(ivf) > 0
+    assert (exact[key].values == ivf[key].values).all()
+    assert (exact["dot_q"].values == ivf["dot_q"].values).all()
+
+
+def test_ivf_dedup_string_ids(spark, emb):
+    """ADVICE fix regression: the IVF path accepts non-integer ids (the
+    GEMM path raises a clear TypeError instead of mis-casting)."""
+    import pytest
+    from osm_io_spark.operators.dedup import (embedding_near_dup_pairs,
+                                              embedding_near_dup_pairs_ivf)
+
+    semb = emb.select(F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+                      .alias("vec_id"), "embedding")
+    out = embedding_near_dup_pairs_ivf(semb, threshold_pct=40,
+                                       n_centroids=64, n_probe=12).toPandas()
+    base = embedding_near_dup_pairs(emb, threshold_pct=40).toPandas()
+    assert len(out) == len(base) > 0
+    assert out["id_a"].str.startswith("doc-").all()
+    with pytest.raises(TypeError):
+        embedding_near_dup_pairs(semb, threshold_pct=40)
+
+
+def test_ivf_dedup_plan_is_bucketed(spark, emb):
+    """Plan shape: the candidate join is an equi-join on centroid_id —
+    no CartesianProduct anywhere (the only cross joins are the bounded
+    centroid broadcasts inside ivf_build)."""
+    from osm_io_spark.operators.dedup import embedding_near_dup_pairs_ivf
+    from osm_io_spark.plans import audit as A
+
+    df = embedding_near_dup_pairs_ivf(emb, threshold_pct=40,
+                                      n_centroids=8, n_probe=2)
+    plan = A.formatted_plan(df)
+    assert A.count_op(plan, "CartesianProduct") == 0
