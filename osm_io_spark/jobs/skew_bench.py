@@ -36,6 +36,10 @@ from ..session import get_spark
 
 def run(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["cell", "bands"], default="cell",
+                    help="cell: spatial Zipf-head cell join; bands: "
+                         "hamming band self-join over a boilerplate-"
+                         "heavy fingerprint corpus (one hot band)")
     ap.add_argument("--n-images", type=int, default=20_000_000)
     ap.add_argument("--hot-frac", type=float, default=0.5)
     ap.add_argument("--res", type=int, default=10)
@@ -45,6 +49,8 @@ def run(argv: list[str] | None = None) -> dict:
                     help="disable AQE skew-join: the regime where explicit"
                          " salting is the only skew defense")
     args = ap.parse_args(argv)
+    if args.mode == "bands":
+        return run_bands(args)
 
     spark = get_spark("skew-bench", master=(
         f"local[{args.cpus}]" if args.cpus else None),
@@ -104,6 +110,72 @@ def run(argv: list[str] | None = None) -> dict:
         "hot_frac": args.hot_frac,
         "n_salt": args.n_salt,
         "cores": cores,
+        "aqe_skew_join": not args.no_aqe_skew,
+        "unsalted_s": t_un,
+        "salted_s": t_sa,
+        "speedup": round(t_un / t_sa, 2),
+        "n_matches": n_un,
+    }
+    print(json.dumps(out))
+    return out
+
+
+def run_bands(args) -> dict:
+    """Hot-BAND skew: a boilerplate-heavy fingerprint corpus (constant
+    image region ⇒ ``hot_frac`` of all 64-bit phashes share one band's
+    bits) drives the hamming band self-join. The hot band key holds m
+    rows ⇒ m² joined candidates from ONE reducer unsalted — a single
+    giant key AQE cannot split (skew-join splits partitions, not keys).
+    salted_self_band_join scatters the m² work across n_salt reducers;
+    pair sets are identical (asserted)."""
+    spark = get_spark("skew-bench-bands", master=(
+        f"local[{args.cpus}]" if args.cpus else None),
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": str(not args.no_aqe_skew).lower(),
+        })
+    spark.sparkContext.setLogLevel("ERROR")
+    from ..operators import dedup as DD
+
+    n = args.n_images
+    hot_m = int(n * args.hot_frac)
+    # 64-bit fp, max_k=2 ⇒ 3 bands of ~21 bits. Boilerplate rows agree
+    # on the low 21 bits (band 0) but are random above — they collide in
+    # band 0 yet almost never pass the exact hamming filter, isolating
+    # the join-skew cost from output volume.
+    fp = F.when(
+        F.col("doc_id") < hot_m,
+        F.shiftleft(F.xxhash64("doc_id"), 21).bitwiseOR(F.lit(0x155555))
+    ).otherwise(F.xxhash64(F.col("doc_id") + F.lit(10_000_000_000)))
+    corpus = (spark.range(0, n, 1,
+                          spark.sparkContext.defaultParallelism * 4)
+              .select(F.col("id").alias("doc_id"))
+              .withColumn("fp", fp))
+
+    def timed(df):
+        t0 = time.perf_counter()
+        n_out = df.count()
+        return round(time.perf_counter() - t0, 3), n_out
+
+    unsalted = DD.hamming_near_dup_pairs(corpus, max_k=2, nbits=64,
+                                         salt=0)
+    # measured salting: 'auto' resolves (n_salt, hot bands) from actual
+    # per-band counts, sized so the hot band splits ~n_salt ways
+    auto = DD.hamming_near_dup_pairs(
+        corpus, max_k=2, nbits=64, salt="auto",
+        salt_threshold_rows=max(1000, hot_m // args.n_salt))
+    timed(unsalted)  # warm
+    t_un, n_un = timed(unsalted)
+    t_sa, n_sa = timed(auto)
+    assert n_un == n_sa, (n_un, n_sa)
+
+    out = {
+        "metric": "band_salting_speedup",
+        "mode": "bands",
+        "n_rows": n,
+        "hot_frac": args.hot_frac,
+        "n_salt": args.n_salt,
+        "cores": spark.sparkContext.defaultParallelism,
         "aqe_skew_join": not args.no_aqe_skew,
         "unsalted_s": t_un,
         "salted_s": t_sa,

@@ -76,17 +76,21 @@ def run(argv: list[str] | None = None) -> dict:
             (F.col("lon") >= left) & (F.col("lon") <= right)
             & (F.col("lat") >= bottom) & (F.col("lat") <= top))
 
+    # each bucket joins only ~1/n_buckets of the probe, so hotness and
+    # salt factor are sized on per-bucket counts: full-table count
+    # > threshold*n_buckets ⟺ per-bucket count > threshold
+    bucket_threshold = args.hot_threshold * args.n_buckets
     hot: list[int] = []
     if args.salt == "auto":
         probe_cells = SJ.tag_probe_cells(images, args.res)
         salt, hot = SJ.resolve_salt(probe_cells, "auto", None,
-                                    threshold_rows=args.hot_threshold)
+                                    threshold_rows=bucket_threshold)
     else:
         salt = int(args.salt)
         if salt > 1:
             probe_cells = SJ.tag_probe_cells(images, args.res)
             hot = SJ.hot_cells(probe_cells,
-                               threshold_rows=args.hot_threshold)
+                               threshold_rows=bucket_threshold)
 
     catalog = SnapshotCatalog(args.catalog)
     table = catalog.table(args.table)

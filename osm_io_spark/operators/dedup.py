@@ -48,8 +48,14 @@ def minhash_signatures(docs: DataFrame, n_perm: int, shingle_n: int = 3,
 
 def minhash_lsh_pairs(docs: DataFrame, n_perm: int = 8, band_size: int = 2,
                       shingle_n: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id_a, id_b) candidate near-dup pairs sharing ≥1 LSH band."""
+                      id_col: str = "doc_id", text_col: str = "text",
+                      salt: int | str = 0,
+                      hot: list[int] | None = None,
+                      salt_threshold_rows: int = 2_000_000) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs sharing ≥1 LSH band.
+    ``salt='auto'`` salts Zipf-head bands (boilerplate-heavy corpora
+    collapse many docs into one band key) exactly like hot spatial
+    cells; identical pair sets either way (tested + skew_bench)."""
     sig = minhash_signatures(docs, n_perm, shingle_n, id_col, text_col)
     n_bands = n_perm // band_size
     # ONE projection with an exploded band array — a unionByName of
@@ -65,9 +71,12 @@ def minhash_lsh_pairs(docs: DataFrame, n_perm: int = 8, band_size: int = 2,
     # lazy local checkpoint: the self-join reads allbands twice; without
     # it each side recomputes the signatures from raw text
     allbands = allbands.localCheckpoint(eager=False)
+    n_salt, hot_keys = resolve_band_salt(
+        allbands, salt, hot, "_band", threshold_rows=salt_threshold_rows)
     left = allbands.select(F.col("_id").alias("id_a"), "_band")
     right = allbands.select(F.col("_id").alias("id_b"), "_band")
-    return (left.join(right, on="_band")
+    return (salted_self_band_join(left, right, "_band", n_salt, hot_keys,
+                                  "id_a")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
@@ -148,9 +157,61 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
     return out.select("id_a", "id_b", "inter", "union_n", "jaccard")
 
 
+def salted_self_band_join(a: DataFrame, b: DataFrame, band_col: str,
+                          n_salt: int, hot: list[int],
+                          scatter_col: str) -> DataFrame:
+    """Self-equi-join on a band key with explicit Zipf-head salting —
+    the band-join twin of spatial_join.salted_cell_join (hot bands from
+    boilerplate text / constant image regions behave exactly like hot
+    spatial cells). The ``a`` side scatters hot-band rows across
+    ``n_salt`` shards by hash(scatter_col); the ``b`` side replicates
+    its hot-band rows n_salt×; cold bands join plainly. Unlike the
+    spatial variant the cold side is NOT broadcast — in a self-join both
+    sides are the full corpus. Hot/cold key sets are disjoint, so the
+    two joins partition the matches exactly."""
+    if not hot or n_salt <= 1:
+        return a.join(b, on=band_col)
+    hot_vals = [int(h) for h in hot]
+    a_s = a.withColumn("_salt", F.pmod(F.hash(F.col(scatter_col)),
+                                       F.lit(n_salt)))
+    b_hot = (b.filter(F.col(band_col).isin(hot_vals))
+             .withColumn("_salt", F.explode(
+                 F.sequence(F.lit(0), F.lit(n_salt - 1)))))
+    b_cold = b.filter(~F.col(band_col).isin(hot_vals))
+    # EXPLICIT repartition on the salted join keys: the hot shards are
+    # small in BYTES but quadratic in COMPUTE (each emits |a|·|b| pair
+    # candidates), and AQE's byte-based partition coalescing would merge
+    # them back onto few cores — measured 2x SLOWER than unsalted.
+    # User-specified repartitions are exempt from AQE coalescing, so the
+    # n_salt-way parallelism actually survives to execution.
+    spark = a.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                 n_salt)
+    a_s = a_s.repartition(nparts, band_col, "_salt")
+    b_hot = b_hot.repartition(nparts, band_col, "_salt")
+    hot_j = a_s.join(b_hot, on=[band_col, "_salt"]).drop("_salt")
+    cold_j = a.join(b_cold, on=band_col)
+    return hot_j.unionByName(cold_j)
+
+
+def resolve_band_salt(bands: DataFrame, salt, hot: list[int] | None,
+                      band_col: str,
+                      threshold_rows: int = 2_000_000,
+                      max_salt: int = 64) -> tuple[int, list[int]]:
+    """salt='auto' → measure per-band row counts once and salt only the
+    bands whose count exceeds the threshold (one aggregation; driver
+    side bounded). Mirrors spatial_join.resolve_salt."""
+    from .spatial_join import resolve_salt
+    return resolve_salt(bands, salt, hot, cell=band_col,
+                        threshold_rows=threshold_rows, max_salt=max_salt)
+
+
 def hamming_near_dup_pairs(df: DataFrame, max_k: int = 2, nbits: int = 16,
                            fp_col: str = "fp",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           salt: int | str = 0,
+                           hot: list[int] | None = None,
+                           salt_threshold_rows: int = 2_000_000) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(fp_a, fp_b) ≤ max_k —
     the phash/simhash near-dup join for image and text fingerprints.
 
@@ -159,8 +220,15 @@ def hamming_near_dup_pairs(df: DataFrame, max_k: int = 2, nbits: int = 16,
     least one band, so an equi-join on (band_index, band_bits) finds all
     candidates — never a cross join — and an exact popcount filter
     (bit_count(a^b), JVM codegen) keeps true matches. At 10^12 rows this
-    is one shuffle on band keys; hot bands (constant image regions)
-    fall under the same salting/AQE treatment as hot spatial cells."""
+    is one shuffle on band keys; hot bands (constant image regions,
+    boilerplate fingerprints) get the same explicit salting as hot
+    spatial cells — ``salt='auto'`` measures per-band counts and salts
+    only actual Zipf heads; results are identical either way (tested).
+
+    The join key is xxhash64 of the (band_index, band_bits) struct — a
+    single long shuffles/salts cheaper than a struct, and a 64-bit
+    collision can only ADD candidates (the exact popcount filter keeps
+    correctness)."""
     n_bands = max_k + 1
     sizes = [nbits // n_bands + (1 if i < nbits % n_bands else 0)
              for i in range(n_bands)]
@@ -176,12 +244,15 @@ def hamming_near_dup_pairs(df: DataFrame, max_k: int = 2, nbits: int = 16,
         for b, (sh, sz) in enumerate(shifts)])
     bands = (widen(df)
              .select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"),
-                     F.explode(keys).alias("_bk"))
+                     F.explode(keys).alias("_bks"))
+             .select("_id", "_fp", F.xxhash64("_bks").alias("_bk"))
              .localCheckpoint(eager=False))
+    n_salt, hot_keys = resolve_band_salt(
+        bands, salt, hot, "_bk", threshold_rows=salt_threshold_rows)
     a = bands.select(F.col("_id").alias("id_a"), F.col("_fp").alias("_fpa"), "_bk")
     b = bands.select(F.col("_id").alias("id_b"), F.col("_fp").alias("_fpb"), "_bk")
     ham = F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb"))).cast("long")
-    return (a.join(b, on="_bk")
+    return (salted_self_band_join(a, b, "_bk", n_salt, hot_keys, "id_a")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_k)

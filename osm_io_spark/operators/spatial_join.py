@@ -250,9 +250,22 @@ def resolve_salt(probe: DataFrame, salt, hot: list[int] | None,
     shards. Returns the inputs unchanged for explicit settings."""
     if salt != "auto":
         return (salt or 0), (hot or [])
+    # filter BEFORE the bounded collect: only above-threshold cells come
+    # back, so the hot set is never silently truncated by a top-N cap;
+    # the 4097-row guard only trips if >4096 cells each exceed the
+    # threshold, which is logged (and means the threshold is set far too
+    # low for the corpus, not that cells were dropped silently)
     rows = (probe.groupBy(cell).count()
-            .orderBy(F.desc("count")).limit(1024).collect())
-    hot_auto = [r[cell] for r in rows if r["count"] > threshold_rows]
+            .filter(F.col("count") > threshold_rows)
+            .orderBy(F.desc("count")).limit(4097).collect())
+    if len(rows) > 4096:
+        import warnings
+        warnings.warn(
+            f"resolve_salt: >4096 cells exceed threshold_rows="
+            f"{threshold_rows}; salting only the hottest 4096 "
+            f"(raise the threshold)")
+        rows = rows[:4096]
+    hot_auto = [r[cell] for r in rows]
     if not hot_auto:
         return 0, []
     n_salt = min(max_salt, -(-max(r["count"] for r in rows) // threshold_rows))

@@ -134,3 +134,38 @@ def test_ivf_dedup_plan_is_bucketed(spark, emb):
                                       n_centroids=8, n_probe=2)
     plan = A.formatted_plan(df)
     assert A.count_op(plan, "CartesianProduct") == 0
+
+
+def test_salted_band_joins_identical_pairs(spark):
+    """Hot-band salting must not change results: hamming and minhash
+    band joins produce IDENTICAL pair sets salted vs plain, on a
+    boilerplate-heavy corpus that actually triggers the salting path
+    (threshold low enough that the shared band resolves as hot)."""
+    from osm_io_spark.operators import dedup as DD
+
+    # 400 docs, 100 share band 0 of a 64-bit fp (constant low 21 bits)
+    fp = F.when(
+        F.col("doc_id") < 100,
+        F.shiftleft(F.xxhash64("doc_id"), 21).bitwiseOR(F.lit(0x155555))
+    ).otherwise(F.xxhash64(F.col("doc_id") + F.lit(10_000_000_000)))
+    corpus = (spark.range(0, 400).select(F.col("id").alias("doc_id"))
+              .withColumn("fp", fp))
+    plain = (DD.hamming_near_dup_pairs(corpus, max_k=2, nbits=64, salt=0)
+             .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    salted = (DD.hamming_near_dup_pairs(corpus, max_k=2, nbits=64,
+                                        salt="auto", salt_threshold_rows=50)
+              .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert plain.equals(salted)
+
+    # minhash on a corpus with a boilerplate block (identical texts)
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 80, F.lit("the same boilerplate text block"))
+        .otherwise(F.concat(F.lit("unique doc number "),
+                            F.col("id").cast("string"),
+                            F.lit(" with its own words"))).alias("text"))
+    p2 = (DD.minhash_lsh_pairs(docs, salt=0)
+          .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    s2 = (DD.minhash_lsh_pairs(docs, salt="auto", salt_threshold_rows=40)
+          .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(p2) > 0 and p2.equals(s2)
