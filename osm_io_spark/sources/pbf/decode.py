@@ -56,7 +56,12 @@ ELEMENTS = T.StructType([
 
 _COLS = [f.name for f in ELEMENTS.fields]
 
-_EMPTY_TAGS: list = []
+# ONE shared empty-tags sentinel for the untagged majority (8000
+# distinct empty-list allocations per block measurably throttle parallel
+# decode). IMMUTABLE (tuple) so an in-place append by any consumer
+# raises instead of silently corrupting every untagged row in the batch;
+# Arrow treats tuples as list values on conversion.
+_EMPTY_TAGS: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -240,10 +245,6 @@ def decode_block(data: bytes) -> pd.DataFrame:
                 vis = visv.astype(bool) if len(visv) == n else np.ones(n, bool)
 
             kv = P.decode_varints(P.first(d, 10, b"")).astype(np.int64)
-            # one shared empty list for the untagged majority — consumers
-            # treat tag lists as read-only; 8000 distinct empty-list
-            # allocations per block measurably throttle parallel decode
-            # (the kernel is allocator-bound, not CPU-bound)
             tags_per = [_EMPTY_TAGS] * n
             if len(kv):
                 # vectorized zero-delimiter split: only nodes that
@@ -252,11 +253,22 @@ def decode_block(data: bytes) -> pd.DataFrame:
                 zeros = np.flatnonzero(kv == 0)
                 starts = np.concatenate(([0], zeros[:-1] + 1))
                 tagged = np.flatnonzero(zeros > starts)
+
+                def _seg_tags(seg):
+                    return [{"k": str(strings[seg[j]]),
+                             "v": str(strings[seg[j + 1]])}
+                            for j in range(0, len(seg), 2)]
+
                 for i in tagged:
-                    seg = kv[starts[i]:zeros[i]]
-                    tags_per[int(i)] = [
-                        {"k": str(strings[seg[j]]), "v": str(strings[seg[j + 1]])}
-                        for j in range(0, len(seg), 2)]
+                    tags_per[int(i)] = _seg_tags(kv[starts[i]:zeros[i]])
+                # lenient-input path: a file omitting the trailing
+                # 0-delimiter after the LAST tagged node (own encoder
+                # and the reference both emit n delimiters) leaves a
+                # dangling segment past the final zero — assign it to
+                # node len(zeros) instead of silently dropping its tags
+                tail_start = zeros[-1] + 1 if len(zeros) else 0
+                if len(zeros) < n and tail_start < len(kv):
+                    tags_per[len(zeros)] = _seg_tags(kv[tail_start:])
 
             # columnar frame — no per-row tuple construction (the
             # row-wise form was allocator-bound and capped parallel

@@ -264,3 +264,23 @@ def test_negative_paths_and_feature_rejection(spark, tmp_path):
             None, ["OsmSchema-V0.6", "Exotic-Feature-v9"], []))
     with pytest.raises(Exception, match="[Ff]eature"):
         PD.read_header(str(bad))
+
+
+def test_lenient_missing_trailing_kv_delimiter():
+    """A third-party DenseNodes block that omits the trailing
+    0-delimiter after the LAST tagged node must still yield that node's
+    tags (decode.py lenient path; own encoder always emits n zeros)."""
+    import zlib
+
+    st = b"".join(P.field_len(1, s) for s in
+                  [b"", b"k1", b"v1", b"k2", b"v2"])
+    ids = P.field_packed_sints(1, P.delta_encode(np.array([10, 11])))
+    lat = P.field_packed_sints(8, P.delta_encode(np.array([100, 200])))
+    lon = P.field_packed_sints(9, P.delta_encode(np.array([300, 400])))
+    # node 0 untagged (just a 0), node 1 tagged WITHOUT trailing 0
+    kv = P.field_packed_varints(10, np.array([0, 3, 4], np.uint64))
+    dense = ids + lat + lon + kv
+    block = P.field_len(1, st) + P.field_len(2, P.field_len(2, dense))
+    pdf = D.decode_block(block)
+    assert list(pdf["tags"].iloc[0]) == []
+    assert list(pdf["tags"].iloc[1]) == [{"k": "k2", "v": "v2"}]
