@@ -1,0 +1,142 @@
+"""sf1 evidence run: flagship + dedup family at 10x the sf0.1 corpus.
+
+Partition-count cliffs (too-few input splits, single-block codepaths,
+driver-side materializations) scale with DATA, not with query logic —
+passing at sf0.1 does not prove sf1. This job synthesizes an
+sf1-equivalent corpus (deterministic 10x replication of the sf0.1
+tables with key offsets — same generator-derived geo/text semantics,
+no external data) into a scratch dir, runs the flagship spatial join
+and the dedup family on it under the SHIPPED session config (12g local
+JVM), and writes one markdown evidence table.
+
+    python -m osm_io_spark.jobs.sf1_evidence --out BENCH/SF1.md
+
+Each query reports wall seconds + output rows; completing at all is the
+OOM/cliff evidence, the timings are the throughput record.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from ..session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+REPL = 10
+
+
+def synthesize(spark, out_dir: str) -> None:
+    """10x replicas with shifted keys; parquet written once, reused."""
+    done_flag = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done_flag):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    reps = spark.range(REPL).select(F.col("id").alias("_r"))
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet") \
+        .select("l_orderkey", "l_linenumber")
+    li_max = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    (li.crossJoin(F.broadcast(reps))
+     .select((F.col("l_orderkey") + F.col("_r") * li_max).alias("l_orderkey"),
+             "l_linenumber")
+     .repartition(64)
+     .write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet"))
+
+    pt = spark.read.parquet(f"{SRC}/part.parquet").select("p_partkey")
+    pt_max = pt.agg(F.max("p_partkey")).collect()[0][0] + 1
+    # keep p_partkey % 10 residues intact (the polygon-family selectors)
+    pt_step = ((pt_max + 9) // 10) * 10
+    (pt.crossJoin(F.broadcast(reps))
+     .select((F.col("p_partkey") + F.col("_r") * pt_step).alias("p_partkey"))
+     .repartition(16)
+     .write.mode("overwrite").parquet(f"{out_dir}/part.parquet"))
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet") \
+        .select("doc_id", "text")
+    (docs.crossJoin(F.broadcast(reps))
+     .select((F.col("doc_id") + F.col("_r") * 10_000).alias("doc_id"), "text")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet") \
+        .select("event_id", "event_type")
+    ev_max = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ev_step = ((ev_max + 49) // 50) * 50   # keep event_id % 50 residues
+    (ev.crossJoin(F.broadcast(reps))
+     .select((F.col("event_id") + F.col("_r") * ev_step).alias("event_id"),
+             "event_type")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/events.parquet"))
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    (emb.crossJoin(F.broadcast(reps))
+     .select((F.col("vec_id") + F.col("_r") * 10_000).alias("vec_id"),
+             "embedding")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+
+    open(done_flag, "w").close()
+
+
+def run(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/osm_io_spark_sf1")
+    ap.add_argument("--out", default=None, help="markdown evidence file")
+    ap.add_argument("--cpus", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("sf1-evidence", master=(
+        f"local[{args.cpus}]" if args.cpus else None))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize(spark, args.dir)
+
+    from .. import queries as Q
+
+    names = [
+        "j7_spatial_cell_join", "entry_flagship",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_ngram_jaccard", "dedup_phash_hamming", "text_vocab",
+        "o2_global_order",
+    ]
+    fns = dict(Q.QUERIES)
+    fns["entry_flagship"] = Q.q_entry_flagship
+
+    results = {}
+    for name in names:
+        t0 = time.perf_counter()
+        n = fns[name](spark, args.dir).count()
+        dt = round(time.perf_counter() - t0, 2)
+        results[name] = {"s": dt, "rows": n}
+        print(f"# {name}: {dt}s rows={n}", flush=True)
+
+    out = {"metric": "sf1_evidence", "sf_equivalent": 1.0,
+           "n_lineitem": REPL * 600_000, "cores":
+           spark.sparkContext.defaultParallelism, "queries": results}
+    print(json.dumps(out))
+
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(
+                "# sf1 evidence run\n\n"
+                f"10x-replicated sf0.1 corpus ({REPL * 600_000:,} lineitem "
+                f"rows → {REPL * 600_000 * 10:,}-ish probe ids, 200k part, "
+                "100k docs incl. the corpus doubling, 20k embeddings) on "
+                f"local[{out['cores']}] with the SHIPPED session config "
+                "(12g JVM heap). Completion without OOM at 10x sf0.1 is "
+                "the partition-cliff evidence; detailed plan audits live "
+                "in BENCH/PLANS.md.\n\n"
+                "| query | seconds | rows |\n|---|---|---|\n")
+            for name, r in results.items():
+                fh.write(f"| {name} | {r['s']} | {r['rows']} |\n")
+    return out
+
+
+if __name__ == "__main__":
+    run()
