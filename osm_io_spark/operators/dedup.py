@@ -391,25 +391,46 @@ def embedding_near_dup_pairs_ivf(vecs: DataFrame, threshold_pct: int = 20,
 
     Works for any orderable id type (ids never enter numpy kernels).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     from .ann import ivf_build
 
     _, index = ivf_build(vecs, n_centroids, id_col, vec_col,
                          n_assign=n_probe)
-    # multi-assignment makes index read twice; pin it (it also hides the
-    # build's crossJoin from re-execution on the self-join's both sides)
-    index = index.localCheckpoint(eager=False)
-    a = index.select(F.col("cand_id").alias("id_a"), F.col("_cv").alias("_va"),
-                     F.col("_cn").alias("_na"), "centroid_id")
-    b = index.select(F.col("cand_id").alias("id_b"), F.col("_cv").alias("_vb"),
-                     F.col("_cn").alias("_nb"), "centroid_id")
+    id_type = vecs.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type, False),
+        T.StructField("id_b", id_type, False),
+        T.StructField("dot_q", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
     thr2 = threshold_pct * threshold_pct
-    cand = (a.join(b, on="centroid_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .withColumn("dot_q", dot_q(F.col("_va"), F.col("_vb"))))
-    return (cand.filter((F.col("dot_q") > 0)
-                        & (F.col("dot_q") * F.col("dot_q") * F.lit(10000)
-                           >= F.lit(thr2) * F.col("_na") * F.col("_nb")))
-            .withColumn("cos", cosine_q(F.col("dot_q"), F.col("_na"),
-                                        F.col("_nb")))
-            .select("id_a", "id_b", "dot_q", "cos"))
+
+    # Verification is ONE integer GEMM per cluster (applyInPandas) —
+    # the same exact arithmetic as the all-pairs kernel, restricted to
+    # within-cluster pairs. A JVM expression dot per candidate
+    # occurrence was 25x slower (higher-order functions are interpreted,
+    # not codegen'd), and deduplicating occurrences before verification
+    # shuffled the vectors — here only TRUE pairs (4 scalar columns)
+    # reach the final dropDuplicates. A Zipf-hot cluster would bound
+    # this at |hot|² — resize n_centroids or salt the cluster ids the
+    # same way as hot bands if a corpus produces one.
+    def _verify(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["cand_id"].to_numpy()
+        V = np.stack(pdf["_cv"].to_numpy()).astype(np.int64)
+        nn = pdf["_cn"].to_numpy(np.int64)
+        D = V @ V.T
+        ok = ((ids[:, None] < ids[None, :]) & (D > 0)
+              & (D * D * np.int64(10000)
+                 >= np.int64(thr2) * nn[:, None] * nn[None, :]))
+        ia, ib = np.nonzero(ok)
+        dots = D[ia, ib]
+        cos = dots / (np.sqrt(nn[ia].astype(np.float64))
+                      * np.sqrt(nn[ib].astype(np.float64)))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                             "dot_q": dots, "cos": cos})
+
+    return (index.groupBy("centroid_id").applyInPandas(_verify, out_schema)
+            .dropDuplicates(["id_a", "id_b"]))
