@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "w2_sessionize_batch",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -259,6 +259,58 @@ def hamming_near_dup_pairs(df: DataFrame, max_k: int = 2, nbits: int = 16,
             .distinct())
 
 
+def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
+                   id_col: str = "doc_id",
+                   max_iter: int = 50) -> DataFrame:
+    """(doc_id, cluster_id, keep) — resolve near-dup PAIRS into
+    duplicate CLUSTERS (connected components) and derive the keep-list:
+    cluster_id = min member id, keep ⇔ the doc is its cluster's
+    canonical representative. Singletons keep themselves.
+
+    This is the step every production dedup pipeline needs between
+    pair generation (minhash/simhash/hamming/embedding) and corpus
+    filtering — transitive duplicates (A~B, B~C) must drop together
+    even when (A,C) was never emitted as a pair.
+
+    Algorithm: iterative hash-min label propagation — per round every
+    vertex takes the min label among itself and its neighbors; rounds
+    = graph diameter (duplicate clusters are shallow: near-cliques from
+    banded LSH, so 2-4 rounds in practice). Each round is one shuffle
+    join + aggregate; labels are pinned per round with a lazy
+    localCheckpoint so lineage stays O(1) instead of O(rounds). For
+    adversarial long-chain graphs at planet scale, swap in the
+    large-star/small-star contraction (same join primitives, O(log n)
+    rounds); the fixpoint test below is already exact either way.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("id_b").alias("src"),
+                              F.col("id_a").alias("dst")))
+             .localCheckpoint(eager=False))      # re-read every round
+    labels = vertices.select(F.col(id_col).alias("vid"),
+                             F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges["src"] == labels["vid"])
+                .groupBy(F.col("dst").alias("pvid"))
+                .agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(prop, labels["vid"] == prop["pvid"], "left")
+                      .select(labels["vid"],
+                              F.least(labels["label"],
+                                      F.coalesce(prop["nl"], labels["label"])
+                                      ).alias("label"))
+                      .localCheckpoint(eager=False))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("vid").alias(id_col),
+                         F.col("label").alias("cluster_id"),
+                         (F.col("vid") == F.col("label")).alias("keep"))
+
+
 def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -1014,6 +1014,37 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 SQL_DEDUP_MINHASH = _minhash_sql()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair graph → duplicate clusters + keep-list (connected
+    components via hash-min label propagation; operators/dedup.py
+    dedup_clusters). Oracle: transitive closure as a DuckDB recursive
+    CTE over the same minhash pairs — transitive duplicates must land
+    in one cluster even when their direct pair was never emitted."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, n_perm=8, band_size=2)
+    return DD.dedup_clusters(pairs, corpus.select("doc_id"))
+
+
+# the pair SELECT of _minhash_sql, reused as a CTE body: closure over
+# the identical edge set the Spark operator consumes
+_MINHASH_PAIRS_BODY = SQL_DEDUP_MINHASH.strip()
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_BODY}),
+corpus AS ({CORPUS_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.v)
+SELECT v AS doc_id, min(r) AS cluster_id, min(r) = v AS keep
+FROM reach GROUP BY v
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, "documents"), nbits=16)
 
@@ -1528,6 +1559,7 @@ QUERIES = {
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
@@ -1585,6 +1617,7 @@ ORACLES = {
     "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,

@@ -169,3 +169,23 @@ def test_salted_band_joins_identical_pairs(spark):
     s2 = (DD.minhash_lsh_pairs(docs, salt="auto", salt_threshold_rows=40)
           .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     assert len(p2) > 0 and p2.equals(s2)
+
+
+def test_dedup_clusters_chain_and_singletons(spark):
+    """Connected components: a 6-vertex chain (diameter 5 — forces
+    multiple propagation rounds), a triangle, and singletons; keep-list
+    = min member per component."""
+    from osm_io_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain 1..6
+         (10, 11), (11, 12), (10, 12)],               # triangle
+        "id_a long, id_b long")
+    verts = spark.createDataFrame([(v,) for v in
+                                   [1, 2, 3, 4, 5, 6, 10, 11, 12, 99]],
+                                  "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup_clusters(pairs, verts).collect()}
+    assert all(out[v] == (1, v == 1) for v in [1, 2, 3, 4, 5, 6])
+    assert all(out[v] == (10, v == 10) for v in [10, 11, 12])
+    assert out[99] == (99, True)
