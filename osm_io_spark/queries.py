@@ -1361,6 +1361,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (bounded state via event-time watermark;
+    streaming/events.py dedup_stream): the doubled source stream drains
+    to exactly the distinct (event_id, ts) set — oracle: SELECT
+    DISTINCT over the batch table."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"osm_io_stream_dup_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # every row twice → the dedup actually has duplicates to drop
+        (ev.unionByName(ev).repartition(4)
+         .write.mode("overwrite").parquet(src))
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_dedup_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    dd = SE.dedup_stream(SE.stream_events(spark, src))
+    out = dd.select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+    SE.run_available_now(out, ckpt, name)
+    return spark.table(name)
+
+
+SQL_STREAM_DD = """
+SELECT event_id, CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT) AS ts_epoch
+FROM (SELECT DISTINCT event_id, ts FROM events)
+"""
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Custom stateful streaming operator (§2.9): per-user event-time
     sessionization via applyInPandasWithState (gap close + watermark
@@ -1573,6 +1605,7 @@ QUERIES = {
     "apidb_roundtrip_counts": q_apidb_roundtrip,
     "ref_fixture_parity": q_ref_fixture_parity,
     "stream_hourly_window": q_stream_hourly_window,
+    "stream_dedup": q_stream_dedup,
     "stream_sessionize": q_stream_sessionize,
     "stream_cell_enrich": q_stream_cell_enrich,
     "mm_decode_stats": q_mm_decode_stats,
@@ -1625,4 +1658,5 @@ ORACLES = {
     "dedup_phash_hamming": SQL_DEDUP_HAMMING,
     "ann_topk_cosine": SQL_ANN,
     "stream_hourly_window": SQL_STREAM_W,
+    "stream_dedup": SQL_STREAM_DD,
 }

@@ -148,6 +148,19 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: dropDuplicates on
+    (event_id, ts) under an event-time watermark — the streaming twin
+    of operators.dedup.exact_dedup. Including the event-time column in
+    the key lets the state store evict entries once the watermark
+    passes them, so state is O(watermark window), not O(stream
+    history) — the property that makes streaming dedup viable on an
+    unbounded 100 TB/day feed."""
+    return (events.withWatermark("ts", watermark)
+            .select("event_id", "ts")
+            .dropDuplicates(["event_id", "ts"]))
+
+
 def stream_cell_enrich(events: DataFrame, polygons_cells: DataFrame,
                        res: int = 10) -> DataFrame:
     """Stateless streaming enrichment: derive a deterministic geotag from

@@ -151,3 +151,18 @@ def test_stream_to_snapshot_sink_incremental(spark, events_dir, tmp_path):
     inc, changed = changes(t, spark, from_version=v1)
     assert changed  # new epochs exist
     assert inc.count() == total - n1
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """dedup_stream over a tripled source yields exactly the distinct
+    (event_id, ts) set — batch equivalence of the streaming dedup."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "dup_src")
+    (ev.unionByName(ev).unionByName(ev).repartition(5)
+     .write.mode("overwrite").parquet(src))
+    dd = SE.dedup_stream(SE.stream_events(spark, src))
+    SE.run_available_now(dd, str(tmp_path / "ckpt"), "t_stream_dedup")
+    got = spark.table("t_stream_dedup")
+    want = ev.select("event_id", "ts").distinct()
+    assert got.count() == want.count()
+    assert got.groupBy("event_id", "ts").count().filter("count > 1").count() == 0
