@@ -55,6 +55,34 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
                        score.alias("quality"))
 
 
+def curate(corpus: DataFrame, clusters: DataFrame, quality_df: DataFrame,
+           min_quality: float, id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end curation decision — what the whole pipeline
+    exists to produce: per document, keep it or drop it and WHY.
+
+    Precedence mirrors production pipelines: duplicate removal first
+    (non-canonical members of a dedup cluster drop regardless of
+    quality — keeping the canonical copy preserves the content), then
+    the quality threshold. decision ∈ {kept, dropped_duplicate,
+    dropped_quality}.
+
+    clusters = operators.dedup.dedup_clusters output; quality_df =
+    quality_score output. Both join on id_col — broadcast-free
+    co-partitioned joins at scale (same key).
+    """
+    c = clusters.select(F.col(id_col), "cluster_id")
+    q = quality_df.select(F.col(id_col), "quality")
+    decision = (F.when(F.col("cluster_id") != F.col(id_col),
+                       F.lit("dropped_duplicate"))
+                .when(F.col("quality") < F.lit(min_quality),
+                      F.lit("dropped_quality"))
+                .otherwise(F.lit("kept")))
+    return (corpus.select(id_col)
+            .join(c, on=id_col).join(q, on=id_col)
+            .select(F.col(id_col), "cluster_id", "quality",
+                    decision.alias("decision")))
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted

@@ -1045,6 +1045,54 @@ FROM reach GROUP BY v
 """
 
 
+CURATE_MIN_QUALITY = 3.5
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation: minhash pairs → duplicate clusters →
+    keep/drop decision per document with reason (duplicate removal
+    takes precedence over the quality threshold) — the pipeline's final
+    artifact. Oracle composes the recursive-CTE closure with the
+    quality expression over the same doubled corpus."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, n_perm=8, band_size=2)
+    clusters = DD.dedup_clusters(pairs, corpus.select("doc_id"))
+    quality = TX.quality_score(corpus)
+    return TX.curate(corpus, clusters, quality, CURATE_MIN_QUALITY)
+
+
+SQL_CURATION = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_BODY}),
+corpus AS ({CORPUS_SQL}),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.v),
+clusters AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+qt AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS c,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ({_STOP_SQL}))) AS BIGINT) AS h
+  FROM corpus),
+q AS (
+  SELECT doc_id,
+         (CAST(c - (n - 1) AS DOUBLE) / CAST(n AS DOUBLE)) * 0.25
+         + (CAST(h AS DOUBLE) / CAST(n AS DOUBLE)) * 10.0 AS quality
+  FROM qt)
+SELECT c.doc_id, c.cluster_id, q.quality,
+       CASE WHEN c.cluster_id != c.doc_id THEN 'dropped_duplicate'
+            WHEN q.quality < {CURATE_MIN_QUALITY} THEN 'dropped_quality'
+            ELSE 'kept' END AS decision
+FROM clusters c JOIN q ON c.doc_id = q.doc_id
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return DD.simhash(_t(spark, sf_dir, "documents"), nbits=16)
 
@@ -1592,6 +1640,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_curation": q_corpus_curation,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
@@ -1651,6 +1700,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "corpus_curation": SQL_CURATION,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
