@@ -87,16 +87,22 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # queries whose driver function itself runs jobs (dedup_clusters'
+    # label-propagation rounds) must construct INSIDE the timer or the
+    # timing only covers the final cached count; everything else keeps
+    # the round-1 methodology (construction excluded — comparable
+    # across rounds, and plan building is a once-per-query driver cost)
+    construct_in_timer = {"dedup_clusters", "corpus_curation"}
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
-        df = fn(spark, sf_dir)
+        df = None if name in construct_in_timer else fn(spark, sf_dir)
         best = None
         # the headline query gets a warm-up (JIT/broadcast/codegen are
         # once-per-cluster costs at real scale, not per-query)
         n_runs = repeats + 1 if name == "j7_spatial_cell_join" else repeats
         for i in range(n_runs):
             t0 = time.perf_counter()
-            rows[name] = df.count()
+            rows[name] = (df if df is not None else fn(spark, sf_dir)).count()
             el = time.perf_counter() - t0
             if i > 0 or n_runs == repeats:
                 best = el if best is None else min(best, el)
