@@ -289,6 +289,15 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
              .localCheckpoint(eager=False))      # re-read every round
     labels = vertices.select(F.col(id_col).alias("vid"),
                              F.col(id_col).alias("label"))
+    # fixpoint test: labels are element-wise MONOTONE non-increasing
+    # (least of self and neighbors), so the label sum is strictly
+    # decreasing until the fixpoint — one exact decimal-sum aggregate
+    # per round replaces an element-wise compare join (decimal(38,0)
+    # cannot overflow at any corpus size; works only for numeric ids —
+    # string-id graphs fall back to the compare join)
+    numeric_ids = not isinstance(vertices.schema[id_col].dataType,
+                                 __import__("pyspark").sql.types.StringType)
+    prev_sum = None
     for _ in range(max_iter):
         prop = (edges.join(labels, edges["src"] == labels["vid"])
                 .groupBy(F.col("dst").alias("pvid"))
@@ -299,12 +308,18 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                                       F.coalesce(prop["nl"], labels["label"])
                                       ).alias("label"))
                       .localCheckpoint(eager=False))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
+        if numeric_ids:
+            s = new_labels.agg(F.sum(
+                F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            done = s == prev_sum
+            prev_sum = s
+        else:
+            done = (new_labels.alias("n")
+                    .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .limit(1).count()) == 0
         labels = new_labels
-        if changed == 0:
+        if done:
             break
     return labels.select(F.col("vid").alias(id_col),
                          F.col("label").alias("cluster_id"),
