@@ -7,20 +7,15 @@ job a 100 TB corpus run would use, checkpoint-resumable per bucket.
 Stages (all pure DataFrame plans from osm_io_spark.operators):
   1. quality + language gate   textops.quality_score / language_id
   2. exact dedup               min-id winner per content hash
-  3. near-dup removal          MinHash-LSH pairs → connected "keep
-                               smallest id in band-component" rule
-                               (single pass: drop any doc that pairs
-                               with a smaller id — the standard greedy
-                               rule, deterministic without iteration)
+  3. near-dup removal          MinHash-LSH candidates, Jaccard-verified,
+                               resolved into TRANSITIVE duplicate
+                               clusters (dedup.dedup_clusters connected
+                               components); each cluster keeps its min
+                               id — A~B, B~C drops both B and C even
+                               though (A,C) was never a pair
   4. snapshot commit           per-bucket parquet + manifest row counts
                                and bytes; re-running skips completed
                                buckets (ResumableJob)
-
-The keep-smallest-neighbor rule removes every near-dup that has a
-smaller near-duplicate, so each near-dup cluster retains exactly its
-minima under the pair relation — deterministic and embarrassingly
-parallel (no iterative connected components on the hot path; at
-planet scale run the same job per corpus shard).
 """
 
 from __future__ import annotations
@@ -55,9 +50,9 @@ def curated_documents(spark, sf_dir: str,
 
     pairs = DD.minhash_lsh_pairs(gated, n_perm=8, band_size=2)
     sh = DD.ngram_jaccard_pairs(gated, n=3, min_pct=near_dup_pct)
-    near = (pairs.join(sh, on=["id_a", "id_b"])  # LSH candidates verified
-            .select(F.col("id_b").alias("doc_id")).distinct())
-    return gated.join(near, "doc_id", "left_anti")
+    verified = pairs.join(sh, on=["id_a", "id_b"])  # LSH candidates verified
+    clusters = DD.dedup_clusters(verified, gated.select("doc_id"))
+    return gated.join(clusters.filter("keep").select("doc_id"), "doc_id")
 
 
 def main(argv: list[str] | None = None) -> dict:
