@@ -98,15 +98,29 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_planes: int = 8, dim: int = 64, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             multiprobe: int = 0) -> DataFrame:
     """Approximate top-k: bucket join on LSH signature, exact re-rank
     within bucket. At planet scale the bucket join replaces the cross
-    join — candidates shuffle once by bucket; queries broadcast."""
+    join — candidates shuffle once by bucket; queries broadcast.
+
+    ``multiprobe=1`` also probes every bucket at signature Hamming
+    distance 1 (each hyperplane bit flipped) — the standard multiprobe
+    trick: (1+n_planes)/2^n_planes of the corpus searched instead of
+    1/2^n_planes, recovering the near-misses that fall just across one
+    hyperplane, at zero extra candidate-side shuffle (only the
+    broadcast query set fans out)."""
     planes = _hyperplanes(dim, n_planes, seed)
     q = (queries.select(F.col(id_col).alias("query_id"),
                         quantize(F.col(vec_col)).alias("_qv"),
                         lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
          .withColumn("_qn", norm_sq_q(F.col("_qv"))))
+    if multiprobe >= 1:
+        variants = F.array(
+            F.col("_bucket"),
+            *[F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+              for i in range(n_planes)])
+        q = (q.withColumn("_bucket", F.explode(variants)))
     c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
                                   quantize(F.col(vec_col)).alias("_cv"),
                                   lsh_bucket(F.col(vec_col), planes).alias("_bucket"))

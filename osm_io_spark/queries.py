@@ -1564,10 +1564,14 @@ def q_mm_phash_near_dup(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
     vs brute force measured in tests; rows-only driver check carries a
-    per-query recall_at_k column vs the exact baseline)."""
+    per-query recall_at_k column vs the exact baseline). 4 hyperplanes
+    + 1-bit multiprobe: ~5/16 of the corpus searched; on the CLUSTERLESS
+    synthetic embeddings recall ≈ searched fraction + angular margin
+    (measured 0.46/0.62 at sf0.01/0.1 vs 0.13/0.17 single-probe) —
+    real clustered corpora concentrate neighbors in the home bucket."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    approx = ANN.lsh_topk(q, emb, k=5)
+    approx = ANN.lsh_topk(q, emb, k=5, n_planes=4, multiprobe=1)
     return ANN.with_recall(approx, ANN.brute_force_topk(q, emb, k=5), k=5)
 
 

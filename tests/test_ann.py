@@ -189,3 +189,16 @@ def test_dedup_clusters_chain_and_singletons(spark):
     assert all(out[v] == (1, v == 1) for v in [1, 2, 3, 4, 5, 6])
     assert all(out[v] == (10, v == 10) for v in [10, 11, 12])
     assert out[99] == (99, True)
+
+
+def test_lsh_multiprobe_improves_recall(spark, emb):
+    """1-bit multiprobe must strictly beat single-probe recall at the
+    same plane count (it probes 5/16 of the corpus vs 1/16)."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = _pairs(ANN.brute_force_topk(q, emb, k=5))
+    single = _pairs(ANN.lsh_topk(q, emb, k=5, n_planes=4, multiprobe=0))
+    multi = _pairs(ANN.lsh_topk(q, emb, k=5, n_planes=4, multiprobe=1))
+    r0 = len(exact & single) / len(exact)
+    r1 = len(exact & multi) / len(exact)
+    assert r1 > r0, (r0, r1)
+    assert r1 >= 0.3
