@@ -21,6 +21,25 @@ def token_count(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
 
 
+# GPT-2-style pre-tokenizer classes, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): an
+# optional leading space glued to a letter-run / digit-run /
+# punctuation-run, or a bare space-run. No lookahead (RE2 lacks it).
+BPE_PRETOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Pre-tokenizer token counting the way BPE training pipelines do
+    it (space-prefixed letter/digit/punct runs), not whitespace split —
+    the token budget a tokenizer-training job actually needs."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_pretokens"))
+
+
 def language_id(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", min_ratio: float = 0.05) -> DataFrame:
     """Heuristic n-gram/stopword language ID: ratio of stoplist token

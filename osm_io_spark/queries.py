@@ -817,6 +817,23 @@ FROM documents
 """
 
 
+def q_text_token_count_bpe(spark, sf_dir):
+    """BPE-pre-tokenizer token counting (space-glued letter/digit/punct
+    runs; textops.BPE_PRETOKEN_RE is restricted to the Java-regex ∩ RE2
+    common subset so Spark and DuckDB tokenize identically)."""
+    return TX.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKENS_BPE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TX.BPE_PRETOKEN_RE}')) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{TX.BPE_PRETOKEN_RE}')))
+           AS BIGINT) AS n_distinct_pretokens
+FROM documents
+"""
+
+
 def q_text_language_id(spark, sf_dir):
     return TX.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1635,6 +1652,7 @@ QUERIES = {
     "f1_token_filter": q_f1_token_filter,
     # text analysis
     "text_token_count": q_text_token_count,
+    "text_token_count_bpe": q_text_token_count_bpe,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -1696,6 +1714,7 @@ ORACLES = {
     "w2_sessionize_batch": SQL_W2,
     "f1_token_filter": SQL_F1,
     "text_token_count": SQL_TOKENS,
+    "text_token_count_bpe": SQL_TOKENS_BPE,
     "text_language_id": SQL_LANG,
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
