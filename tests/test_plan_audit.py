@@ -102,6 +102,18 @@ def test_o2_positions_are_dense_and_ordered(spark):
     assert (got["event_id"] == want["event_id"]).all()
 
 
+def test_dedup_band_joins_never_cartesian(spark):
+    """The minhash and hamming candidate generators must always be
+    bucketed equi-joins — a lost join key would silently degrade to a
+    10^24-pair cross join at corpus scale."""
+    for name in ["dedup_minhash_lsh", "dedup_phash_hamming",
+                 "dedup_ngram_jaccard"]:
+        df = Q.QUERIES[name](spark, SF_DIR)
+        plan = A.formatted_plan(df)
+        assert A.count_op(plan, "CartesianProduct") == 0, name
+        assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0, name
+
+
 def test_bucketed_join_is_zero_exchange(spark, tmp_path):
     """Both sides bucketed+sorted on the join key → sort-merge join with
     NO shuffle exchange (bucket i joins bucket i in place) — the layout
