@@ -202,15 +202,22 @@ def ivf_build(candidates: DataFrame, n_centroids: int = 32,
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_centroids: int = 32, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             built: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
     """IVF-flat approximate top-k (the inverted-file scale path): build
     via ivf_build, then each (broadcast) query probes its ``n_probe``
     nearest clusters with exact cosine re-rank inside them.
 
+    Pass ``built=(centroids, index)`` (persisted ivf_build output) to
+    amortize the index across query batches — the build is the
+    expensive half (two assignment passes over all candidates); search
+    itself touches only the probed clusters.
+
     Approximate by construction; recall vs brute_force_topk is measured
     in tests/test_ann.py.
     """
-    centroids, index = ivf_build(candidates, n_centroids, id_col, vec_col)
+    centroids, index = built or ivf_build(candidates, n_centroids,
+                                          id_col, vec_col)
 
     q = (queries.select(F.col(id_col).alias("query_id"),
                         quantize(F.col(vec_col)).alias("_qv"))

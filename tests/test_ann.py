@@ -202,3 +202,16 @@ def test_lsh_multiprobe_improves_recall(spark, emb):
     r1 = len(exact & multi) / len(exact)
     assert r1 > r0, (r0, r1)
     assert r1 >= 0.3
+
+
+def test_ivf_index_reuse_across_batches(spark, emb):
+    """A persisted ivf_build index serves successive query batches with
+    identical results to per-call builds — the amortization path."""
+    built = ANN.ivf_build(emb, n_centroids=16)
+    built = (built[0].cache(), built[1].cache())
+    for lo, hi in [(0, 10), (10, 20)]:
+        q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        a = _pairs(ANN.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8))
+        b = _pairs(ANN.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8,
+                                built=built))
+        assert a == b
