@@ -287,8 +287,12 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                  pairs.select(F.col("id_b").alias("src"),
                               F.col("id_a").alias("dst")))
              .localCheckpoint(eager=False))      # re-read every round
-    labels = vertices.select(F.col(id_col).alias("vid"),
-                             F.col(id_col).alias("label"))
+    # iterate ONLY over vertices that appear in the pair graph — the
+    # duplicate graph is a small fraction of a 10^12-doc corpus, and
+    # singletons are trivially their own cluster (joined back at the
+    # end); the per-round joins shrink from |corpus| to |graph|
+    labels = (edges.select(F.col("src").alias("vid")).distinct()
+              .withColumn("label", F.col("vid")))
     # fixpoint test: labels are element-wise MONOTONE non-increasing
     # (least of self and neighbors), so the label sum is strictly
     # decreasing until the fixpoint — one exact decimal-sum aggregate
@@ -297,17 +301,25 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
     # string-id graphs fall back to the compare join)
     numeric_ids = not isinstance(vertices.schema[id_col].dataType,
                                  __import__("pyspark").sql.types.StringType)
-    prev_sum = None
-    for _ in range(max_iter):
-        prop = (edges.join(labels, edges["src"] == labels["vid"])
+
+    def one_step(lbl: DataFrame) -> DataFrame:
+        prop = (edges.join(lbl, edges["src"] == lbl["vid"])
                 .groupBy(F.col("dst").alias("pvid"))
                 .agg(F.min("label").alias("nl")))
-        new_labels = (labels.join(prop, labels["vid"] == prop["pvid"], "left")
-                      .select(labels["vid"],
-                              F.least(labels["label"],
-                                      F.coalesce(prop["nl"], labels["label"])
-                                      ).alias("label"))
-                      .localCheckpoint(eager=False))
+        return (lbl.join(prop, lbl["vid"] == prop["pvid"], "left")
+                .select(lbl["vid"],
+                        F.least(lbl["label"],
+                                F.coalesce(prop["nl"], lbl["label"])
+                                ).alias("label")))
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # TWO propagation steps per materialization: the dominant cost
+        # at moderate scale is per-round job latency, and diameter-d
+        # convergence needs ⌈d/2⌉ materializations this way; the
+        # monotone-sum fixpoint test is unaffected (sum unchanged over
+        # a double step ⟺ unchanged over each)
+        new_labels = one_step(one_step(labels)).localCheckpoint(eager=False)
         if numeric_ids:
             s = new_labels.agg(F.sum(
                 F.col("label").cast("decimal(38,0)"))).collect()[0][0]
@@ -321,9 +333,12 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
         labels = new_labels
         if done:
             break
-    return labels.select(F.col("vid").alias(id_col),
-                         F.col("label").alias("cluster_id"),
-                         (F.col("vid") == F.col("label")).alias("keep"))
+    v = vertices.select(F.col(id_col))
+    return (v.join(labels, v[id_col] == labels["vid"], "left")
+            .select(v[id_col],
+                    F.coalesce("label", v[id_col]).alias("cluster_id"),
+                    (F.coalesce("label", v[id_col]) == v[id_col]
+                     ).alias("keep")))
 
 
 def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,
