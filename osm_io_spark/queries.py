@@ -834,6 +834,41 @@ FROM documents
 """
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic data mixing (operators/sampling.py): per-source
+    hash-threshold rates in one pushed-down pass — reproducible across
+    engines/partitionings/reruns, unlike RNG df.sample()."""
+    from .operators import sampling as SP
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.element_at(F.array(F.lit("web"), F.lit("code"),
+                                         F.lit("books")),
+                                 (F.pmod(F.col("doc_id"), F.lit(3)) + 1
+                                  ).cast("int")).alias("source")))
+    out = SP.mixture_sample(docs, "source",
+                            {"web": 0.5, "code": 0.8, "books": 0.2},
+                            key_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+def _sample_mixture_sql() -> str:
+    from .operators.sampling import sample_u_sql
+    u = sample_u_sql("doc_id", "mix")
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+              ELSE 'books' END AS source
+  FROM documents)
+SELECT doc_id, source FROM src
+WHERE {u} < CASE source WHEN 'web' THEN 0.5 WHEN 'code' THEN 0.8
+                        ELSE 0.2 END
+"""
+
+
+SQL_SAMPLE_MIX = _sample_mixture_sql()
+
+
 def q_text_language_id(spark, sf_dir):
     return TX.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1653,6 +1688,7 @@ QUERIES = {
     # text analysis
     "text_token_count": q_text_token_count,
     "text_token_count_bpe": q_text_token_count_bpe,
+    "sample_mixture": q_sample_mixture,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -1715,6 +1751,7 @@ ORACLES = {
     "f1_token_filter": SQL_F1,
     "text_token_count": SQL_TOKENS,
     "text_token_count_bpe": SQL_TOKENS_BPE,
+    "sample_mixture": SQL_SAMPLE_MIX,
     "text_language_id": SQL_LANG,
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,

@@ -215,3 +215,18 @@ def test_ivf_index_reuse_across_batches(spark, emb):
         b = _pairs(ANN.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8,
                                 built=built))
         assert a == b
+
+
+def test_deterministic_sampling_properties(spark):
+    """Hash-threshold sampling: reruns identical, nested rates (0.1 ⊂
+    0.3), partition-independent, and rate ≈ observed fraction."""
+    from osm_io_spark.operators import sampling as SP
+
+    docs = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"] for r in SP.deterministic_sample(docs, 0.3, "doc_id").collect()}
+    s2 = {r["doc_id"] for r in SP.deterministic_sample(
+        docs.repartition(17), 0.3, "doc_id").collect()}
+    assert s1 == s2                       # partition-independent + rerun
+    s_small = {r["doc_id"] for r in SP.deterministic_sample(docs, 0.1, "doc_id").collect()}
+    assert s_small <= s1                  # nested
+    assert 0.25 < len(s1) / 5000 < 0.35  # rate honored
