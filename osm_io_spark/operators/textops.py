@@ -74,6 +74,31 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
                        score.alias("quality"))
 
 
+def chunk_tokens(docs: DataFrame, seq_len: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Split each document's token stream into fixed-length windows —
+    the sequence-building step before packing/tokenization: one output
+    row per (doc, chunk) with the chunk's token slice rejoined. Pure
+    Column plan: sequence() over chunk starts + slice(), no explode of
+    individual tokens (the array stays one value per row until the
+    final per-chunk explode, so the shuffle-free path scales with
+    chunks, not tokens)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(seq_len))).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.expr("cast(array() as array<int>)"))
+    return (docs.select(F.col(id_col), toks.alias("_toks"),
+                        F.explode(starts).alias("chunk_idx"))
+            .select(F.col(id_col), "chunk_idx",
+                    F.slice(F.col("_toks"),
+                            F.col("chunk_idx") * seq_len + 1,
+                            seq_len).alias("_chunk"))
+            .select(F.col(id_col), F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                    F.size("_chunk").cast("long").alias("n_tokens"),
+                    F.array_join("_chunk", " ").alias("chunk_text")))
+
+
 def curate(corpus: DataFrame, clusters: DataFrame, quality_df: DataFrame,
            min_quality: float, id_col: str = "doc_id") -> DataFrame:
     """The end-to-end curation decision — what the whole pipeline

@@ -869,6 +869,32 @@ WHERE {u} < CASE source WHEN 'web' THEN 0.5 WHEN 'code' THEN 0.8
 SQL_SAMPLE_MIX = _sample_mixture_sql()
 
 
+def q_text_chunks(spark, sf_dir):
+    """Fixed-window sequence building (textops.chunk_tokens): each doc's
+    token stream split into 32-token chunks — one row per chunk with the
+    rejoined text, the shape a packing/tokenization stage consumes."""
+    return TX.chunk_tokens(_t(spark, sf_dir, "documents"), seq_len=32)
+
+
+SQL_TEXT_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 32.0) AS BIGINT)))
+             AS chunk_idx
+  FROM t WHERE n > 0)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(toks[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')
+           AS chunk_text
+FROM c
+"""
+
+
 def q_text_language_id(spark, sf_dir):
     return TX.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1689,6 +1715,7 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_token_count_bpe": q_text_token_count_bpe,
     "sample_mixture": q_sample_mixture,
+    "text_chunks": q_text_chunks,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -1752,6 +1779,7 @@ ORACLES = {
     "text_token_count": SQL_TOKENS,
     "text_token_count_bpe": SQL_TOKENS_BPE,
     "sample_mixture": SQL_SAMPLE_MIX,
+    "text_chunks": SQL_TEXT_CHUNKS,
     "text_language_id": SQL_LANG,
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
