@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "text_fingerprint",
     "text_repetition",
     "text_vocab",
+    "text_token_count_bpe",
+    "text_chunks",
+    "sample_mixture",
+    "corpus_curation",
     "rollup_multires",
     "o5_topk_per_group",
     "j2_threeway_assembly",

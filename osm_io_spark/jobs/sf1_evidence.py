@@ -104,6 +104,11 @@ def run(argv: list[str] | None = None) -> dict:
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_phash_hamming", "text_vocab",
         "o2_global_order",
+        # round-2 additions: connected components over the (replica-
+        # dense) pair graph, the full curation decision, sampling,
+        # chunking — the training-pipeline spine at 10x
+        "dedup_clusters", "corpus_curation", "sample_mixture",
+        "text_chunks",
     ]
     fns = dict(Q.QUERIES)
     fns["entry_flagship"] = Q.q_entry_flagship
