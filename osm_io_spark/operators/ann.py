@@ -154,29 +154,56 @@ def ivf_build(candidates: DataFrame, n_centroids: int = 32,
     centroids: (centroid_id, _sv, _sn); index: (cand_id, _cv, _cn,
     centroid_id) with n_assign rows per candidate.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
                                   quantize(F.col(vec_col)).alias("_cv"))
-         .withColumn("_cn", norm_sq_q(F.col("_cv"))))
+         .withColumn("_cn", norm_sq_q(F.col("_cv")))
+         # assignment reads c twice (seed pass + final pass) — pin it
+         .localCheckpoint(eager=False))
 
-    seeds = (c.withColumn("_h", F.xxhash64(F.col("cand_id")))
-             .orderBy("_h", "cand_id").limit(n_centroids)
-             .select(F.col("cand_id").alias("_cid0"), F.col("_cv").alias("_sv"),
-                     F.col("_cn").alias("_sn")))
-    seeds = (seeds.withColumn(
-        "centroid_id",
-        F.row_number().over(Window.orderBy("_cid0")) - 1)
-        .select("centroid_id", "_sv", "_sn"))
+    # Assignment runs as numpy int64 GEMMs inside mapInPandas —
+    # centroids are bounded (n_centroids rows) so they ride along as a
+    # driver-side matrix in the closure; the earlier crossJoin +
+    # higher-order-function dot per (candidate, centroid) was
+    # interpreted, not codegen'd, and dominated the build.
+    def _assign_fn(S: np.ndarray, Sn: np.ndarray, k: int):
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["_cv"].to_numpy()).astype(np.int64)
+                cn = pdf["_cn"].to_numpy(np.int64)
+                D = cn[:, None] + Sn[None, :] - 2 * (V @ S.T)
+                if k == 1:
+                    # argmin → first (= smallest centroid_id) on ties
+                    nearest = D.argmin(axis=1)
+                    out = pdf.copy()
+                    out["centroid_id"] = nearest.astype(np.int64)
+                    yield out
+                else:
+                    # stable argsort ties by centroid_id, top-k
+                    order = np.argsort(D, axis=1, kind="stable")[:, :k]
+                    reps = np.repeat(np.arange(len(pdf)), k)
+                    out = pdf.iloc[reps].copy()
+                    out["centroid_id"] = order.ravel().astype(np.int64)
+                    yield out
+        return fn
 
-    assigned0 = (c.crossJoin(F.broadcast(seeds))
-                 .withColumn("_d", F.col("_cn") + F.col("_sn")
-                             - 2 * dot_q(F.col("_cv"), F.col("_sv"))))
-    w0 = Window.partitionBy("cand_id").orderBy(F.col("_d").asc(),
-                                               F.col("centroid_id").asc())
-    assigned0 = (assigned0.withColumn("_rn", F.row_number().over(w0))
-                 .filter(F.col("_rn") == 1)
-                 .select("cand_id", "_cv", "_cn", "centroid_id"))
+    assign_schema = T.StructType(list(c.schema.fields) + [
+        T.StructField("centroid_id", T.LongType(), False)])
 
-    # element-wise mean per cluster from exact long sums
+    seeds_pdf = (c.withColumn("_h", F.xxhash64(F.col("cand_id")))
+                 .orderBy("_h", "cand_id").limit(n_centroids)
+                 .orderBy("cand_id").select("_cv", "_cn").toPandas())
+    S0 = np.stack(seeds_pdf["_cv"].to_numpy()).astype(np.int64)
+    S0n = seeds_pdf["_cn"].to_numpy(np.int64)
+
+    assigned0 = c.mapInPandas(_assign_fn(S0, S0n, 1), assign_schema)
+
+    # element-wise mean per cluster from exact long sums (one Lloyd step)
     dim_df = (assigned0.select("centroid_id",
                                F.posexplode("_cv").alias("_i", "_x"))
               .groupBy("centroid_id", "_i")
@@ -189,14 +216,19 @@ def ivf_build(candidates: DataFrame, n_centroids: int = 32,
                  ).alias("_sv")))
     centroids = centroids.withColumn("_sn", norm_sq_q(F.col("_sv")))
 
-    index = (c.crossJoin(F.broadcast(centroids))
-             .withColumn("_d", F.col("_cn") + F.col("_sn")
-                         - 2 * dot_q(F.col("_cv"), F.col("_sv"))))
-    wi = Window.partitionBy("cand_id").orderBy(F.col("_d").asc(),
-                                               F.col("centroid_id").asc())
-    index = (index.withColumn("_rn", F.row_number().over(wi))
-             .filter(F.col("_rn") <= n_assign)
-             .select("cand_id", "_cv", "_cn", "centroid_id"))
+    cent_pdf = centroids.orderBy("centroid_id").toPandas()
+    # empty clusters vanish from the mean aggregation: re-index by the
+    # surviving centroid_id order (positions in S1 = row order) and
+    # rebuild the centroids frame so ids match positions
+    S1 = np.stack(cent_pdf["_sv"].to_numpy()).astype(np.int64)
+    S1n = cent_pdf["_sn"].to_numpy(np.int64)
+    spark = candidates.sparkSession
+    centroids = spark.createDataFrame(pd.DataFrame({
+        "centroid_id": np.arange(len(cent_pdf), dtype=np.int64),
+        "_sv": [list(map(int, v)) for v in S1],
+        "_sn": [int(v) for v in S1n]}))
+
+    index = c.mapInPandas(_assign_fn(S1, S1n, n_assign), assign_schema)
     return centroids, index
 
 
