@@ -92,11 +92,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     # queries whose driver function itself runs jobs (dedup_clusters'
-    # label-propagation rounds) must construct INSIDE the timer or the
-    # timing only covers the final cached count; everything else keeps
-    # the round-1 methodology (construction excluded — comparable
-    # across rounds, and plan building is a once-per-query driver cost)
-    construct_in_timer = {"dedup_clusters", "corpus_curation"}
+    # label-propagation rounds; the IVF queries' index build, which
+    # executes toPandas() passes before any count) must construct
+    # INSIDE the timer or the timing only covers the final cached
+    # count; everything else keeps the round-1 methodology
+    # (construction excluded — comparable across rounds, and plan
+    # building is a once-per-query driver cost)
+    construct_in_timer = {
+        "dedup_clusters", "corpus_curation",
+        "dedup_embedding_ivf", "ann_ivf_topk",
+    }
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
         df = None if name in construct_in_timer else fn(spark, sf_dir)
@@ -116,16 +121,30 @@ def main() -> None:
     n_images = Q.images_probe(spark, sf_dir).count()
     throughput = n_images / timings["j7_spatial_cell_join"]
 
+    # Row counts are diagnostics, not part of the driver contract —
+    # keep them OFF the stdout line (round 2 lesson: the rows dict grew
+    # the JSON line past the driver's stdout tail capture, so the line
+    # no longer parsed and the headline metric never reached the gate).
+    print(f"# rows: {json.dumps(rows)}", file=sys.stderr)
+
     line = json.dumps({
         "metric": "images_joined_tiled_per_sec",
         "value": round(throughput, 2),
         "unit": "sec",
         "queries": timings,
-        "rows": rows,
         "n_images": n_images,
         "cpus": int(cpus),
         "sf": float(sf),
-    })
+    }, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's tail-capture window
+        line = json.dumps({
+            "metric": "images_joined_tiled_per_sec",
+            "value": round(throughput, 2),
+            "unit": "sec",
+            "n_images": n_images,
+            "cpus": int(cpus),
+            "sf": float(sf),
+        }, separators=(",", ":"))
     os.write(real_stdout, (line + "\n").encode())
 
 

@@ -85,54 +85,158 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bucket id (one bit per hyperplane)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lits = F.array(*[F.lit(v) for v in plane])
-        proj = F.aggregate(F.zip_with(vec_col, lits, lambda x, y: x.cast("double") * y),
-                           F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _planes_q(dim: int, n_planes: int, seed: int):
+    """The hyperplanes as an exact int64 matrix [n_planes, dim].
+
+    _hyperplanes emits exact multiples of 1e-6, so scaling by 1e6
+    recovers the integers losslessly; bucket signs computed from
+    (quantized vector) @ (integer plane) are then EXACT int64
+    arithmetic — bit-stable across partitionings, batch sizes and
+    BLAS builds, unlike a float projection whose summation order
+    could flip a near-zero sign."""
+    import numpy as np
+
+    P = np.array(_hyperplanes(dim, n_planes, seed), dtype=np.float64)
+    return np.floor(P * 1_000_000.0 + 0.5).astype(np.int64)
+
+
+def _gemm_local_topk(probe_map: dict, k: int, batch_prep,
+                     query_id_type, cand_id_type):
+    """Shared GEMM re-rank kernel for the approximate top-k paths.
+
+    ``batch_prep(pdf) -> (ids, C:int64[n,d], cn:int64[n], keys:int64[n])``
+    turns each Arrow batch of candidates into numpy (LSH computes
+    quantize/norm/bucket right here — no interpreted higher-order
+    JVM function anywhere on the scan; IVF just stacks the prebuilt
+    index columns). ``probe_map`` maps each key (LSH bucket | IVF
+    centroid_id) to the driver-side matrix of the queries probing it:
+    (qids, Q:int64[nq,d], Qn:int64[nq]). Queries are driver-sized by
+    contract (same as brute_force_topk's broadcast side), so the matrix
+    rides in the closure — candidates are NEVER shuffled and the
+    re-rank is ONE int64 GEMM per (batch, key), the pattern measured
+    25x over HOF dots at dedup.embedding_near_dup_pairs_ivf/ivf_build.
+
+    Emits only the per-(batch,key) top-k rows per query under the final
+    total order (cos desc, cand_id asc) — the global top-k is a subset
+    of the union of local top-ks under the same total order, so the
+    closing window sees ≤ batches*k rows per query instead of every
+    bucket candidate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("query_id", query_id_type, False),
+        T.StructField("cand_id", cand_id_type, False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
+
+    def _fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_all, C_all, cn_all, keys = batch_prep(pdf)
+            order_k = np.argsort(keys, kind="stable")
+            bounds = np.flatnonzero(np.diff(keys[order_k])) + 1
+            out_q, out_c, out_s = [], [], []
+            for grp_idx in np.split(order_k, bounds):
+                probe = probe_map.get(int(keys[grp_idx[0]]))
+                if probe is None:
+                    continue
+                qids, Q, Qn = probe
+                ids = ids_all[grp_idx]
+                C = C_all[grp_idx]
+                cn = cn_all[grp_idx]
+                dots = C @ Q.T                          # [nc, nq] exact
+                cos = dots / (np.sqrt(cn.astype(np.float64))[:, None]
+                              * np.sqrt(Qn.astype(np.float64))[None, :])
+                # ties broken by cand_id VALUE order (portable to any
+                # orderable id type): rank within group once
+                rank = np.empty(len(ids), dtype=np.int64)
+                rank[np.argsort(ids, kind="stable")] = np.arange(len(ids))
+                for j in range(len(qids)):
+                    valid = np.flatnonzero(ids != qids[j])
+                    if len(valid) == 0:
+                        continue
+                    order = np.lexsort((rank[valid], -cos[valid, j]))[:k]
+                    sel = valid[order]
+                    out_q.extend([qids[j]] * len(sel))
+                    out_c.extend(ids[sel])
+                    out_s.extend(cos[sel, j])
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q,
+                                    "cand_id": out_c,
+                                    "cos": out_s})
+    return _fn, out_schema
+
+
+def _finish_topk(local_pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("cand_id").asc())
+    return (local_pairs.dropDuplicates(["query_id", "cand_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "cos"))
 
 
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_planes: int = 8, dim: int = 64, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              multiprobe: int = 0) -> DataFrame:
-    """Approximate top-k: bucket join on LSH signature, exact re-rank
-    within bucket. At planet scale the bucket join replaces the cross
-    join — candidates shuffle once by bucket; queries broadcast.
+    """Approximate top-k: candidates are bucketed by LSH signature;
+    each (driver-sized) query probes only its bucket, with exact
+    integer-GEMM re-rank inside the bucket (_gemm_local_topk — the
+    earlier per-pair aggregate/zip_with dot was interpreted, not
+    codegen'd). Candidates never shuffle: the query matrix rides in the
+    mapInPandas closure and only local top-k rows reach the window.
 
     ``multiprobe=1`` also probes every bucket at signature Hamming
     distance 1 (each hyperplane bit flipped) — the standard multiprobe
     trick: (1+n_planes)/2^n_planes of the corpus searched instead of
     1/2^n_planes, recovering the near-misses that fall just across one
-    hyperplane, at zero extra candidate-side shuffle (only the
-    broadcast query set fans out)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        quantize(F.col(vec_col)).alias("_qv"),
-                        lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
-         .withColumn("_qn", norm_sq_q(F.col("_qv"))))
-    if multiprobe >= 1:
-        variants = F.array(
-            F.col("_bucket"),
-            *[F.col("_bucket").bitwiseXOR(F.lit(1 << i))
-              for i in range(n_planes)])
-        q = (q.withColumn("_bucket", F.explode(variants)))
-    c = (widen(candidates).select(F.col(id_col).alias("cand_id"),
-                                  quantize(F.col(vec_col)).alias("_cv"),
-                                  lsh_bucket(F.col(vec_col), planes).alias("_bucket"))
-         .withColumn("_cn", norm_sq_q(F.col("_cv"))))
-    pairs = (c.join(F.broadcast(q), on="_bucket")
-             .filter(F.col("cand_id") != F.col("query_id"))
-             .withColumn("_dot", dot_q(F.col("_qv"), F.col("_cv")))
-             .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn"), F.col("_cn"))))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "cand_id", "cos"))
+    hyperplane, at zero extra candidate-side cost (only the probe map
+    fans out)."""
+    import numpy as np
+
+    Pq = _planes_q(dim, n_planes, seed)
+    bits = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def _quant(raw) -> "np.ndarray":
+        V = np.stack(raw.to_numpy()).astype(np.float64)
+        return np.floor(V * 1000.0 + 0.5).astype(np.int64)
+
+    def _bucket_of(C: "np.ndarray") -> "np.ndarray":
+        return ((C @ Pq.T) > 0).astype(np.int64) @ bits
+
+    q_pdf = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_v")).toPandas()
+    qids = q_pdf["query_id"].to_numpy()
+    Q = _quant(q_pdf["_v"])
+    Qn = (Q * Q).sum(axis=1)
+    buckets = _bucket_of(Q)
+    probe_sets = [buckets] if multiprobe < 1 else (
+        [buckets] + [buckets ^ (1 << i) for i in range(n_planes)])
+    probe_map: dict = {}
+    for bs in probe_sets:
+        for j, b in enumerate(bs):
+            probe_map.setdefault(int(b), []).append(j)
+    probe_map = {b: (qids[js], Q[js], Qn[js])
+                 for b, js in probe_map.items()}
+
+    # candidate scan: id + raw vector only — quantize/norm/bucket all
+    # happen in the numpy kernel below (one matmul per Arrow batch)
+    c = widen(candidates).select(F.col(id_col).alias("cand_id"),
+                                 F.col(vec_col).alias("_v"))
+
+    def batch_prep(pdf):
+        C = _quant(pdf["_v"])
+        return (pdf["cand_id"].to_numpy(), C, (C * C).sum(axis=1),
+                _bucket_of(C))
+
+    fn, schema = _gemm_local_topk(
+        probe_map, k, batch_prep,
+        queries.schema[id_col].dataType, candidates.schema[id_col].dataType)
+    return _finish_topk(c.mapInPandas(fn, schema), k)
 
 
 def ivf_build(candidates: DataFrame, n_centroids: int = 32,
@@ -170,6 +274,12 @@ def ivf_build(candidates: DataFrame, n_centroids: int = 32,
     # higher-order-function dot per (candidate, centroid) was
     # interpreted, not codegen'd, and dominated the build.
     def _assign_fn(S: np.ndarray, Sn: np.ndarray, k: int):
+        # n_assign can exceed the surviving centroid count (tiny corpus,
+        # or empty clusters dropped after the Lloyd step) — clamp, else
+        # argsort yields < k columns and the repeat below raises an
+        # opaque executor-side length mismatch (ADVICE r2)
+        k = min(k, S.shape[0])
+
         def fn(batches):
             for pdf in batches:
                 if len(pdf) == 0:
@@ -247,28 +357,53 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
 
     Approximate by construction; recall vs brute_force_topk is measured
     in tests/test_ann.py.
+
+    Probe selection AND re-rank run as exact int64 numpy (the centroid
+    table is bounded and the query set driver-sized by contract, so
+    both live on the driver / in the mapInPandas closure): squared-L2
+    probe distance ``qn + sn - 2*Q@S.T`` is the same integer expression
+    the previous JVM plan computed, and the in-cluster re-rank is one
+    GEMM per (batch, cluster) via _gemm_local_topk — replacing the
+    interpreted per-pair aggregate/zip_with dot that dominated at scale.
     """
+    import numpy as np
+
     centroids, index = built or ivf_build(candidates, n_centroids,
                                           id_col, vec_col)
 
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        quantize(F.col(vec_col)).alias("_qv"))
-         .withColumn("_qn", norm_sq_q(F.col("_qv"))))
-    probes = (q.crossJoin(F.broadcast(centroids))
-              .withColumn("_d", F.col("_qn") + F.col("_sn")
-                          - 2 * dot_q(F.col("_qv"), F.col("_sv"))))
-    wq = Window.partitionBy("query_id").orderBy(F.col("_d").asc(),
-                                                F.col("centroid_id").asc())
-    probes = (probes.withColumn("_rn", F.row_number().over(wq))
-              .filter(F.col("_rn") <= n_probe)
-              .select("query_id", "_qv", "_qn", "centroid_id"))
+    q_pdf = (queries.select(F.col(id_col).alias("query_id"),
+                            quantize(F.col(vec_col)).alias("_qv"))
+             .withColumn("_qn", norm_sq_q(F.col("_qv"))).toPandas())
+    qids = q_pdf["query_id"].to_numpy()
+    Q = np.stack(q_pdf["_qv"].to_numpy()).astype(np.int64)
+    Qn = q_pdf["_qn"].to_numpy(np.int64)
 
-    pairs = (index.join(F.broadcast(probes), on="centroid_id")
-             .filter(F.col("cand_id") != F.col("query_id"))
-             .withColumn("_dot", dot_q(F.col("_qv"), F.col("_cv")))
-             .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn"), F.col("_cn"))))
-    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
-                                                F.col("cand_id").asc())
-    return (pairs.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "cand_id", "cos"))
+    cent_pdf = centroids.orderBy("centroid_id").toPandas()
+    S = np.stack(cent_pdf["_sv"].to_numpy()).astype(np.int64)
+    Sn = cent_pdf["_sn"].to_numpy(np.int64)
+    cent_ids = cent_pdf["centroid_id"].to_numpy(np.int64)
+
+    # exact integer probe distances; ties by centroid_id asc (stable
+    # argsort over the id-ordered centroid rows), same order the
+    # previous window (_d asc, centroid_id asc) produced
+    D = Qn[:, None] + Sn[None, :] - 2 * (Q @ S.T)
+    nearest = np.argsort(D, axis=1, kind="stable")[:, :min(n_probe, len(cent_ids))]
+    probe_map: dict = {}
+    for j in range(len(qids)):
+        for pos in nearest[j]:
+            probe_map.setdefault(int(cent_ids[pos]), []).append(j)
+    probe_map = {cid: (qids[js], Q[js], Qn[js])
+                 for cid, js in probe_map.items()}
+
+    c = index.withColumnRenamed("centroid_id", "_key")
+
+    def batch_prep(pdf):
+        return (pdf["cand_id"].to_numpy(),
+                np.stack(pdf["_cv"].to_numpy()).astype(np.int64),
+                pdf["_cn"].to_numpy(np.int64),
+                pdf["_key"].to_numpy(np.int64))
+
+    fn, schema = _gemm_local_topk(
+        probe_map, k, batch_prep,
+        queries.schema[id_col].dataType, candidates.schema[id_col].dataType)
+    return _finish_topk(c.mapInPandas(fn, schema), k)

@@ -1645,8 +1645,9 @@ def q_ann_lsh_topk(spark, sf_dir):
     per-query recall_at_k column vs the exact baseline). 4 hyperplanes
     + 1-bit multiprobe: ~5/16 of the corpus searched; on the CLUSTERLESS
     synthetic embeddings recall ≈ searched fraction + angular margin
-    (measured 0.46/0.62 at sf0.01/0.1 vs 0.13/0.17 single-probe) —
-    real clustered corpora concentrate neighbors in the home bucket."""
+    (measured 0.40 at sf0.01 on this 10-query config vs ~0.13
+    single-probe; floor asserted in tests/test_ann.py) — real clustered
+    corpora concentrate neighbors in the home bucket."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     approx = ANN.lsh_topk(q, emb, k=5, n_planes=4, multiprobe=1)
@@ -1657,7 +1658,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     """ANN scale path #2: IVF-flat — deterministic seeded centroids, one
     exact-integer Lloyd step, n_probe nearest clusters per query, exact
     re-rank; result carries a measured per-query recall_at_k column vs
-    brute force (also asserted ≥0.9 mean in tests/test_ann.py)."""
+    brute force (measured 0.80 mean at sf0.01 on this config; the
+    ≥0.75 floor is asserted in tests/test_ann.py so a parameter or
+    kernel regression fails CI instead of silently drifting)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     approx = ANN.ivf_topk(q, emb, k=5, n_centroids=16, n_probe=8)
@@ -1732,19 +1735,26 @@ QUERIES = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_phash_hamming": q_dedup_phash_hamming,
     "ann_topk_cosine": q_ann_topk,
-    # engine-native (rows-only driver check; no SQL equivalent)
+    # streaming queries WITH batch-SQL oracles — kept with the oracled
+    # block: the driver runs ~50 registry entries in dict order, so every
+    # ORACLES-backed entry must precede the rows-only tail (round-2
+    # lesson: these two sat past the window and got no CORRECTNESS row)
+    "stream_hourly_window": q_stream_hourly_window,
+    "stream_dedup": q_stream_dedup,
+    # engine-native (rows-only driver check; no SQL equivalent) — the
+    # multimodal invariant queries lead because the per-row PSNR/caption
+    # invariant is part of the north rule and should stay inside the
+    # driver's run window
+    "mm_row_invariants": q_mm_row_invariants,
+    "mm_decode_stats": q_mm_decode_stats,
+    "mm_phash_near_dup": q_mm_phash_near_dup,
     "pbf_roundtrip_counts": q_pbf_roundtrip_counts,
     "polygon_assembly": q_polygon_assembly,
     "pbf_spatial_join": q_pbf_spatial_join,
     "apidb_roundtrip_counts": q_apidb_roundtrip,
     "ref_fixture_parity": q_ref_fixture_parity,
-    "stream_hourly_window": q_stream_hourly_window,
-    "stream_dedup": q_stream_dedup,
     "stream_sessionize": q_stream_sessionize,
     "stream_cell_enrich": q_stream_cell_enrich,
-    "mm_decode_stats": q_mm_decode_stats,
-    "mm_row_invariants": q_mm_row_invariants,
-    "mm_phash_near_dup": q_mm_phash_near_dup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
