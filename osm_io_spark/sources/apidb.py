@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import pgdump_toc as PGT
 from .pbf.decode import ELEMENTS
 
 _SENTINEL = "\x00"
@@ -698,15 +699,13 @@ def write_apidb_dump(els: DataFrame, out_dir: str) -> dict[str, str]:
                 # close() writes the terminator on every table)
                 with open(final, "wb") as out:
                     out.write(b"\\.\n")
-            quoted = [f'"{f}"' if f == "timestamp" else f for f in fields]
-            toc_entries.append(
-                f"COPY public.{name} ({', '.join(quoted)}) FROM stdin;\n;{fname}\n")
+            toc_entries.append(PGT.table_data_entry(name, fields, fname))
             mapping[name] = fname
-        toc_path = os.path.join(out_dir, "toc.dat")
-        with open(toc_path, "wb") as fh:
-            fh.write(b"PGDMP-style toc (osm_io_spark apidb sink)\n")
-            for e in toc_entries:
-                fh.write(e.encode())
+        # a structurally real pg_dump -Fd binary toc (pgdump_toc module)
+        # — restorable archive layout, and still byte-scannable by both
+        # parse_toc above and the reference's reader.rs:88-134 scanner
+        PGT.write_toc(os.path.join(out_dir, "toc.dat"),
+                      PGT.session_setup_entries() + toc_entries)
         return mapping
     finally:
         els.unpersist()
