@@ -259,9 +259,62 @@ def hamming_near_dup_pairs(df: DataFrame, max_k: int = 2, nbits: int = 16,
             .distinct())
 
 
+def _cc_star(edges: DataFrame, max_iter: int = 64,
+             stats: dict | None = None) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (the public two-phase MapReduce CC algorithm:
+    Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds on ANY graph shape, vs O(diameter) for label
+    propagation, so adversarial long chains converge in ~log2(n)
+    materializations instead of n/2.
+
+    ``edges`` is canonical (a > b, distinct, no self-loops); returns
+    (vid, label) for every endpoint, label = component min.
+
+    large-star: every vertex u connects its LARGER neighbors to
+    m(u) = min(N(u) ∪ {u}); small-star: every vertex connects its
+    smaller neighbors (and itself) to the min of that set. Both
+    preserve connectivity and only shrink the (lexicographic) edge
+    set; the fixpoint is a star per component centered at its min."""
+    verts = (edges.select(F.col("a").alias("vid"))
+             .unionByName(edges.select(F.col("b").alias("vid")))
+             .distinct().localCheckpoint(eager=False))
+    edges = edges.localCheckpoint(eager=False)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (sym.groupBy("a").agg(F.min("b").alias("_mb"))
+             .select("a", F.least(F.col("a"), F.col("_mb")).alias("m")))
+        large = (sym.join(m, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                 .distinct())
+        # small-star over canonical orientation: group larger endpoint
+        ms = large.groupBy("a").agg(F.min("b").alias("m"))
+        j = large.join(ms, "a")
+        small = (j.select("a", F.col("m").alias("b"))
+                 .unionByName(j.filter(F.col("b") != F.col("m"))
+                              .select(F.col("b").alias("a"),
+                                      F.col("m").alias("b")))
+                 .distinct().localCheckpoint(eager=False))
+        done = (small.count() == edges.count() and
+                small.exceptAll(edges).limit(1).count() == 0)
+        edges = small
+        if done:
+            break
+    if stats is not None:
+        stats.update({"method": "star", "rounds": rounds})
+    centers = edges.select(F.col("a").alias("vid"), F.col("b").alias("label"))
+    return (verts.join(centers, "vid", "left")
+            .select("vid", F.coalesce("label", F.col("vid")).alias("label")))
+
+
 def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                    id_col: str = "doc_id",
-                   max_iter: int = 50) -> DataFrame:
+                   max_iter: int = 50, method: str = "auto",
+                   stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id, keep) — resolve near-dup PAIRS into
     duplicate CLUSTERS (connected components) and derive the keep-list:
     cluster_id = min member id, keep ⇔ the doc is its cluster's
@@ -272,16 +325,52 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
     filtering — transitive duplicates (A~B, B~C) must drop together
     even when (A,C) was never emitted as a pair.
 
-    Algorithm: iterative hash-min label propagation — per round every
-    vertex takes the min label among itself and its neighbors; rounds
-    = graph diameter (duplicate clusters are shallow: near-cliques from
-    banded LSH, so 2-4 rounds in practice). Each round is one shuffle
-    join + aggregate; labels are pinned per round with a lazy
-    localCheckpoint so lineage stays O(1) instead of O(rounds). For
-    adversarial long-chain graphs at planet scale, swap in the
-    large-star/small-star contraction (same join primitives, O(log n)
-    rounds); the fixpoint test below is already exact either way.
+    Two algorithms behind one API, picked by ``method``:
+
+    * ``"propagation"`` — iterative hash-min label propagation; rounds
+      = graph diameter (duplicate clusters are shallow: near-cliques
+      from banded LSH, so 2-4 rounds in practice). Each round is one
+      shuffle join + aggregate; labels are pinned per round with a
+      lazy localCheckpoint so lineage stays O(1) instead of O(rounds).
+      Raises RuntimeError if max_iter rounds pass without reaching the
+      fixpoint (an unconverged result would silently mislabel — and
+      then drop/keep the wrong documents downstream).
+    * ``"star"`` — large-star/small-star contraction (_cc_star),
+      O(log n) rounds on any shape: the escape hatch for adversarial
+      long-chain graphs whose diameter exceeds the propagation budget.
+    * ``"auto"`` (default) — density probe: near-clique dedup graphs
+      (avg degree ≥ 3) have tiny diameters, so propagation's cheaper
+      rounds win; sparse graphs may hide long chains, so star's
+      logarithmic bound wins. The probe is two counts on the edge
+      frame both paths need anyway.
+
+    Both paths are exact (same oracle); ``stats`` (optional dict) gets
+    {"method", "rounds"} filled in for round-count evidence.
     """
+    if method not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        canon = (pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b")).distinct())
+        n_e = canon.count()
+        n_v = (canon.select(F.col("a").alias("v"))
+               .unionByName(canon.select(F.col("b").alias("v")))
+               .distinct().count())
+        method = "propagation" if n_v == 0 or 2 * n_e / n_v >= 3 else "star"
+    if method == "star":
+        canon = (pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+        labels = _cc_star(canon, stats=stats)
+        v = vertices.select(F.col(id_col))
+        return (v.join(labels, v[id_col] == labels["vid"], "left")
+                .select(v[id_col],
+                        F.coalesce("label", v[id_col]).alias("cluster_id"),
+                        (F.coalesce("label", v[id_col]) == v[id_col]
+                         ).alias("keep")))
+
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(
                  pairs.select(F.col("id_b").alias("src"),
@@ -313,7 +402,10 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                                 ).alias("label")))
 
     prev_sum = None
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # TWO propagation steps per materialization: the dominant cost
         # at moderate scale is per-round job latency, and diameter-d
         # convergence needs ⌈d/2⌉ materializations this way; the
@@ -332,7 +424,19 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                     .limit(1).count()) == 0
         labels = new_labels
         if done:
+            converged = True
             break
+    if not converged:
+        # never return silently-wrong labels (ADVICE r2): a diameter >
+        # 2*max_iter chain would mislabel and the curation step would
+        # then drop/keep the wrong documents
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{max_iter} rounds — graph diameter exceeds the budget; "
+            f"rerun with method='star' (O(log n) rounds) or a larger "
+            f"max_iter")
+    if stats is not None:
+        stats.update({"method": "propagation", "rounds": rounds})
     v = vertices.select(F.col(id_col))
     return (v.join(labels, v[id_col] == labels["vid"], "left")
             .select(v[id_col],

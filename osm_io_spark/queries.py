@@ -1672,10 +1672,15 @@ def q_dedup_embedding_ivf(spark, sf_dir):
     exact integer verification — same answer as the exact all-pairs
     kernel (oracle: SQL_DEDUP_EMB) because with 12-of-64 cluster
     multi-assignment every threshold-40% pair of this corpus shares a
-    probed cluster (verified identical at sf0.001/0.01/0.1). The plan is
-    a bucketed equi-join on centroid_id, never a cross join; see the
-    operator docstring for the probe-fraction/recall trade-off on
-    clusterless synthetic data."""
+    probed cluster (verified identical at sf0.001/0.01/0.1). The EXACT
+    oracle binding therefore DEPENDS on empirical recall == 1.0 at this
+    registered config: change threshold/n_centroids/n_probe (or the
+    corpus) and the gate can fail on a recall miss rather than a bug —
+    tests/test_ann.py::test_registry_ivf_oracle_binding pins the
+    dependency through this very function and fails with a recall
+    diagnostic first. The plan is a bucketed equi-join on centroid_id,
+    never a cross join; see the operator docstring for the
+    probe-fraction/recall trade-off on clusterless synthetic data."""
     return DD.embedding_near_dup_pairs_ivf(
         _t(spark, sf_dir, "embeddings"), threshold_pct=40,
         n_centroids=64, n_probe=12)

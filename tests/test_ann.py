@@ -105,6 +105,30 @@ def test_ivf_dedup_matches_exact_multi_block(spark, emb):
     assert (exact["dot_q"].values == ivf["dot_q"].values).all()
 
 
+def test_registry_ivf_oracle_binding(spark):
+    """dedup_embedding_ivf is gated against the EXACT oracle
+    (SQL_DEDUP_EMB) even though IVF is approximate by construction —
+    the binding is valid only because recall is empirically 1.0 at the
+    registered (threshold=40, nc=64, probe=12) config on the driver
+    corpora (ADVICE r2). This test pins that dependency THROUGH the
+    registry functions themselves, so a parameter tweak in the
+    registration (not just the operator) fails here first, with a
+    recall diagnostic, instead of as an opaque driver hash mismatch."""
+    import osm_io_spark.queries as Q
+
+    key = ["id_a", "id_b"]
+    exact = set(map(tuple, Q.q_dedup_embedding(spark, SF_DIR)
+                    .select(key).collect()))
+    ivf = set(map(tuple, Q.q_dedup_embedding_ivf(spark, SF_DIR)
+                  .select(key).collect()))
+    recall = len(exact & ivf) / max(len(exact), 1)
+    assert ivf == exact, (
+        f"registered IVF config no longer reproduces the exact kernel "
+        f"(recall {recall:.4f}, {len(ivf)} vs {len(exact)} pairs) — "
+        f"either restore recall 1.0 or rebind the oracle to the exact∩"
+        f"candidate set before the driver gate sees it")
+
+
 def test_ivf_dedup_string_ids(spark, emb):
     """ADVICE fix regression: the IVF path accepts non-integer ids (the
     GEMM path raises a clear TypeError instead of mis-casting)."""
@@ -189,6 +213,56 @@ def test_dedup_clusters_chain_and_singletons(spark):
     assert all(out[v] == (1, v == 1) for v in [1, 2, 3, 4, 5, 6])
     assert all(out[v] == (10, v == 10) for v in [10, 11, 12])
     assert out[99] == (99, True)
+
+
+def test_dedup_clusters_star_and_convergence_guard(spark):
+    """Adversarial long chain (diameter 299): propagation with a small
+    round budget must RAISE (never silently mislabel — ADVICE r2), the
+    large-star/small-star path must solve it in O(log n) rounds, and
+    both algorithms must agree exactly on a mixed graph."""
+    from osm_io_spark.operators.dedup import dedup_clusters
+
+    chain = spark.range(1, 300).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    verts = spark.range(1, 301).select(F.col("id").alias("doc_id"))
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, verts, method="propagation", max_iter=3)
+
+    stats: dict = {}
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_clusters(chain, verts, method="star",
+                          stats=stats).collect()}
+    assert all(out[v] == 1 for v in range(1, 301))
+    assert stats["method"] == "star" and stats["rounds"] <= 12
+
+    # mixed graph: both algorithms produce identical labels; auto picks
+    # star on this sparse (avg degree 2) shape
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    mverts = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long")
+    a = sorted(dedup_clusters(pairs, mverts, method="propagation").collect())
+    astats: dict = {}
+    b = sorted(dedup_clusters(pairs, mverts, method="auto",
+                              stats=astats).collect())
+    assert a == b
+    assert astats["method"] == "star"
+
+
+def test_dedup_clusters_star_string_ids(spark):
+    """The star path orders by VALUE, so string ids work unchanged."""
+    from osm_io_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")], "id_a string, id_b string")
+    verts = spark.createDataFrame(
+        [(v,) for v in ["b", "c", "d", "x", "y", "z"]], "doc_id string")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+           dedup_clusters(pairs, verts, method="star").collect()}
+    assert out == {"b": ("b", True), "c": ("b", False), "d": ("b", False),
+                   "x": ("x", True), "y": ("x", False), "z": ("z", True)}
 
 
 def test_lsh_multiprobe_improves_recall(spark, emb):
