@@ -139,13 +139,18 @@ def run_bands(args) -> dict:
 
     n = args.n_images
     hot_m = int(n * args.hot_frac)
-    # 64-bit fp, max_k=2 ⇒ 3 bands of ~21 bits. Boilerplate rows agree
-    # on the low 21 bits (band 0) but are random above — they collide in
-    # band 0 yet almost never pass the exact hamming filter, isolating
-    # the join-skew cost from output volume.
+    # 64-bit fp, max_k=2 ⇒ bands of 22+21+21 bits (hamming_near_dup_pairs
+    # gives the remainder bits to the LEADING bands). Boilerplate rows
+    # must agree on ALL 22 low bits so the whole hot mass lands on ONE
+    # band-0 key (a 21-bit constant would split it across two keys of
+    # ~m/2 and halve the skew — ADVICE r2); they are random above, so
+    # they collide in band 0 yet almost never pass the exact hamming
+    # filter, isolating the join-skew cost from output volume.
+    band0_bits = 64 // 3 + 1  # matches the sizes formula in dedup.py
     fp = F.when(
         F.col("doc_id") < hot_m,
-        F.shiftleft(F.xxhash64("doc_id"), 21).bitwiseOR(F.lit(0x155555))
+        F.shiftleft(F.xxhash64("doc_id"), band0_bits)
+        .bitwiseOR(F.lit(0x2AAAAA))
     ).otherwise(F.xxhash64(F.col("doc_id") + F.lit(10_000_000_000)))
     corpus = (spark.range(0, n, 1,
                           spark.sparkContext.defaultParallelism * 4)
