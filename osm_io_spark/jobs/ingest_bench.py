@@ -141,9 +141,8 @@ def main(argv: list[str] | None = None) -> dict:
     print(json.dumps(res))
 
     if args.out and "write_s" in res:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as fh:
-            fh.write(f"""# BENCH/INGEST — PBF codec throughput (single node, local[{cpus}])
+        from .mdout import write_preserving
+        write_preserving(args.out, f"""# BENCH/INGEST — PBF codec throughput (single node, local[{cpus}])
 
 The reference publishes no benchmark numbers and cannot be built here
 (no crates.io access); these are the engine's own codec numbers on a

@@ -151,9 +151,8 @@ def main(argv: list[str] | None = None) -> dict:
     summary, extra = pairs[0], pairs[1:]
     print(json.dumps({"primary": summary, "extra": extra}))
     if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as fh:
-            fh.write(render_md(summary, extra))
+        from .mdout import write_preserving
+        write_preserving(args.out, render_md(summary, extra))
     return summary
 
 
