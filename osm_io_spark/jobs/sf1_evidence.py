@@ -121,25 +121,105 @@ def run(argv: list[str] | None = None) -> dict:
         results[name] = {"s": dt, "rows": n}
         print(f"# {name}: {dt}s rows={n}", flush=True)
 
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        dt = round(time.perf_counter() - t0, 2)
+        results[name] = {"s": dt, "rows": n}
+        print(f"# {name}: {dt}s rows={n}", flush=True)
+        return n
+
+    # --- ANN at 10x with a PERSISTED, REUSED index (round-3 item):
+    # build once over the 20k-vector corpus, then run two successive
+    # query batches against the same (centroids, index) pair — the
+    # amortization claim is search ≪ build and batch2 ≈ batch1 (no
+    # rebuild). Batch 1 also carries measured recall vs brute force.
+    from ..operators import ann as ANN
+    emb = spark.read.parquet(f"{args.dir}/embeddings.parquet")
+
+    built_box = {}
+
+    def _build():
+        cent, idx = ANN.ivf_build(emb, n_centroids=64)
+        cent, idx = cent.persist(), idx.persist()
+        built_box["built"] = (cent, idx)
+        return cent.count() + idx.count()
+
+    timed("ann_ivf_build_20k", _build)
+    built = built_box["built"]
+    q1 = emb.filter(F.col("vec_id") < 10)
+    q2 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+
+    def _search(q):
+        return lambda: ANN.ivf_topk(q, emb, k=5, n_probe=8,
+                                    built=built).count()
+
+    timed("ann_ivf_search_batch1", _search(q1))
+    timed("ann_ivf_search_batch2", _search(q2))
+    approx = ANN.ivf_topk(q1, emb, k=5, n_probe=8, built=built)
+    exact = ANN.brute_force_topk(q1, emb, k=5)
+    rec = (ANN.with_recall(approx, exact, k=5)
+           .agg(F.round(F.mean("recall_at_k"), 3)).collect()[0][0])
+    results["ann_ivf_search_batch1"]["recall"] = float(rec)
+    print(f"# ann_ivf recall_at_5 vs brute force at 10x: {rec}")
+
+    # --- multimodal image near-dup at 10x the registry image count:
+    # the registry query is fixed at 240 synthetic images; scale the
+    # identical pipeline (resize twin → recomputed phash → pigeonhole
+    # hamming bands) to 2400.
+    from ..operators import dedup as DDop
+    from ..operators import multimodal as MM
+    from ..sources import synth as SY
+    from ..queries import ensure_shipped
+
+    def _mm():
+        ensure_shipped(spark)
+        imgs = SY.images_df(spark, 2400, seed=42, partitions=32)
+        resized = (MM.resize(imgs, 16)
+                   .select(F.concat(F.col("image_id"),
+                                    F.lit("-r")).alias("image_id"),
+                           "bytes", "w", "h", "fmt")
+                   .withColumn("phash", F.lit(0)))
+        both = imgs.select("image_id", "bytes", "w", "h", "fmt",
+                           "phash").unionByName(resized)
+        stats = MM.decode_stats(both).select("image_id", "phash_calc")
+        return DDop.hamming_near_dup_pairs(
+            stats, max_k=4, nbits=63, fp_col="phash_calc",
+            id_col="image_id").count()
+
+    timed("mm_phash_near_dup_10x", _mm)
+
     out = {"metric": "sf1_evidence", "sf_equivalent": 1.0,
            "n_lineitem": REPL * 600_000, "cores":
            spark.sparkContext.defaultParallelism, "queries": results}
     print(json.dumps(out))
 
     if args.out:
-        with open(args.out, "w") as fh:
-            fh.write(
-                "# sf1 evidence run\n\n"
-                f"10x-replicated sf0.1 corpus ({REPL * 600_000:,} lineitem "
-                f"rows → {REPL * 600_000 * 10:,}-ish probe ids, 200k part, "
-                "100k docs incl. the corpus doubling, 20k embeddings) on "
-                f"local[{out['cores']}] with the SHIPPED session config "
-                "(12g JVM heap). Completion without OOM at 10x sf0.1 is "
-                "the partition-cliff evidence; detailed plan audits live "
-                "in BENCH/PLANS.md.\n\n"
-                "| query | seconds | rows |\n|---|---|---|\n")
-            for name, r in results.items():
-                fh.write(f"| {name} | {r['s']} | {r['rows']} |\n")
+        from .mdout import write_preserving
+        md = (
+            "# sf1 evidence run\n\n"
+            f"10x-replicated sf0.1 corpus ({REPL * 600_000:,} lineitem "
+            f"rows → {REPL * 600_000 * 10:,}-ish probe ids, 200k part, "
+            "100k docs incl. the corpus doubling, 20k embeddings) on "
+            f"local[{out['cores']}] with the SHIPPED session config "
+            "(12g JVM heap). Completion without OOM at 10x sf0.1 is "
+            "the partition-cliff evidence; detailed plan audits live "
+            "in BENCH/PLANS.md.\n\n"
+            "The `ann_ivf_*` rows are the round-3 index-reuse evidence: "
+            "ivf_build runs ONCE over the 20k-vector corpus (persisted "
+            "centroids + assignment index), then two successive query "
+            "batches search against the same built pair — amortization "
+            "= search ≪ build and batch2 ≈ batch1 (no rebuild); batch 1 "
+            "carries mean recall@5 vs brute force. "
+            "`mm_phash_near_dup_10x` is the registry image pipeline "
+            "(resize twin → recomputed phash → pigeonhole hamming "
+            "bands) at 10x the registry image count.\n\n"
+            "| query | seconds | rows |\n|---|---|---|\n")
+        for name, r in results.items():
+            extra_col = (f" (recall@5 {r['recall']})"
+                         if "recall" in r else "")
+            md += f"| {name} | {r['s']} | {r['rows']}{extra_col} |\n"
+        write_preserving(args.out, md)
     return out
 
 
