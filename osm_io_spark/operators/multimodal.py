@@ -102,6 +102,57 @@ def resize(images: DataFrame, out_size: int) -> DataFrame:
         _resize, schema=schema)
 
 
+def image_embed(images: DataFrame, grid: int = 4) -> DataFrame:
+    """(image_id, embedding) — deterministic visual feature extraction:
+    per-channel ``grid``×``grid`` block means of the decoded pixels,
+    flattened to 3·grid² dims, mean-CENTERED per vector, and
+    L2-normalized. Centering matters: raw block means are all-positive
+    vectors whose pairwise cosines crowd into [0.98, 1] (measured
+    median 0.980 on the synthetic corpus), so no threshold separates
+    duplicates from strangers; after centering the cross-image median
+    is ~0.002 with twins still at ~1.0.
+
+    This is the honest stand-in for a neural image encoder (no model
+    weights ship in this container): the Spark-side contract — id +
+    array<double> schema, Arrow batching, per-(w, h, fmt) stacked numpy
+    kernels, downstream compatibility with the embedding dedup / ANN
+    stack (operators.dedup.embedding_near_dup_pairs_ivf,
+    operators.ann) — is real and tested; a real encoder drops into the
+    same mapInPandas shape. Block means at a fixed grid are
+    resolution-invariant by construction, so an image and its resized
+    twin embed nearly identically — the property the image-embedding
+    near-dup query exploits."""
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ])
+
+    def _embed(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"], sort=False):
+                w, h, fmt = int(w), int(h), str(fmt)
+                stack = _decode_stack(g, w, h, fmt)
+                feats = np.stack([
+                    I.block_mean_resize_batch(
+                        stack[:, :, :, c].astype(np.float64), grid)
+                    for c in range(3)], axis=3)
+                flat = feats.reshape(len(g), -1)
+                flat = flat - flat.mean(axis=1, keepdims=True)
+                nrm = np.linalg.norm(flat, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0
+                flat = flat / nrm
+                parts.append(pd.DataFrame({
+                    "image_id": g["image_id"].to_numpy(),
+                    "embedding": list(flat)}))
+            yield pd.concat(parts, ignore_index=True)
+
+    return (images.select("image_id", "bytes", "w", "h", "fmt")
+            .mapInPandas(_embed, schema=schema))
+
+
 def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling — container has no video codec; the operator
     exists to pin the schema/signature. Raises on execution."""

@@ -1639,6 +1639,77 @@ def q_mm_phash_near_dup(spark, sf_dir):
                                      fp_col="phash_calc", id_col="image_id")
 
 
+IMG_CURATE_MIN_QUALITY = 0.96
+
+
+def q_image_curation(spark, sf_dir):
+    """End-to-end curation for the IMAGE modality — the image-side twin
+    of corpus_curation: synthetic image corpus + its resized twins →
+    batched Arrow decode (recomputed phash + mean pixel, ONE pass) →
+    pigeonhole hamming near-dup pairs → duplicate clusters (connected
+    components) → per-image keep/drop decision with reason. Duplicate
+    removal precedes the quality gate (textops.curate reused with
+    id_col='image_id'); quality is a deterministic exposure score
+    1 - |mean_pixel - 127.5|/127.5, a pure Column over the decode stats
+    — no second decode pass. Engine-native (rows-only driver check: the
+    corpus is binary image bytes a SQL oracle cannot decode);
+    composition verified in tests/test_images.py."""
+    from .operators import multimodal as MM
+    from .operators import textops as TX
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
+    resized = (MM.resize(imgs, 16)
+               .select(F.concat(F.col("image_id"), F.lit("-r")).alias("image_id"),
+                       "bytes", "w", "h", "fmt")
+               .withColumn("phash", F.lit(0)))
+    both = imgs.select("image_id", "bytes", "w", "h", "fmt",
+                       "phash").unionByName(resized)
+    # one decode feeds pairs AND quality AND the vertex list — pin it
+    # (fan-out rule) so the Arrow decode doesn't re-execute per branch
+    # or per clustering round
+    stats = (MM.decode_stats(both)
+             .select("image_id", "phash_calc", "mean_pixel")
+             .localCheckpoint(eager=False))
+    pairs = DD.hamming_near_dup_pairs(stats, max_k=4, nbits=63,
+                                      fp_col="phash_calc",
+                                      id_col="image_id")
+    clusters = DD.dedup_clusters(pairs, stats.select("image_id"),
+                                 id_col="image_id")
+    quality = stats.select(
+        "image_id",
+        (F.lit(1.0) - F.abs(F.col("mean_pixel") - 127.5) / 127.5)
+        .alias("quality"))
+    return TX.curate(stats, clusters, quality,
+                     IMG_CURATE_MIN_QUALITY, id_col="image_id")
+
+
+def q_mm_embed_near_dup(spark, sf_dir):
+    """Image-EMBEDDING near-dup: multimodal feature extraction
+    (multimodal.image_embed — per-channel block-mean features, the
+    deterministic neural-encoder stand-in) feeding the SAME IVF
+    embedding-dedup stack the text embeddings use
+    (dedup.embedding_near_dup_pairs_ivf, string ids). Sources + their
+    resized twins embed nearly identically (block means are
+    resolution-invariant), so every twin pair must clear the cos ≥ 0.98
+    gate; candidate generation stays a bucketed centroid equi-join.
+    Engine-native (rows-only driver check: binary image corpus);
+    brute-force-verified in tests/test_images.py."""
+    from .operators import multimodal as MM
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
+    resized = (MM.resize(imgs, 16)
+               .select(F.concat(F.col("image_id"), F.lit("-r")).alias("image_id"),
+                       "bytes", "w", "h", "fmt"))
+    both = imgs.select("image_id", "bytes", "w", "h",
+                       "fmt").unionByName(resized)
+    emb = MM.image_embed(both, grid=4).localCheckpoint(eager=False)
+    return DD.embedding_near_dup_pairs_ivf(
+        emb, threshold_pct=98, n_centroids=8, n_probe=4,
+        id_col="image_id")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
     vs brute force measured in tests; rows-only driver check carries a
@@ -1753,6 +1824,8 @@ QUERIES = {
     "mm_row_invariants": q_mm_row_invariants,
     "mm_decode_stats": q_mm_decode_stats,
     "mm_phash_near_dup": q_mm_phash_near_dup,
+    "image_curation": q_image_curation,
+    "mm_embed_near_dup": q_mm_embed_near_dup,
     "pbf_roundtrip_counts": q_pbf_roundtrip_counts,
     "polygon_assembly": q_polygon_assembly,
     "pbf_spatial_join": q_pbf_spatial_join,

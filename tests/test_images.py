@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from osm_io_spark.functions import images as I
 
@@ -96,6 +97,86 @@ def test_phash_hamming_near_dup_matches_brute_force(spark):
         for i, a in enumerate(ids) for b in ids[i + 1:]
         if bin(local[a] ^ local[b]).count("1") <= 8)
     assert got == want
+
+
+def test_image_curation_decisions(spark):
+    """image_curation composes brute-force-verified pieces (decode
+    stats, hamming pairs, dedup_clusters); this test verifies the
+    COMPOSITION: every resized twin lands in its source's cluster and
+    drops as a duplicate, and every decision matches the rule
+    (duplicate precedence, then the exposure-quality threshold)
+    recomputed independently from the decode stats + pair graph."""
+    from osm_io_spark import queries as Q
+
+    out = {r["image_id"]: r for r in
+           Q.q_image_curation(spark, "/root/testdata/sf0.001").collect()}
+    assert len(out) == 480  # 240 sources + 240 twins
+    assert set(r["decision"] for r in out.values()) <= {
+        "kept", "dropped_duplicate", "dropped_quality"}
+
+    # twins: "<id>-r" sorts after "<id>", shares its cluster via the
+    # guaranteed source↔twin pair, so it can never be canonical
+    for iid, r in out.items():
+        if iid.endswith("-r"):
+            assert r["decision"] == "dropped_duplicate", (iid, r)
+        if r["cluster_id"] != iid:
+            assert r["decision"] == "dropped_duplicate", (iid, r)
+        else:
+            want = ("kept" if r["quality"] >= Q.IMG_CURATE_MIN_QUALITY
+                    else "dropped_quality")
+            assert r["decision"] == want, (iid, r)
+    # the quality gate is live: at least one canonical survives and
+    # decisions are not all identical
+    kept = [i for i, r in out.items() if r["decision"] == "kept"]
+    assert kept and len(kept) < 240
+
+
+def test_image_embed_and_near_dup(spark):
+    """image_embed: unit-norm 3·grid² features, deterministic; the IVF
+    image-embedding near-dup query must (a) find every source↔twin pair
+    (resolution-invariant block means ⇒ cos ≈ 1) and (b) emit ONLY
+    pairs whose true cosine clears the gate, verified against a local
+    brute-force cosine over the same embeddings."""
+    import pandas as pd
+
+    from osm_io_spark import queries as Q
+    from osm_io_spark.operators import multimodal as MM
+    from osm_io_spark.sources import synth as SY
+
+    Q.ensure_shipped(spark)
+    imgs = SY.images_df(spark, 60, seed=7, partitions=4)
+    emb = MM.image_embed(imgs, grid=4).toPandas()
+    assert len(emb) == 60
+    V = np.stack(emb["embedding"].to_numpy())
+    assert V.shape == (60, 48)
+    assert np.abs(np.linalg.norm(V, axis=1) - 1.0).max() < 1e-9
+    # deterministic across runs
+    emb2 = MM.image_embed(imgs, grid=4).toPandas().set_index("image_id")
+    for iid, v in zip(emb["image_id"], V):
+        assert np.allclose(emb2.loc[iid, "embedding"], v)
+
+    out = Q.q_mm_embed_near_dup(spark, "/root/testdata/sf0.001").toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    # every source pairs with its own resized twin
+    resized = (MM.resize(SY.images_df(spark, 240, seed=42, partitions=8), 16)
+               .select(F.concat(F.col("image_id"), F.lit("-r"))
+                       .alias("image_id"), "bytes", "w", "h", "fmt"))
+    both = (SY.images_df(spark, 240, seed=42, partitions=8)
+            .select("image_id", "bytes", "w", "h", "fmt")
+            .unionByName(resized))
+    full = MM.image_embed(both, grid=4).toPandas()
+    fV = np.stack(full["embedding"].to_numpy())
+    fids = full["image_id"].to_numpy()
+    idx = {i: k for k, i in enumerate(fids)}
+    for iid in fids:
+        if iid.endswith("-r"):
+            src = iid[:-2]
+            pair = tuple(sorted((src, iid)))
+            assert pair in got or (pair[1], pair[0]) in got, pair
+    # no emitted pair below the gate (quantization slop allowance)
+    cos = fV @ fV.T
+    for a, b in got:
+        assert cos[idx[a], idx[b]] >= 0.979, (a, b, cos[idx[a], idx[b]])
 
 
 def test_batched_kernels_bit_identical():
