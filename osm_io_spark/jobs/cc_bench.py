@@ -52,8 +52,12 @@ def run(argv: list[str] | None = None) -> list[dict]:
         t0 = time.perf_counter()
         out = dedup_clusters(pairs, verts, method=method, stats=stats)
         ok = check(out)
+        ran = stats.get("method")
+        if stats.get("fallback"):
+            ran = (f"{ran} (fallback after "
+                   f"{stats['propagation_rounds']} propagation rounds)")
         rows.append({"graph": graph, "requested": method,
-                     "ran": stats.get("method"),
+                     "ran": ran,
                      "rounds": stats.get("rounds"),
                      "s": round(time.perf_counter() - t0, 2),
                      "verified": bool(ok)})
@@ -62,9 +66,11 @@ def run(argv: list[str] | None = None) -> list[dict]:
               flush=True)
 
     # adversarial chain, diameter n-1: star must converge in O(log n)
-    # materializations; propagation at default max_iter=50 would cover
-    # only diameter 100 and raises (guard tested in tests/test_ann.py),
-    # so it is not run here — that refusal IS its documented behavior.
+    # materializations; explicit propagation at default max_iter=50
+    # would cover only diameter 100 and raises (guard tested in
+    # tests/test_ann.py), so it is not run here — that refusal IS its
+    # documented behavior. `auto` burns its bounded propagation budget
+    # (auto_budget=8 rounds) and then falls back to star.
     chain = (spark.range(1, n, 1, par)
              .select(F.col("id").alias("id_a"),
                      (F.col("id") + 1).alias("id_b")))
@@ -98,11 +104,13 @@ def run(argv: list[str] | None = None) -> list[dict]:
               "(propagation does TWO hash-min steps per round). "
               "`verified` asserts the exact component structure "
               "(single component for the chain; one keep per cluster "
-              "for the near-clique). Propagation is not run on the "
-              "chain: diameter exceeds its budget and it raises by "
-              "design (the convergence guard) — `auto`'s density probe "
-              "routes the chain to star and the near-clique to "
-              "propagation.\n\n"
+              "for the near-clique). Explicit propagation is not run "
+              "on the chain: diameter exceeds its budget and it raises "
+              "by design (the convergence guard). `auto` is "
+              "propagation-first with a bounded budget (8 rounds) and "
+              "a star fallback — on the chain it pays the failed "
+              "budget then contracts; on the near-clique it IS "
+              "propagation with zero extra jobs.\n\n"
               "| graph | requested | ran | rounds | seconds | verified |\n"
               "|---|---|---|---|---|---|\n")
         for r in rows:

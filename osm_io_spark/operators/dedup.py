@@ -314,6 +314,7 @@ def _cc_star(edges: DataFrame, max_iter: int = 64,
 def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                    id_col: str = "doc_id",
                    max_iter: int = 50, method: str = "auto",
+                   auto_budget: int = 8,
                    stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id, keep) — resolve near-dup PAIRS into
     duplicate CLUSTERS (connected components) and derive the keep-list:
@@ -328,42 +329,45 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
     Two algorithms behind one API, picked by ``method``:
 
     * ``"propagation"`` — iterative hash-min label propagation; rounds
-      = graph diameter (duplicate clusters are shallow: near-cliques
-      from banded LSH, so 2-4 rounds in practice). Each round is one
-      shuffle join + aggregate; labels are pinned per round with a
-      lazy localCheckpoint so lineage stays O(1) instead of O(rounds).
-      Raises RuntimeError if max_iter rounds pass without reaching the
-      fixpoint (an unconverged result would silently mislabel — and
-      then drop/keep the wrong documents downstream).
+      = graph diameter (duplicate graphs are shallow: matchings and
+      near-cliques from banded LSH, so 1-4 rounds in practice). Each
+      round is one shuffle join + aggregate; labels are pinned per
+      round with a lazy localCheckpoint so lineage stays O(1) instead
+      of O(rounds). Raises RuntimeError if max_iter rounds pass
+      without reaching the fixpoint (an unconverged result would
+      silently mislabel — and then drop/keep the wrong documents
+      downstream).
     * ``"star"`` — large-star/small-star contraction (_cc_star),
       O(log n) rounds on any shape: the escape hatch for adversarial
       long-chain graphs whose diameter exceeds the propagation budget.
-    * ``"auto"`` (default) — density probe: near-clique dedup graphs
-      (avg degree ≥ 3) have tiny diameters, so propagation's cheaper
-      rounds win; sparse graphs may hide long chains, so star's
-      logarithmic bound wins. The probe is two counts on the edge
-      frame both paths need anyway.
+    * ``"auto"`` (default) — propagation-first with star FALLBACK:
+      run propagation for min(auto_budget, max_iter) rounds (covering
+      diameter ≤ 2·budget); if the fixpoint is not reached, rerun with
+      star contraction. Real dedup graphs converge inside the budget
+      with zero extra jobs — this replaced an upfront density probe
+      (avg-degree ≥ 3 ⇒ propagation) that cost two counts AND
+      mis-routed matching-shaped graphs (degree 1, diameter 1, the
+      exact-duplicate case) onto star's costlier rounds.
 
     Both paths are exact (same oracle); ``stats`` (optional dict) gets
-    {"method", "rounds"} filled in for round-count evidence.
+    {"method", "rounds"} (plus {"fallback": True,
+    "propagation_rounds": n} when auto fell back) for round-count
+    evidence.
     """
     if method not in ("auto", "propagation", "star"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "auto":
-        canon = (pairs.select(
-            F.greatest("id_a", "id_b").alias("a"),
-            F.least("id_a", "id_b").alias("b")).distinct())
-        n_e = canon.count()
-        n_v = (canon.select(F.col("a").alias("v"))
-               .unionByName(canon.select(F.col("b").alias("v")))
-               .distinct().count())
-        method = "propagation" if n_v == 0 or 2 * n_e / n_v >= 3 else "star"
-    if method == "star":
-        canon = (pairs.select(
-            F.greatest("id_a", "id_b").alias("a"),
-            F.least("id_a", "id_b").alias("b"))
-            .filter(F.col("a") != F.col("b")).distinct())
-        labels = _cc_star(canon, stats=stats)
+    # canonicalize ONCE behind one lazy checkpoint: the pair frame is
+    # usually an expensive join (banded LSH, hamming bands) and every
+    # path below reads the edge set repeatedly — without this pin the
+    # auto fallback (and every propagation round) would re-execute the
+    # upstream pair join
+    canon = (pairs.select(
+        F.greatest("id_a", "id_b").alias("a"),
+        F.least("id_a", "id_b").alias("b"))
+        .filter(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=False))
+
+    def finish(labels: DataFrame) -> DataFrame:
         v = vertices.select(F.col(id_col))
         return (v.join(labels, v[id_col] == labels["vid"], "left")
                 .select(v[id_col],
@@ -371,17 +375,19 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                         (F.coalesce("label", v[id_col]) == v[id_col]
                          ).alias("keep")))
 
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if method == "star":
+        return finish(_cc_star(canon, stats=stats))
+
+    edges = (canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(
-                 pairs.select(F.col("id_b").alias("src"),
-                              F.col("id_a").alias("dst")))
-             .localCheckpoint(eager=False))      # re-read every round
+                 canon.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst"))))
     # iterate ONLY over vertices that appear in the pair graph — the
     # duplicate graph is a small fraction of a 10^12-doc corpus, and
     # singletons are trivially their own cluster (joined back at the
     # end); the per-round joins shrink from |corpus| to |graph|
-    labels = (edges.select(F.col("src").alias("vid")).distinct()
-              .withColumn("label", F.col("vid")))
+    init = (edges.select(F.col("src").alias("vid")).distinct()
+            .withColumn("label", F.col("vid")))
     # fixpoint test: labels are element-wise MONOTONE non-increasing
     # (least of self and neighbors), so the label sum is strictly
     # decreasing until the fixpoint — one exact decimal-sum aggregate
@@ -401,32 +407,53 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
                                 F.coalesce(prop["nl"], lbl["label"])
                                 ).alias("label")))
 
-    prev_sum = None
-    converged = False
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        # TWO propagation steps per materialization: the dominant cost
-        # at moderate scale is per-round job latency, and diameter-d
-        # convergence needs ⌈d/2⌉ materializations this way; the
-        # monotone-sum fixpoint test is unaffected (sum unchanged over
-        # a double step ⟺ unchanged over each)
-        new_labels = one_step(one_step(labels)).localCheckpoint(eager=False)
-        if numeric_ids:
-            s = new_labels.agg(F.sum(
-                F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-            done = s == prev_sum
-            prev_sum = s
-        else:
-            done = (new_labels.alias("n")
-                    .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
-                    .filter(F.col("n.label") != F.col("o.label"))
-                    .limit(1).count()) == 0
-        labels = new_labels
-        if done:
-            converged = True
-            break
-    if not converged:
+    def propagate(budget: int) -> tuple[DataFrame | None, int]:
+        labels = init
+        prev_sum = None
+        rounds = 0
+        for _ in range(budget):
+            rounds += 1
+            # TWO propagation steps per materialization: the dominant
+            # cost at moderate scale is per-round job latency, and
+            # diameter-d convergence needs ⌈d/2⌉ materializations this
+            # way; the monotone-sum fixpoint test is unaffected (sum
+            # unchanged over a double step ⟺ unchanged over each)
+            new_labels = one_step(one_step(labels)) \
+                .localCheckpoint(eager=False)
+            if numeric_ids:
+                s = new_labels.agg(F.sum(
+                    F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+                done = s == prev_sum
+                prev_sum = s
+            else:
+                done = (new_labels.alias("n")
+                        .join(labels.alias("o"),
+                              F.col("n.vid") == F.col("o.vid"))
+                        .filter(F.col("n.label") != F.col("o.label"))
+                        .limit(1).count()) == 0
+            labels = new_labels
+            if done:
+                return labels, rounds
+        return None, rounds
+
+    if method == "auto":
+        labels, rounds = propagate(min(auto_budget, max_iter))
+        if labels is None:
+            # diameter exceeds the cheap budget — rerun with the
+            # O(log n) contraction instead of burning O(diameter)
+            # driver-synchronous rounds (or mislabeling)
+            sub: dict = {}
+            out = finish(_cc_star(canon, stats=sub))
+            if stats is not None:
+                stats.update({**sub, "fallback": True,
+                              "propagation_rounds": rounds})
+            return out
+        if stats is not None:
+            stats.update({"method": "propagation", "rounds": rounds})
+        return finish(labels)
+
+    labels, rounds = propagate(max_iter)
+    if labels is None:
         # never return silently-wrong labels (ADVICE r2): a diameter >
         # 2*max_iter chain would mislabel and the curation step would
         # then drop/keep the wrong documents
@@ -437,12 +464,7 @@ def dedup_clusters(pairs: DataFrame, vertices: DataFrame,
             f"max_iter")
     if stats is not None:
         stats.update({"method": "propagation", "rounds": rounds})
-    v = vertices.select(F.col(id_col))
-    return (v.join(labels, v[id_col] == labels["vid"], "left")
-            .select(v[id_col],
-                    F.coalesce("label", v[id_col]).alias("cluster_id"),
-                    (F.coalesce("label", v[id_col]) == v[id_col]
-                     ).alias("keep")))
+    return finish(labels)
 
 
 def embedding_near_dup_pairs(vecs: DataFrame, threshold_pct: int = 20,

@@ -236,8 +236,19 @@ def test_dedup_clusters_star_and_convergence_guard(spark):
     assert all(out[v] == 1 for v in range(1, 301))
     assert stats["method"] == "star" and stats["rounds"] <= 12
 
-    # mixed graph: both algorithms produce identical labels; auto picks
-    # star on this sparse (avg degree 2) shape
+    # auto on the chain: the bounded propagation attempt cannot reach
+    # the diameter-299 fixpoint, so it falls back to star instead of
+    # raising — and still labels every vertex correctly
+    fstats: dict = {}
+    fout = {r["doc_id"]: r["cluster_id"] for r in
+            dedup_clusters(chain, verts, method="auto", auto_budget=2,
+                           stats=fstats).collect()}
+    assert all(fout[v] == 1 for v in range(1, 301))
+    assert fstats["method"] == "star" and fstats["fallback"] is True
+    assert fstats["propagation_rounds"] == 2
+
+    # mixed shallow graph: both algorithms produce identical labels;
+    # auto converges via propagation (no fallback, no probe jobs)
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "id_a long, id_b long")
@@ -248,7 +259,7 @@ def test_dedup_clusters_star_and_convergence_guard(spark):
     b = sorted(dedup_clusters(pairs, mverts, method="auto",
                               stats=astats).collect())
     assert a == b
-    assert astats["method"] == "star"
+    assert astats["method"] == "propagation" and "fallback" not in astats
 
 
 def test_dedup_clusters_star_string_ids(spark):
