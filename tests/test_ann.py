@@ -262,6 +262,44 @@ def test_dedup_clusters_star_and_convergence_guard(spark):
     assert astats["method"] == "propagation" and "fallback" not in astats
 
 
+def test_dedup_clusters_star_random_graphs_vs_union_find(spark):
+    """Randomized cross-check: on seeded random graphs of assorted
+    density, the star-contraction labels must equal a local union-find
+    oracle exactly (cluster_id = component min, keep = canonical)."""
+    import random
+
+    from osm_io_spark.operators.dedup import dedup_clusters
+
+    for seed, n, m in [(1, 40, 15), (2, 60, 60), (3, 80, 200), (4, 30, 5)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[find(v)] for v in range(n)}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long")
+        verts = spark.range(n).select(F.col("id").alias("doc_id"))
+        got = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in
+               dedup_clusters(pairs, verts, method="star").collect()}
+        for v in range(n):
+            assert got[v] == (want[v], want[v] == v), (seed, v, got[v])
+
+
 def test_dedup_clusters_star_string_ids(spark):
     """The star path orders by VALUE, so string ids work unchanged."""
     from osm_io_spark.operators.dedup import dedup_clusters
