@@ -1588,6 +1588,43 @@ def q_stream_cell_enrich(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_image_dedup(spark, sf_dir):
+    """Streaming perceptual image dedup (streaming/events.py
+    image_dedup_stream): an upload feed of 240 unique images, each
+    re-uploaded 3x under different ids at the same event time, drains
+    to exactly the distinct (phash, ts) set — decode + phash run
+    INSIDE the stream (stateless mapInPandas), state bounded by the
+    watermark. Engine-native rows-only (binary image corpus);
+    batch-equivalence asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from .sources import synth as SY
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(),
+                       f"osm_io_stream_img_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        base = (SY.images_df(spark, 240, seed=42, partitions=8)
+                .withColumn("ts", F.timestamp_seconds(
+                    F.lit(1_700_000_000)
+                    + F.pmod(F.xxhash64("image_id"), F.lit(86400)))))
+        ups = base
+        for i in (1, 2):
+            ups = ups.unionByName(base.withColumn(
+                "image_id", F.concat("image_id", F.lit(f"-up{i}"))))
+        ups.repartition(4).write.mode("overwrite").parquet(src)
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_img_dedup_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    dd = SE.image_dedup_stream(SE.stream_images(spark, src))
+    out = dd.select("phash_calc",
+                    F.unix_timestamp("ts").alias("ts_epoch"))
+    SE.run_available_now(out, ckpt, name)
+    return spark.table(name)
+
+
 def q_mm_decode_stats(spark, sf_dir):
     """Multimodal plumbing: deterministic synthetic image table (bytes +
     metadata) → Arrow-batched decode → per-fmt stats + phash check."""
@@ -1833,6 +1870,7 @@ QUERIES = {
     "ref_fixture_parity": q_ref_fixture_parity,
     "stream_sessionize": q_stream_sessionize,
     "stream_cell_enrich": q_stream_cell_enrich,
+    "stream_image_dedup": q_stream_image_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }

@@ -161,6 +161,60 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicates(["event_id", "ts"]))
 
 
+def stream_images(spark: SparkSession, images_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of image rows (sources.schemas.IMAGES plus an
+    event-time ``ts`` column — an upload feed)."""
+    from .. import schemas
+    schema = T.StructType(list(schemas.IMAGES.fields) +
+                          [T.StructField("ts", T.TimestampType(), False)])
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(images_dir)
+
+
+def image_dedup_stream(images: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming PERCEPTUAL image dedup with bounded state — the
+    multimodal twin of ``dedup_stream``: Arrow-batched decode +
+    recomputed phash inside the stream (mapInPandas is stateless, so it
+    composes with streaming plans unchanged), then dropDuplicates on
+    (phash_calc, ts) under the event-time watermark. Re-uploads of the
+    same content (identical pixels ⇒ identical phash, whatever the
+    image_id) collapse to one row; keying on the event-time column
+    keeps the state store O(watermark window), not O(stream history) —
+    the viability condition for an unbounded image-upload feed."""
+    from ..functions import images as I
+    from ..operators.multimodal import _decode_stack
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("phash_calc", T.LongType(), False),
+    ])
+
+    def _ph(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for (w, h, fmt), g in pdf.groupby(["w", "h", "fmt"],
+                                              sort=False):
+                stack = _decode_stack(g, int(w), int(h), str(fmt))
+                parts.append(pd.DataFrame({
+                    "image_id": g["image_id"].to_numpy(),
+                    "ts": g["ts"].to_numpy(),
+                    "phash_calc": I.phash64_batch(stack)}))
+            yield pd.concat(parts, ignore_index=True)
+
+    hashed = (images.select("image_id", "bytes", "w", "h", "fmt", "ts")
+              .mapInPandas(_ph, schema=schema))
+    return (hashed.withWatermark("ts", watermark)
+            .dropDuplicates(["phash_calc", "ts"])
+            .select("phash_calc", "ts"))
+
+
 def stream_cell_enrich(events: DataFrame, polygons_cells: DataFrame,
                        res: int = 10) -> DataFrame:
     """Stateless streaming enrichment: derive a deterministic geotag from

@@ -166,3 +166,29 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     want = ev.select("event_id", "ts").distinct()
     assert got.count() == want.count()
     assert got.groupBy("event_id", "ts").count().filter("count > 1").count() == 0
+
+
+def test_stream_image_dedup_batch_equivalence(spark):
+    """image_dedup_stream: a 3x re-upload feed (same pixels, different
+    ids, same event time) drains to exactly the batch-computed distinct
+    (phash, ts) set — decode + phash happen inside the streaming plan."""
+    from pyspark.sql import functions as F
+
+    from osm_io_spark import queries as Q
+    from osm_io_spark.operators import multimodal as MM
+    from osm_io_spark.sources import synth as SY
+
+    out = Q.q_stream_image_dedup(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+
+    base = (SY.images_df(spark, 240, seed=42, partitions=8)
+            .withColumn("ts_epoch", F.lit(1_700_000_000)
+                        + F.pmod(F.xxhash64("image_id"), F.lit(86400))))
+    stats = MM.decode_stats(base).select("image_id", "phash_calc")
+    want = set(map(tuple, stats.join(base.select("image_id", "ts_epoch"),
+                                     "image_id")
+                   .select("phash_calc", "ts_epoch").distinct().collect()))
+    got = set(map(tuple, out[["phash_calc", "ts_epoch"]].values))
+    assert got == want
+    # the 720-row feed really collapsed
+    assert len(out) == len(want) <= 240
