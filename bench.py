@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "o5_topk_per_group",
     "j2_threeway_assembly",
     "mm_decode_stats",
+    "image_curation",
+    "mm_embed_near_dup",
 ]
 
 
@@ -101,6 +103,9 @@ def main() -> None:
     construct_in_timer = {
         "dedup_clusters", "corpus_curation",
         "dedup_embedding_ivf", "ann_ivf_topk",
+        # image_curation runs clustering rounds and mm_embed_near_dup
+        # builds its IVF index at construction — same rule
+        "image_curation", "mm_embed_near_dup",
     }
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
