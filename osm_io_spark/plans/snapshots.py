@@ -156,7 +156,10 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         if v == 0:
             return None
-        with open(os.path.join(self.snap_dir, f"v{v}.json")) as fh:
+        path = os.path.join(self.snap_dir, f"v{v}.json")
+        if not os.path.exists(path):      # expired (expire_snapshots)
+            return None
+        with open(path) as fh:
             return Snapshot.from_json(fh.read())
 
     def history(self) -> list[Snapshot]:
@@ -206,12 +209,17 @@ class SnapshotTable:
         if os.path.exists(marker):
             os.remove(marker)
         rows, nbytes, files, col_stats = _parquet_stats(staged, stats_columns)
-        final = os.path.join(self.data_dir, partition)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(staged, final)
+        # IMMUTABLE data paths (Iceberg-style): the nonce stays in the
+        # final directory name and the manifest records it, so a rewrite
+        # of the same logical partition lands beside — never on top of —
+        # the bytes an older snapshot references. That is what makes
+        # read(version=)/read_as_of() actually historical; old files are
+        # reclaimed only by expire_snapshots().
+        rel = f"{partition}-{nonce}"
+        os.rename(staged, os.path.join(self.data_dir, rel))
         entry = {
             "partition": partition,
+            "path": rel,
             "rows": rows,
             "bytes": nbytes,
             "files": files,
@@ -260,8 +268,54 @@ class SnapshotTable:
         snap = self.snapshot(version)
         if snap is None or not snap.partitions:
             raise FileNotFoundError(f"table {self.name} has no committed snapshot")
-        paths = [os.path.join(self.data_dir, p) for p in sorted(snap.partitions)]
+        paths = [os.path.join(self.data_dir, e.get("path", name))
+                 for name, e in sorted(snap.partitions.items())]
         return spark.read.parquet(*paths)
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Reclaim history (the Iceberg expire_snapshots analogue):
+        drop all but the newest ``keep_last`` snapshot manifests and
+        delete every data directory no retained snapshot references.
+        Immutable data paths make this safe — a path is reclaimable
+        exactly when no retained manifest lists it. Returns
+        {"expired_versions": [...], "deleted_paths": n}."""
+        cur = self.current_version()
+        keep_from = max(1, cur - max(1, keep_last) + 1)
+        referenced: set[str] = set()
+        expired: list[int] = []
+        for s in self.history():
+            if s.version >= keep_from:
+                for name, e in s.partitions.items():
+                    referenced.add(e.get("path", name))
+        for v in range(1, keep_from):
+            p = os.path.join(self.snap_dir, f"v{v}.json")
+            if os.path.exists(p):
+                os.remove(p)
+                expired.append(v)
+        deleted = 0
+        for d in os.listdir(self.data_dir):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(self.data_dir, d),
+                              ignore_errors=True)
+                deleted += 1
+        return {"expired_versions": expired, "deleted_paths": deleted}
+
+    def version_as_of(self, ts: str) -> int:
+        """Time travel (the Iceberg `TIMESTAMP AS OF` analogue): the
+        latest committed version whose ``created_at`` ≤ ``ts``.
+        Timestamps are second-resolution ISO-8601 UTC strings
+        (_utcnow_iso), which compare correctly as strings. Raises
+        FileNotFoundError when no snapshot existed at ``ts`` — same
+        contract as reading an empty table."""
+        cands = [s.version for s in self.history() if s.created_at <= ts]
+        if not cands:
+            raise FileNotFoundError(
+                f"table {self.name} has no snapshot at or before {ts}")
+        return max(cands)
+
+    def read_as_of(self, spark: SparkSession, ts: str) -> DataFrame:
+        """Read the table as it existed at ``ts`` (ISO-8601 UTC)."""
+        return self.read(spark, self.version_as_of(ts))
 
     def read_pruned(self, spark: SparkSession, column: str,
                     lo, hi, version: int | None = None
@@ -278,14 +332,16 @@ class SnapshotTable:
         if snap is None or not snap.partitions:
             raise FileNotFoundError(f"table {self.name} has no committed snapshot")
         keep: list[str] = []
+        keep_paths: list[str] = []
         for name, entry in sorted(snap.partitions.items()):
             st = entry.get("column_stats", {}).get(column)
             if st is None or not (st["max"] < lo or st["min"] > hi):
                 keep.append(name)
+                keep_paths.append(entry.get("path", name))
         if not keep:
             df = self.read(spark, version).limit(0)
             return df, []
-        paths = [os.path.join(self.data_dir, p) for p in keep]
+        paths = [os.path.join(self.data_dir, p) for p in keep_paths]
         return spark.read.parquet(*paths), keep
 
     def completed_partitions(self) -> set[str]:
@@ -391,5 +447,7 @@ def changes(table: SnapshotTable, spark: SparkSession,
     ]
     if not changed:
         return table.read(spark, to_version).limit(0), []
-    paths = [os.path.join(table.data_dir, p) for p in changed]
+    paths = [os.path.join(table.data_dir,
+                          new.partitions[p].get("path", p))
+             for p in changed]
     return spark.read.parquet(*paths), changed

@@ -52,6 +52,37 @@ def test_snapshot_log_versions_are_immutable(spark, tmp_path):
     assert hist[0].summary["total_rows"] == 10
 
 
+def test_time_travel_read_as_of(spark, tmp_path):
+    """version_as_of/read_as_of: the Iceberg TIMESTAMP AS OF analogue
+    over the snapshot log's second-resolution created_at stamps."""
+    import time as _time
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("demo")
+    s1 = t.write(spark.range(10).select("id"), operation="v1")
+    _time.sleep(1.1)  # distinct second-resolution created_at
+    s2 = t.write(spark.range(20).select("id"), operation="v2")
+    assert s1.created_at < s2.created_at
+
+    assert t.version_as_of(s1.created_at) == 1
+    # historical reads see the OLD bytes even though v2 overwrote the
+    # same logical partition — immutable data paths
+    assert t.read_as_of(spark, s1.created_at).count() == 10
+    assert t.version_as_of(s2.created_at) == 2
+    assert t.read_as_of(spark, "2999-01-01T00:00:00Z").count() == 20
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of("1999-01-01T00:00:00Z")
+
+    # expiry reclaims v1's manifest and its now-unreferenced bytes
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_versions"] == [1] and res["deleted_paths"] == 1
+    assert t.snapshot(1) is None
+    assert t.read(spark).count() == 20            # current still reads
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+    assert [s.version for s in t.history()] == [2]
+
+
 def test_resumable_job_skips_completed_partitions(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path / "cat"))
     t = cat.table("out")
