@@ -107,7 +107,13 @@ def test_dedup_band_joins_never_cartesian(spark):
     bucketed equi-joins — a lost join key would silently degrade to a
     10^24-pair cross join at corpus scale."""
     for name in ["dedup_minhash_lsh", "dedup_phash_hamming",
-                 "dedup_ngram_jaccard"]:
+                 "dedup_ngram_jaccard",
+                 # image-modality candidate generators (round 3): the
+                 # phash band join inside image_curation and the IVF
+                 # centroid equi-join inside mm_embed_near_dup must
+                 # obey the same rule (the IVF build's bounded centroid
+                 # broadcasts run at construction, not in this plan)
+                 "image_curation", "mm_embed_near_dup"]:
         df = Q.QUERIES[name](spark, SF_DIR)
         plan = A.formatted_plan(df)
         assert A.count_op(plan, "CartesianProduct") == 0, name
