@@ -114,12 +114,6 @@ def run(argv: list[str] | None = None) -> dict:
     fns["entry_flagship"] = Q.q_entry_flagship
 
     results = {}
-    for name in names:
-        t0 = time.perf_counter()
-        n = fns[name](spark, args.dir).count()
-        dt = round(time.perf_counter() - t0, 2)
-        results[name] = {"s": dt, "rows": n}
-        print(f"# {name}: {dt}s rows={n}", flush=True)
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -128,6 +122,9 @@ def run(argv: list[str] | None = None) -> dict:
         results[name] = {"s": dt, "rows": n}
         print(f"# {name}: {dt}s rows={n}", flush=True)
         return n
+
+    for name in names:
+        timed(name, lambda name=name: fns[name](spark, args.dir).count())
 
     # --- ANN at 10x with a PERSISTED, REUSED index (round-3 item):
     # build once over the 20k-vector corpus, then run two successive
@@ -165,23 +162,17 @@ def run(argv: list[str] | None = None) -> dict:
 
     # --- multimodal image near-dup at 10x the registry image count:
     # the registry query is fixed at 240 synthetic images; scale the
-    # identical pipeline (resize twin → recomputed phash → pigeonhole
-    # hamming bands) to 2400.
+    # IDENTICAL pipeline (same images_with_twins corpus builder as the
+    # registry queries, so this measures the same thing) to 2400.
     from ..operators import dedup as DDop
     from ..operators import multimodal as MM
-    from ..sources import synth as SY
     from ..queries import ensure_shipped
+    from ..sources import synth as SY
 
     def _mm():
         ensure_shipped(spark)
-        imgs = SY.images_df(spark, 2400, seed=42, partitions=32)
-        resized = (MM.resize(imgs, 16)
-                   .select(F.concat(F.col("image_id"),
-                                    F.lit("-r")).alias("image_id"),
-                           "bytes", "w", "h", "fmt")
-                   .withColumn("phash", F.lit(0)))
-        both = imgs.select("image_id", "bytes", "w", "h", "fmt",
-                           "phash").unionByName(resized)
+        both = SY.images_with_twins(spark, 2400, partitions=32,
+                                    with_phash=True)
         stats = MM.decode_stats(both).select("image_id", "phash_calc")
         return DDop.hamming_near_dup_pairs(
             stats, max_k=4, nbits=63, fp_col="phash_calc",

@@ -170,6 +170,21 @@ def _gemm_local_topk(probe_map: dict, k: int, batch_prep,
     return _fn, out_schema
 
 
+def _empty_topk(session, query_id_type, cand_id_type) -> DataFrame:
+    """Empty (query_id, rank, cand_id, cos) frame — the zero-query
+    result. The GEMM paths materialize the query set driver-side at
+    construction, so without this guard an empty query frame crashed
+    in np.stack where the old lazy JVM plan returned empty."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("query_id", query_id_type, False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("cand_id", cand_id_type, False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
+    return session.createDataFrame([], schema)
+
+
 def _finish_topk(local_pairs: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
                                                F.col("cand_id").asc())
@@ -210,6 +225,10 @@ def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
 
     q_pdf = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("_v")).toPandas()
+    if len(q_pdf) == 0:
+        return _empty_topk(queries.sparkSession,
+                           queries.schema[id_col].dataType,
+                           candidates.schema[id_col].dataType)
     qids = q_pdf["query_id"].to_numpy()
     Q = _quant(q_pdf["_v"])
     Qn = (Q * Q).sum(axis=1)
@@ -374,6 +393,10 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     q_pdf = (queries.select(F.col(id_col).alias("query_id"),
                             quantize(F.col(vec_col)).alias("_qv"))
              .withColumn("_qn", norm_sq_q(F.col("_qv"))).toPandas())
+    if len(q_pdf) == 0:
+        return _empty_topk(queries.sparkSession,
+                           queries.schema[id_col].dataType,
+                           candidates.schema[id_col].dataType)
     qids = q_pdf["query_id"].to_numpy()
     Q = np.stack(q_pdf["_qv"].to_numpy()).astype(np.int64)
     Qn = q_pdf["_qn"].to_numpy(np.int64)

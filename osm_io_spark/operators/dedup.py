@@ -281,6 +281,8 @@ def _cc_star(edges: DataFrame, max_iter: int = 64,
              .distinct().localCheckpoint(eager=False))
     edges = edges.localCheckpoint(eager=False)
     rounds = 0
+    converged = False
+    n_edges = None  # carried: last round's small.count() IS this
     for _ in range(max_iter):
         rounds += 1
         sym = edges.unionByName(
@@ -299,11 +301,25 @@ def _cc_star(edges: DataFrame, max_iter: int = 64,
                               .select(F.col("b").alias("a"),
                                       F.col("m").alias("b")))
                  .distinct().localCheckpoint(eager=False))
-        done = (small.count() == edges.count() and
+        if n_edges is None:
+            n_edges = edges.count()
+        n_small = small.count()
+        done = (n_small == n_edges and
                 small.exceptAll(edges).limit(1).count() == 0)
         edges = small
+        n_edges = n_small
         if done:
+            converged = True
             break
+    if not converged:
+        # mirror propagation's guard: a mid-contraction edge set can
+        # carry CONFLICTING labels per vertex — never return it
+        # silently (the auto fallback lands here on exactly the
+        # adversarial graphs where correctness matters most)
+        raise RuntimeError(
+            f"_cc_star: star contraction did not reach its fixpoint in "
+            f"{max_iter} rounds (bound is O(log² n) — this graph is "
+            f"beyond the configured budget); raise max_iter")
     if stats is not None:
         stats.update({"method": "star", "rounds": rounds})
     centers = edges.select(F.col("a").alias("vid"), F.col("b").alias("label"))

@@ -275,28 +275,38 @@ class SnapshotTable:
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Reclaim history (the Iceberg expire_snapshots analogue):
         drop all but the newest ``keep_last`` snapshot manifests and
-        delete every data directory no retained snapshot references.
-        Immutable data paths make this safe — a path is reclaimable
-        exactly when no retained manifest lists it. Returns
+        delete the data directories that only expired manifests
+        reference. The reclaim set is (paths referenced by EXPIRED
+        manifests) − (paths referenced by RETAINED manifests) — NEVER
+        "everything unreferenced": a concurrent writer renames staged
+        data into data/ before its batched commit publishes a manifest
+        (ResumableJob commits every N partitions), and deleting those
+        in-flight dirs would publish manifests over missing files.
+        Dirs orphaned by a writer that crashed after rename but before
+        commit are likewise left in place (they are unreachable and
+        harmless; reclaim them manually if needed). Returns
         {"expired_versions": [...], "deleted_paths": n}."""
         cur = self.current_version()
         keep_from = max(1, cur - max(1, keep_last) + 1)
-        referenced: set[str] = set()
+        retained: set[str] = set()
+        expired_refs: set[str] = set()
         expired: list[int] = []
         for s in self.history():
+            refs = {e.get("path", name) for name, e in s.partitions.items()}
             if s.version >= keep_from:
-                for name, e in s.partitions.items():
-                    referenced.add(e.get("path", name))
+                retained |= refs
+            else:
+                expired_refs |= refs
         for v in range(1, keep_from):
             p = os.path.join(self.snap_dir, f"v{v}.json")
             if os.path.exists(p):
                 os.remove(p)
                 expired.append(v)
         deleted = 0
-        for d in os.listdir(self.data_dir):
-            if d not in referenced:
-                shutil.rmtree(os.path.join(self.data_dir, d),
-                              ignore_errors=True)
+        for d in sorted(expired_refs - retained):
+            full = os.path.join(self.data_dir, d)
+            if os.path.exists(full):
+                shutil.rmtree(full, ignore_errors=True)
                 deleted += 1
         return {"expired_versions": expired, "deleted_paths": deleted}
 
@@ -437,6 +447,15 @@ def changes(table: SnapshotTable, spark: SparkSession,
     if new is None:
         raise FileNotFoundError(f"table {table.name}: no snapshot v{to_version}")
     old = table.snapshot(from_version) if from_version > 0 else None
+    if from_version > 0 and old is None:
+        # the checkpointed base version was expired — treating it as
+        # "nothing processed" would silently re-emit EVERY partition
+        # and double-count rows in the consumer's aggregate; fail loud
+        # so the consumer re-baselines deliberately
+        raise FileNotFoundError(
+            f"table {table.name}: snapshot v{from_version} has been "
+            f"expired — incremental base lost; re-read the full table "
+            f"and checkpoint a retained version")
     old_parts = old.partitions if old else {}
     changed = [
         name for name, entry in sorted(new.partitions.items())

@@ -1664,13 +1664,7 @@ def q_mm_phash_near_dup(spark, sf_dir):
     from .operators import multimodal as MM
     from .sources import synth as SY
     ensure_shipped(spark)
-    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
-    resized = (MM.resize(imgs, 16)
-               .select(F.concat(F.col("image_id"), F.lit("-r")).alias("image_id"),
-                       "bytes", "w", "h", "fmt")
-               .withColumn("phash", F.lit(0)))
-    both = imgs.select("image_id", "bytes", "w", "h", "fmt",
-                       "phash").unionByName(resized)
+    both = SY.images_with_twins(spark, 240, with_phash=True)
     stats = MM.decode_stats(both).select("image_id", "phash_calc")
     return DD.hamming_near_dup_pairs(stats, max_k=4, nbits=63,
                                      fp_col="phash_calc", id_col="image_id")
@@ -1695,13 +1689,7 @@ def q_image_curation(spark, sf_dir):
     from .operators import textops as TX
     from .sources import synth as SY
     ensure_shipped(spark)
-    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
-    resized = (MM.resize(imgs, 16)
-               .select(F.concat(F.col("image_id"), F.lit("-r")).alias("image_id"),
-                       "bytes", "w", "h", "fmt")
-               .withColumn("phash", F.lit(0)))
-    both = imgs.select("image_id", "bytes", "w", "h", "fmt",
-                       "phash").unionByName(resized)
+    both = SY.images_with_twins(spark, 240, with_phash=True)
     # one decode feeds pairs AND quality AND the vertex list — pin it
     # (fan-out rule) so the Arrow decode doesn't re-execute per branch
     # or per clustering round
@@ -1735,12 +1723,7 @@ def q_mm_embed_near_dup(spark, sf_dir):
     from .operators import multimodal as MM
     from .sources import synth as SY
     ensure_shipped(spark)
-    imgs = SY.images_df(spark, 240, seed=42, partitions=8)
-    resized = (MM.resize(imgs, 16)
-               .select(F.concat(F.col("image_id"), F.lit("-r")).alias("image_id"),
-                       "bytes", "w", "h", "fmt"))
-    both = imgs.select("image_id", "bytes", "w", "h",
-                       "fmt").unionByName(resized)
+    both = SY.images_with_twins(spark, 240)
     emb = MM.image_embed(both, grid=4).localCheckpoint(eager=False)
     return DD.embedding_near_dup_pairs_ivf(
         emb, threshold_pct=98, n_centroids=8, n_probe=4,

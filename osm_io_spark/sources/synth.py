@@ -103,6 +103,31 @@ def images_df(spark: SparkSession, n: int, seed: int = 42,
             .mapInPandas(gen, schema=schemas.IMAGES))
 
 
+def images_with_twins(spark: SparkSession, n: int, seed: int = 42,
+                      partitions: int = 8, size: int = 16,
+                      with_phash: bool = False) -> DataFrame:
+    """Image corpus plus its resized twins — the shared near-dup
+    corpus: every image reappears as ``<id>-r`` with the same content
+    block-mean-resized to ``size``×``size``. ONE definition feeds the
+    mm_phash_near_dup / image_curation / mm_embed_near_dup registry
+    queries and the sf1 evidence job, so they all measure the same
+    pipeline (previously triplicated inline — review finding).
+    ``with_phash`` keeps the stored phash column (twins get 0: their
+    stored hash is unknown by construction; decode_stats recomputes)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as MM
+    imgs = images_df(spark, n, seed=seed, partitions=partitions)
+    base = imgs.select("image_id", "bytes", "w", "h", "fmt")
+    resized = (MM.resize(imgs, size)
+               .select(F.concat(F.col("image_id"), F.lit("-r"))
+                       .alias("image_id"), "bytes", "w", "h", "fmt"))
+    if with_phash:
+        base = imgs.select("image_id", "bytes", "w", "h", "fmt", "phash")
+        resized = resized.withColumn("phash", F.lit(0))
+    return base.unionByName(resized)
+
+
 def polygons_local(n: int, seed: int = 42) -> list[dict]:
     """n deterministic polygons: 60% rects, 20% triangles, 15% hexagons,
     5% oversized 'continents' (hot build-side rows)."""

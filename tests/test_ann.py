@@ -314,6 +314,20 @@ def test_dedup_clusters_star_string_ids(spark):
                    "x": ("x", True), "y": ("x", False), "z": ("z", True)}
 
 
+def test_topk_empty_query_set_returns_empty(spark, emb):
+    """Zero queries must yield an empty 4-col frame, not an np.stack
+    crash at construction (review regression: the GEMM re-rank
+    materializes the query set driver-side)."""
+    none = emb.filter(F.lit(False))
+    for fn in (lambda: ANN.lsh_topk(none, emb, k=5, n_planes=4),
+               lambda: ANN.ivf_topk(none, emb, k=5, n_centroids=8,
+                                    n_probe=2)):
+        out = fn()
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id", "rank", "cand_id", "cos"]
+
+
 def test_lsh_multiprobe_improves_recall(spark, emb):
     """1-bit multiprobe must strictly beat single-probe recall at the
     same plane count (it probes 5/16 of the corpus vs 1/16)."""

@@ -73,14 +73,25 @@ def test_time_travel_read_as_of(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.version_as_of("1999-01-01T00:00:00Z")
 
+    # an in-flight (renamed but uncommitted) data dir must SURVIVE
+    # expiry — only paths referenced by expired manifests are fair game
+    os.makedirs(os.path.join(t.data_dir, "inflight-deadbeef"))
+
     # expiry reclaims v1's manifest and its now-unreferenced bytes
     res = t.expire_snapshots(keep_last=1)
     assert res["expired_versions"] == [1] and res["deleted_paths"] == 1
     assert t.snapshot(1) is None
+    assert os.path.isdir(os.path.join(t.data_dir, "inflight-deadbeef"))
     assert t.read(spark).count() == 20            # current still reads
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=1)
     assert [s.version for s in t.history()] == [2]
+
+    # an incremental consumer whose checkpointed base was expired must
+    # get a loud error, never a silent "everything changed" re-emit
+    from osm_io_spark.plans.snapshots import changes
+    with pytest.raises(FileNotFoundError, match="expired"):
+        changes(t, spark, from_version=1)
 
 
 def test_resumable_job_skips_completed_partitions(spark, tmp_path):
