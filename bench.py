@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "mm_phash_near_dup",
     "ann_topk_cosine",
     "ann_ivf_topk",
+    "knn_graph",
     "text_token_count",
     "text_language_id",
     "text_quality",
@@ -103,9 +104,10 @@ def main() -> None:
     construct_in_timer = {
         "dedup_clusters", "corpus_curation",
         "dedup_embedding_ivf", "ann_ivf_topk",
-        # image_curation runs clustering rounds and mm_embed_near_dup
-        # builds its IVF index at construction — same rule
-        "image_curation", "mm_embed_near_dup",
+        # image_curation runs clustering rounds, mm_embed_near_dup
+        # builds its IVF index, and knn_graph sizes its block grid
+        # with an eager count — same rule
+        "image_curation", "mm_embed_near_dup", "knn_graph",
     }
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]

@@ -194,6 +194,110 @@ def _finish_topk(local_pairs: DataFrame, k: int) -> DataFrame:
             .select("query_id", "rank", "cand_id", "cos"))
 
 
+def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              block_rows: int = 1024) -> DataFrame:
+    """(vec_id, rank, nbr_id, cos) — EXACT k-nearest-neighbor GRAPH:
+    every vector's top-k cosine neighbors over the whole corpus. Unlike
+    brute_force_topk/lsh_topk/ivf_topk (driver-sized query batch vs a
+    corpus), BOTH sides here are the full distributed table — the
+    self-kNN graph a training pipeline builds for clustering, diversity
+    sampling, or graph-based dedup.
+
+    Same blocked integer-GEMM scheme as the exact pair kernel
+    (dedup.embedding_near_dup_pairs): vectors hash into
+    ⌈n/block_rows⌉ blocks, each unordered block pair is ONE
+    applyInPandas group computing an exact int64 GEMM, and the group
+    emits only PARTIAL top-k rows for each member (≤ (na+nb)·k), which
+    a final window merges under the total order (cos desc, nbr_id asc)
+    — correct because the global top-k is a subset of the union of
+    per-group top-ks under the same order. GEMM work is quadratic
+    (exact by construction — the honest baseline; the IVF/LSH paths
+    are the approximate scale route) but the SHUFFLE is not: only
+    n·k·n_blocks partial rows move, never the n² pair matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not isinstance(vecs.schema[id_col].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType)):
+        raise TypeError(
+            f"knn_graph needs an integer {id_col} (ids enter the numpy "
+            "kernel); route other id types through ivf_topk")
+
+    n_vec = vecs.count()
+    n_blocks = max(1, -(-n_vec // block_rows))
+    q = (widen(vecs)
+         .select(F.col(id_col).alias("_id"),
+                 quantize(F.col(vec_col)).alias("_v"))
+         .withColumn("_n", norm_sq_q(F.col("_v")))
+         .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks))))
+    a_keys = F.transform(
+        F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
+        lambda j: F.col("_blk") * n_blocks + j)
+    b_keys = F.transform(
+        F.sequence(F.lit(0), F.col("_blk")),
+        lambda i: i * n_blocks + F.col("_blk"))
+    sides = (q.select("_id", "_v", "_n",
+                      F.explode(a_keys).alias("_pair"),
+                      F.lit(0).alias("_side"))
+             .unionByName(
+                 q.select("_id", "_v", "_n",
+                          F.explode(b_keys).alias("_pair"),
+                          F.lit(1).alias("_side"))))
+
+    part_schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("nbr_id", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
+
+    def _partial(rows_ids, rows_cos, nbr_ids, out):
+        # per-row top-k under (cos desc, nbr_id asc) — the FINAL total
+        # order, so the window merge sees a superset of the answer
+        for r in range(len(rows_ids)):
+            crow = rows_cos[r]
+            valid = np.flatnonzero(nbr_ids != rows_ids[r])
+            if len(valid) == 0:
+                continue
+            sel = valid[np.lexsort((nbr_ids[valid], -crow[valid]))[:k]]
+            out[0].extend([rows_ids[r]] * len(sel))
+            out[1].extend(nbr_ids[sel])
+            out[2].extend(crow[sel])
+
+    def _gemm_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        diagonal = (key[0] // n_blocks) == (key[0] % n_blocks)
+        asel = pdf[pdf["_side"] == 0]
+        bsel = pdf[pdf["_side"] == 1]
+        if len(asel) == 0 or len(bsel) == 0:
+            return pd.DataFrame({c.name: [] for c in part_schema.fields})
+        ids_a = asel["_id"].to_numpy(np.int64)
+        ids_b = bsel["_id"].to_numpy(np.int64)
+        A = np.stack(asel["_v"].to_numpy())
+        B = np.stack(bsel["_v"].to_numpy())
+        na = asel["_n"].to_numpy(np.int64).astype(np.float64)
+        nb = bsel["_n"].to_numpy(np.int64).astype(np.float64)
+        D = A @ B.T                                  # exact int64 GEMM
+        cos = D / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        out: tuple = ([], [], [])
+        _partial(ids_a, cos, ids_b, out)
+        if not diagonal:
+            # off-diagonal groups serve B-side rows too; the diagonal
+            # group's A and B are the same set — emitting both would
+            # just duplicate rows into the window
+            _partial(ids_b, cos.T, ids_a, out)
+        return pd.DataFrame({"vec_id": out[0], "nbr_id": out[1],
+                             "cos": out[2]})
+
+    parts = sides.groupBy("_pair").applyInPandas(_gemm_topk,
+                                                 schema=part_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             F.col("nbr_id").asc())
+    return (parts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "rank", "nbr_id", "cos"))
+
+
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_planes: int = 8, dim: int = 64, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -1322,6 +1322,40 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def q_knn_graph(spark, sf_dir):
+    """Exact k-nearest-neighbor GRAPH over the full embedding table
+    (ann.knn_graph): both sides distributed, blocked int-GEMM partial
+    top-k per block pair + window merge — only n·k·n_blocks partial
+    rows ever shuffle. Oracle: the same quantized-integer cosine with a
+    full self-join + window rank in DuckDB."""
+    return ANN.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+SQL_KNN_GRAPH = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         {_QUANT.format(v='unnest(embedding)')} AS qv
+  FROM embeddings),
+norms AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS n FROM q GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot_q
+  FROM q a JOIN q b ON a.i = b.i AND b.vec_id != a.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+scored AS (
+  SELECT d.vec_id, d.nbr_id,
+         CAST(d.dot_q AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cos
+  FROM dots d
+  JOIN norms na ON d.vec_id = na.vec_id
+  JOIN norms nb ON d.nbr_id = nb.vec_id),
+ranked AS (
+  SELECT vec_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rnk
+  FROM scored)
+SELECT vec_id, CAST(rnk AS BIGINT) AS rank, nbr_id, cos
+FROM ranked WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # engine-native queries (non-SQL-expressible → rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -1831,6 +1865,7 @@ QUERIES = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "dedup_phash_hamming": q_dedup_phash_hamming,
     "ann_topk_cosine": q_ann_topk,
+    "knn_graph": q_knn_graph,
     # streaming queries WITH batch-SQL oracles — kept with the oracled
     # block: the driver runs ~50 registry entries in dict order, so every
     # ORACLES-backed entry must precede the rows-only tail (round-2
@@ -1904,6 +1939,7 @@ ORACLES = {
     "dedup_embedding_ivf": SQL_DEDUP_EMB,
     "dedup_phash_hamming": SQL_DEDUP_HAMMING,
     "ann_topk_cosine": SQL_ANN,
+    "knn_graph": SQL_KNN_GRAPH,
     "stream_hourly_window": SQL_STREAM_W,
     "stream_dedup": SQL_STREAM_DD,
 }

@@ -314,6 +314,36 @@ def test_dedup_clusters_star_string_ids(spark):
                    "x": ("x", True), "y": ("x", False), "z": ("z", True)}
 
 
+def test_knn_graph_matches_brute_force_multi_block(spark, emb):
+    """knn_graph (self-kNN over the full table) must equal a local
+    O(n²) brute force exactly — run with block_rows=64 so the 500-vec
+    corpus spans 8 blocks and the cross-block partial-top-k + window
+    merge actually executes (small-SF blind-spot rule)."""
+    import numpy as np
+
+    out = (ANN.knn_graph(emb, k=4, block_rows=64)
+           .toPandas().sort_values(["vec_id", "rank"]).reset_index(drop=True))
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    V = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                 * 1000.0 + 0.5).astype(np.int64)
+    n = (V * V).sum(axis=1).astype(np.float64)
+    cos = (V @ V.T) / (np.sqrt(n)[:, None] * np.sqrt(n)[None, :])
+    want = []
+    order = np.argsort(ids)
+    for i in order:
+        others = np.flatnonzero(ids != ids[i])
+        sel = others[np.lexsort((ids[others], -cos[i, others]))[:4]]
+        for r, j in enumerate(sel, start=1):
+            want.append((ids[i], r, ids[j], cos[i, j]))
+    assert len(out) == len(want)
+    got = list(map(tuple, out[["vec_id", "rank", "nbr_id", "cos"]].values))
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3], (g, w)
+        assert g[3] == w[3], (g, w)   # identical double arithmetic
+
+
 def test_topk_empty_query_set_returns_empty(spark, emb):
     """Zero queries must yield an empty 4-col frame, not an np.stack
     crash at construction (review regression: the GEMM re-rank
