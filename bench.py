@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "ann_ivf_topk",
     "knn_graph",
+    "knn_graph_ivf",
     "text_token_count",
     "text_language_id",
     "text_quality",
@@ -108,6 +109,7 @@ def main() -> None:
         # builds its IVF index, and knn_graph sizes its block grid
         # with an eager count — same rule
         "image_curation", "mm_embed_near_dup", "knn_graph",
+        "knn_graph_ivf",
     }
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]

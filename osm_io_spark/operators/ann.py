@@ -298,6 +298,72 @@ def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
             .select("vec_id", "rank", "nbr_id", "cos"))
 
 
+def knn_graph_ivf(vecs: DataFrame, k: int, n_centroids: int = 32,
+                  n_probe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  built: tuple[DataFrame, DataFrame] | None = None
+                  ) -> DataFrame:
+    """Approximate self-kNN graph — knn_graph's IVF scale path: every
+    vector is multi-assigned to its ``n_probe`` nearest centroids
+    (ivf_build index, reusable via ``built=``), candidate neighbors are
+    co-members of a shared cluster (ONE groupBy on centroid_id — no
+    all-pairs anywhere), and each cluster runs an exact int64-GEMM
+    partial top-k whose union a window merges. A true neighbor is
+    missed iff the two vectors share none of their probed clusters —
+    the same multi-assignment recall argument as
+    dedup.embedding_near_dup_pairs_ivf; the registry query attaches a
+    measured per-vector recall column against the exact graph.
+
+    Per-cluster GEMM work is |cluster|² — a Zipf-hot cluster bounds it;
+    size n_centroids ~ √n, or salt hot cluster ids the same way as hot
+    bands, if a corpus concentrates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not isinstance(vecs.schema[id_col].dataType,
+                      (T.LongType, T.IntegerType, T.ShortType)):
+        raise TypeError(
+            f"knn_graph_ivf needs an integer {id_col} (ids enter the "
+            "numpy kernel)")
+
+    _, index = built or ivf_build(vecs, n_centroids, id_col, vec_col,
+                                  n_assign=n_probe)
+    part_schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("nbr_id", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ])
+
+    def _fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["cand_id"].to_numpy(np.int64)
+        C = np.stack(pdf["_cv"].to_numpy()).astype(np.int64)
+        cn = pdf["_cn"].to_numpy(np.int64).astype(np.float64)
+        cos = (C @ C.T) / (np.sqrt(cn)[:, None] * np.sqrt(cn)[None, :])
+        out: tuple = ([], [], [])
+        for r in range(len(ids)):
+            valid = np.flatnonzero(ids != ids[r])
+            if len(valid) == 0:
+                continue
+            sel = valid[np.lexsort((ids[valid], -cos[r, valid]))[:k]]
+            out[0].extend([ids[r]] * len(sel))
+            out[1].extend(ids[sel])
+            out[2].extend(cos[r, sel])
+        return pd.DataFrame({"vec_id": out[0], "nbr_id": out[1],
+                             "cos": out[2]})
+
+    parts = index.groupBy("centroid_id").applyInPandas(
+        _fn, schema=part_schema)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             F.col("nbr_id").asc())
+    # the same (vec, nbr) pair can surface from several shared clusters
+    # with an identical exact cos — dedup before ranking
+    return (parts.dropDuplicates(["vec_id", "nbr_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "rank", "nbr_id", "cos"))
+
+
 def lsh_topk(queries: DataFrame, candidates: DataFrame, k: int,
              n_planes: int = 8, dim: int = 64, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",

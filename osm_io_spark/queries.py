@@ -1764,6 +1764,24 @@ def q_mm_embed_near_dup(spark, sf_dir):
         id_col="image_id")
 
 
+def q_knn_graph_ivf(spark, sf_dir):
+    """Approximate self-kNN graph (IVF scale path of knn_graph):
+    cluster-bucketed candidate generation + exact per-cluster GEMM
+    top-k, with per-vector recall_at_k measured against the exact
+    graph. Engine-native rows-only: approximate by construction, so no
+    exact-oracle binding (the exact twin `knn_graph` carries the SQL
+    oracle); the recall column is the driver-visible accuracy figure,
+    floor asserted in tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = (ANN.knn_graph_ivf(emb, k=5, n_centroids=16, n_probe=8)
+              .withColumnRenamed("vec_id", "query_id")
+              .withColumnRenamed("nbr_id", "cand_id"))
+    exact = (ANN.knn_graph(emb, k=5)
+             .withColumnRenamed("vec_id", "query_id")
+             .withColumnRenamed("nbr_id", "cand_id"))
+    return ANN.with_recall(approx, exact, k=5)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-k (approximate — recall
     vs brute force measured in tests; rows-only driver check carries a
@@ -1891,6 +1909,7 @@ QUERIES = {
     "stream_image_dedup": q_stream_image_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "knn_graph_ivf": q_knn_graph_ivf,
 }
 
 ORACLES = {

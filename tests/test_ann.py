@@ -414,3 +414,10 @@ def test_registry_ann_recall_floors(spark):
            .agg(F.mean("recall_at_k")).collect()[0][0])
     assert lsh >= 0.35, f"LSH registry recall {lsh:.3f}"
     assert ivf >= 0.75, f"IVF registry recall {ivf:.3f}"
+    # self-kNN graph IVF path: measured 1.0 at 8-of-16 multi-assign on
+    # all three sf corpora; 0.95 floor tolerates corpus drift while
+    # catching parameter/kernel regressions
+    g = (Q.QUERIES["knn_graph_ivf"](spark, sf_dir)
+         .select("query_id", "recall_at_k").distinct()
+         .agg(F.mean("recall_at_k")).collect()[0][0])
+    assert g >= 0.95, f"knn_graph_ivf registry recall {g:.3f}"
