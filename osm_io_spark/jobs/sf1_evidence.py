@@ -160,6 +160,14 @@ def run(argv: list[str] | None = None) -> dict:
     results["ann_ivf_search_batch1"]["recall"] = float(rec)
     print(f"# ann_ivf recall_at_5 vs brute force at 10x: {rec}")
 
+    # --- self-kNN graph at 20k vectors: the exact blocked-GEMM graph
+    # (quadratic GEMM, shuffle-light) and its IVF scale path, which at
+    # this size prunes to ~n_probe/n_centroids of the pair work
+    timed("knn_graph_20k", lambda: ANN.knn_graph(emb, k=5).count())
+    timed("knn_graph_ivf_20k",
+          lambda: ANN.knn_graph_ivf(emb, k=5, n_centroids=64,
+                                    n_probe=8).count())
+
     # --- multimodal image near-dup at 10x the registry image count:
     # the registry query is fixed at 240 synthetic images; scale the
     # IDENTICAL pipeline (same images_with_twins corpus builder as the
