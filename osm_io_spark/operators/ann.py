@@ -194,6 +194,37 @@ def _finish_topk(local_pairs: DataFrame, k: int) -> DataFrame:
             .select("query_id", "rank", "cand_id", "cos"))
 
 
+def _rows_topk_partial(row_ids, cos, nbr_ids, k: int, out) -> None:
+    """Per-row PARTIAL top-k under the final total order (cos desc,
+    nbr_id asc), appended to ``out=(vids, nbrs, coss)`` — the one
+    definition shared by knn_graph and knn_graph_ivf so a tie-break or
+    edge-case fix cannot silently diverge between them.
+    (_gemm_local_topk keeps its rank-based variant: it must serve
+    arbitrary orderable id types, not just integers.)
+
+    Fully vectorized: with the candidate COLUMNS pre-sorted by nbr_id,
+    ONE stable argsort of -cos along each row resolves ties in column
+    order = nbr_id ascending — exactly the final total order — so no
+    per-row Python lexsort runs (a 20k-row cluster set spent most of
+    its wall time in that loop). Top k+1 columns are kept so the single
+    possible self-match per row can be masked out afterwards."""
+    import numpy as np
+    row_ids = np.asarray(row_ids)
+    if len(row_ids) == 0 or len(nbr_ids) == 0:
+        return
+    order_c = np.argsort(nbr_ids, kind="stable")
+    nbr_sorted = nbr_ids[order_c]
+    cs = cos[:, order_c]
+    top = np.argsort(-cs, axis=1, kind="stable")[:, :k + 1]
+    nbr_top = nbr_sorted[top]
+    valid = nbr_top != row_ids[:, None]
+    keep = valid & (np.cumsum(valid, axis=1) <= k)
+    rr, cc = np.nonzero(keep)
+    out[0].extend(row_ids[rr])
+    out[1].extend(nbr_top[rr, cc])
+    out[2].extend(np.take_along_axis(cs, top, axis=1)[rr, cc])
+
+
 def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
               vec_col: str = "embedding",
               block_rows: int = 1024) -> DataFrame:
@@ -223,7 +254,9 @@ def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
                       (T.LongType, T.IntegerType, T.ShortType)):
         raise TypeError(
             f"knn_graph needs an integer {id_col} (ids enter the numpy "
-            "kernel); route other id types through ivf_topk")
+            "kernel); for other id types map ids to integers first, or "
+            "use dedup.embedding_near_dup_pairs_ivf for threshold "
+            "pairs over orderable ids")
 
     n_vec = vecs.count()
     n_blocks = max(1, -(-n_vec // block_rows))
@@ -252,19 +285,6 @@ def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
         T.StructField("cos", T.DoubleType(), False),
     ])
 
-    def _partial(rows_ids, rows_cos, nbr_ids, out):
-        # per-row top-k under (cos desc, nbr_id asc) — the FINAL total
-        # order, so the window merge sees a superset of the answer
-        for r in range(len(rows_ids)):
-            crow = rows_cos[r]
-            valid = np.flatnonzero(nbr_ids != rows_ids[r])
-            if len(valid) == 0:
-                continue
-            sel = valid[np.lexsort((nbr_ids[valid], -crow[valid]))[:k]]
-            out[0].extend([rows_ids[r]] * len(sel))
-            out[1].extend(nbr_ids[sel])
-            out[2].extend(crow[sel])
-
     def _gemm_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         diagonal = (key[0] // n_blocks) == (key[0] % n_blocks)
         asel = pdf[pdf["_side"] == 0]
@@ -280,17 +300,26 @@ def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
         D = A @ B.T                                  # exact int64 GEMM
         cos = D / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
         out: tuple = ([], [], [])
-        _partial(ids_a, cos, ids_b, out)
+        _rows_topk_partial(ids_a, cos, ids_b, k, out)
         if not diagonal:
             # off-diagonal groups serve B-side rows too; the diagonal
             # group's A and B are the same set — emitting both would
             # just duplicate rows into the window
-            _partial(ids_b, cos.T, ids_a, out)
+            _rows_topk_partial(ids_b, cos.T, ids_a, k, out)
         return pd.DataFrame({"vec_id": out[0], "nbr_id": out[1],
                              "cos": out[2]})
 
-    parts = sides.groupBy("_pair").applyInPandas(_gemm_topk,
-                                                 schema=part_schema)
+    # EXPLICIT user repartition on the group key: the GEMM groups are
+    # small in BYTES but quadratic in COMPUTE, and AQE's byte-based
+    # partition coalescing would merge them onto a few cores (the
+    # measured salted-band lesson — user repartitions are exempt)
+    spark = vecs.sparkSession
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                 min(n_pairs, 1024))
+    parts = (sides.repartition(nparts, "_pair")
+             .groupBy("_pair").applyInPandas(_gemm_topk,
+                                             schema=part_schema))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              F.col("nbr_id").asc())
     return (parts.withColumn("rank", F.row_number().over(w))
@@ -325,7 +354,9 @@ def knn_graph_ivf(vecs: DataFrame, k: int, n_centroids: int = 32,
                       (T.LongType, T.IntegerType, T.ShortType)):
         raise TypeError(
             f"knn_graph_ivf needs an integer {id_col} (ids enter the "
-            "numpy kernel)")
+            "numpy kernel); for other id types map ids to integers "
+            "first, or use dedup.embedding_near_dup_pairs_ivf for "
+            "threshold pairs over orderable ids")
 
     _, index = built or ivf_build(vecs, n_centroids, id_col, vec_col,
                                   n_assign=n_probe)
@@ -341,19 +372,17 @@ def knn_graph_ivf(vecs: DataFrame, k: int, n_centroids: int = 32,
         cn = pdf["_cn"].to_numpy(np.int64).astype(np.float64)
         cos = (C @ C.T) / (np.sqrt(cn)[:, None] * np.sqrt(cn)[None, :])
         out: tuple = ([], [], [])
-        for r in range(len(ids)):
-            valid = np.flatnonzero(ids != ids[r])
-            if len(valid) == 0:
-                continue
-            sel = valid[np.lexsort((ids[valid], -cos[r, valid]))[:k]]
-            out[0].extend([ids[r]] * len(sel))
-            out[1].extend(ids[sel])
-            out[2].extend(cos[r, sel])
+        _rows_topk_partial(ids, cos, ids, k, out)
         return pd.DataFrame({"vec_id": out[0], "nbr_id": out[1],
                              "cos": out[2]})
 
-    parts = index.groupBy("centroid_id").applyInPandas(
-        _fn, schema=part_schema)
+    # same AQE-coalescing defense as knn_graph: pin the cluster-group
+    # parallelism with a user repartition on the group key
+    spark = vecs.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                 min(n_centroids, 1024))
+    parts = (index.repartition(nparts, "centroid_id")
+             .groupBy("centroid_id").applyInPandas(_fn, schema=part_schema))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              F.col("nbr_id").asc())
     # the same (vec, nbr) pair can surface from several shared clusters
@@ -557,9 +586,9 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
     """
     import numpy as np
 
-    centroids, index = built or ivf_build(candidates, n_centroids,
-                                          id_col, vec_col)
-
+    # materialize + guard the query side BEFORE the (expensive, eager)
+    # index build: a zero-query call must not pay two assignment passes
+    # over the full candidate table to produce an empty frame
     q_pdf = (queries.select(F.col(id_col).alias("query_id"),
                             quantize(F.col(vec_col)).alias("_qv"))
              .withColumn("_qn", norm_sq_q(F.col("_qv"))).toPandas())
@@ -567,6 +596,9 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, k: int,
         return _empty_topk(queries.sparkSession,
                            queries.schema[id_col].dataType,
                            candidates.schema[id_col].dataType)
+
+    centroids, index = built or ivf_build(candidates, n_centroids,
+                                          id_col, vec_col)
     qids = q_pdf["query_id"].to_numpy()
     Q = np.stack(q_pdf["_qv"].to_numpy()).astype(np.int64)
     Qn = q_pdf["_qn"].to_numpy(np.int64)

@@ -448,10 +448,15 @@ def changes(table: SnapshotTable, spark: SparkSession,
         raise FileNotFoundError(f"table {table.name}: no snapshot v{to_version}")
     old = table.snapshot(from_version) if from_version > 0 else None
     if from_version > 0 and old is None:
-        # the checkpointed base version was expired — treating it as
-        # "nothing processed" would silently re-emit EVERY partition
-        # and double-count rows in the consumer's aggregate; fail loud
-        # so the consumer re-baselines deliberately
+        # a missing base is NEVER "nothing processed" — that would
+        # silently re-emit every partition and double-count rows in
+        # the consumer's aggregate. Distinguish a bogus checkpoint
+        # (version never existed) from a genuinely expired manifest.
+        if from_version > table.current_version():
+            raise FileNotFoundError(
+                f"table {table.name}: snapshot v{from_version} does "
+                f"not exist (current is v{table.current_version()}) — "
+                f"the consumer checkpoint looks wrong")
         raise FileNotFoundError(
             f"table {table.name}: snapshot v{from_version} has been "
             f"expired — incremental base lost; re-read the full table "

@@ -118,14 +118,14 @@ def images_with_twins(spark: SparkSession, n: int, seed: int = 42,
 
     from ..operators import multimodal as MM
     imgs = images_df(spark, n, seed=seed, partitions=partitions)
-    base = imgs.select("image_id", "bytes", "w", "h", "fmt")
+    cols = ["image_id", "bytes", "w", "h", "fmt"] + (
+        ["phash"] if with_phash else [])
     resized = (MM.resize(imgs, size)
                .select(F.concat(F.col("image_id"), F.lit("-r"))
                        .alias("image_id"), "bytes", "w", "h", "fmt"))
     if with_phash:
-        base = imgs.select("image_id", "bytes", "w", "h", "fmt", "phash")
         resized = resized.withColumn("phash", F.lit(0))
-    return base.unionByName(resized)
+    return imgs.select(*cols).unionByName(resized)
 
 
 def polygons_local(n: int, seed: int = 42) -> list[dict]:
