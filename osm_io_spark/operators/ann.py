@@ -227,7 +227,8 @@ def _rows_topk_partial(row_ids, cos, nbr_ids, k: int, out) -> None:
 
 def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
               vec_col: str = "embedding",
-              block_rows: int = 1024) -> DataFrame:
+              block_rows: int = 1024,
+              max_replicated_rows: int = 100_000_000) -> DataFrame:
     """(vec_id, rank, nbr_id, cos) — EXACT k-nearest-neighbor GRAPH:
     every vector's top-k cosine neighbors over the whole corpus. Unlike
     brute_force_topk/lsh_topk/ivf_topk (driver-sized query batch vs a
@@ -242,10 +243,19 @@ def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
     emits only PARTIAL top-k rows for each member (≤ (na+nb)·k), which
     a final window merges under the total order (cos desc, nbr_id asc)
     — correct because the global top-k is a subset of the union of
-    per-group top-ks under the same order. GEMM work is quadratic
-    (exact by construction — the honest baseline; the IVF/LSH paths
-    are the approximate scale route) but the SHUFFLE is not: only
-    n·k·n_blocks partial rows move, never the n² pair matrix."""
+    per-group top-ks under the same order.
+
+    Scale honesty — this is the EXACT baseline and it is quadratic on
+    BOTH axes: the GEMM work by construction, and the INPUT shuffle
+    too. Every vector replicates to n_blocks+1 pair keys before the
+    group shuffle, so n·(n_blocks+1) ≈ n²/block_rows full vector rows
+    move — at n=10⁸, d=64, block_rows=1024 that is ~10¹³ row-copies,
+    and the replication shuffle kills the job before the FLOPs matter.
+    (Only the OUTPUT side is sub-quadratic: ≤ n·k·n_blocks partial
+    top-k rows reach the closing window, never the n² pair matrix.)
+    ``max_replicated_rows`` enforces this honestly: past the budget the
+    call raises and routes you to ``knn_graph_ivf``, the bucketed scale
+    path (one groupBy on centroid_id, measured recall attached)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -258,13 +268,26 @@ def knn_graph(vecs: DataFrame, k: int, id_col: str = "vec_id",
             "use dedup.embedding_near_dup_pairs_ivf for threshold "
             "pairs over orderable ids")
 
-    n_vec = vecs.count()
+    # pin quantize+norm behind ONE lazy checkpoint: the frame fans out
+    # into two exploded union branches below (plus the eager count
+    # here), and without the pin the upstream plan — widen + quantize +
+    # whatever produced vecs — re-executes per branch (fan-out rule)
+    q0 = (widen(vecs)
+          .select(F.col(id_col).alias("_id"),
+                  quantize(F.col(vec_col)).alias("_v"))
+          .withColumn("_n", norm_sq_q(F.col("_v")))
+          .localCheckpoint(eager=False))
+    n_vec = q0.count()   # materializes the checkpoint; reused below
     n_blocks = max(1, -(-n_vec // block_rows))
-    q = (widen(vecs)
-         .select(F.col(id_col).alias("_id"),
-                 quantize(F.col(vec_col)).alias("_v"))
-         .withColumn("_n", norm_sq_q(F.col("_v")))
-         .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks))))
+    if n_vec * (n_blocks + 1) > max_replicated_rows:
+        raise ValueError(
+            f"knn_graph would replicate {n_vec}x{n_blocks + 1} = "
+            f"{n_vec * (n_blocks + 1)} vector rows into the pair-group "
+            f"shuffle (> max_replicated_rows={max_replicated_rows}); "
+            "the exact path is quadratic in the input shuffle, not "
+            "just in FLOPs — use knn_graph_ivf (bucketed IVF scale "
+            "path) or raise block_rows/max_replicated_rows explicitly")
+    q = q0.withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)))
     a_keys = F.transform(
         F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
         lambda j: F.col("_blk") * n_blocks + j)
@@ -345,7 +368,14 @@ def knn_graph_ivf(vecs: DataFrame, k: int, n_centroids: int = 32,
 
     Per-cluster GEMM work is |cluster|² — a Zipf-hot cluster bounds it;
     size n_centroids ~ √n, or salt hot cluster ids the same way as hot
-    bands, if a corpus concentrates."""
+    bands, if a corpus concentrates.
+
+    ``built=(centroids, index)`` reuses a persisted ivf_build output;
+    recall here is governed by the index's ``n_assign`` (the number of
+    clusters each vector was multi-assigned to at build time), NOT by
+    this call's ``n_probe`` — so a mismatch is rejected when the index
+    carries its build stamp (ivf_build sets ``_ivf_n_assign``), and an
+    unstamped index (e.g. re-read from parquet) is trusted as-is."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -358,8 +388,19 @@ def knn_graph_ivf(vecs: DataFrame, k: int, n_centroids: int = 32,
             "first, or use dedup.embedding_near_dup_pairs_ivf for "
             "threshold pairs over orderable ids")
 
-    _, index = built or ivf_build(vecs, n_centroids, id_col, vec_col,
-                                  n_assign=n_probe)
+    if built is not None:
+        _, index = built
+        stamped = getattr(index, "_ivf_n_assign", None)
+        if stamped is not None and stamped != n_probe:
+            raise ValueError(
+                f"prebuilt IVF index was multi-assigned with "
+                f"n_assign={stamped} but this call requests "
+                f"n_probe={n_probe}; recall is set by the index's "
+                "n_assign, so rebuild with ivf_build(..., "
+                f"n_assign={n_probe}) or call with n_probe={stamped}")
+    else:
+        _, index = ivf_build(vecs, n_centroids, id_col, vec_col,
+                             n_assign=n_probe)
     part_schema = T.StructType([
         T.StructField("vec_id", T.LongType(), False),
         T.StructField("nbr_id", T.LongType(), False),
@@ -557,6 +598,11 @@ def ivf_build(candidates: DataFrame, n_centroids: int = 32,
         "_sn": [int(v) for v in S1n]}))
 
     index = c.mapInPandas(_assign_fn(S1, S1n, n_assign), assign_schema)
+    # stamp the multi-assignment width on the frame so consumers that
+    # accept a prebuilt index (knn_graph_ivf) can verify their n_probe
+    # matches — an index built with a different n_assign silently
+    # changes which cluster co-memberships exist and can tank recall
+    index._ivf_n_assign = n_assign
     return centroids, index
 
 

@@ -179,6 +179,66 @@ def test_image_embed_and_near_dup(spark):
         assert cos[idx[a], idx[b]] >= 0.979, (a, b, cos[idx[a], idx[b]])
 
 
+def test_mm_literal_oracles_match_corpus():
+    """SQL_MM_STATS / SQL_MM_INV are literal expected-value oracles
+    (a SQL engine cannot decode the binary corpus, but the corpus is
+    deterministic so the correct output is a constant). This test
+    regenerates every literal from the corpus generator — numpy path,
+    no Spark — so a corpus reseed or kernel change fails HERE with a
+    value diff instead of as an opaque hash mismatch at the driver's
+    gate."""
+    import duckdb
+    import pandas as pd
+
+    from osm_io_spark import queries as Q
+    from osm_io_spark.sources.synth import images_pdf, reference_pixels_caption
+
+    pdf = images_pdf(np.arange(240), seed=42)
+    decoded = np.stack([I.decode(bytes(b), 16, 16, f)
+                        for b, f in zip(pdf["bytes"], pdf["fmt"])])
+    means = decoded.reshape(len(pdf), -1).mean(axis=1)
+    phs = I.phash64_batch(decoded)
+    refs, cap_ok = [], []
+    for j in range(len(pdf)):
+        i = int(pdf["image_id"].iloc[j].split("-")[-1])
+        px, cap = reference_pixels_caption(i, 42, 16, 16, pdf["fmt"].iloc[j])
+        refs.append(px)
+        cap_ok.append(pdf["caption"].iloc[j] == cap)
+    p = I.psnr_batch(np.stack(refs), decoded)
+    p = np.where(np.isinf(p), 999.0, p)
+
+    rows = pd.DataFrame({
+        "fmt": pdf["fmt"], "mean_pixel": means,
+        "phash_ok": phs == pdf["phash"].to_numpy(np.int64),
+        "psnr_db": p, "psnr_ok": p >= 40.0,
+        "caption_ok": np.array(cap_ok)})
+    got_stats = (rows.groupby("fmt").apply(
+        lambda g: pd.Series({
+            "n": len(g),
+            "n_phash_ok": int(g["phash_ok"].sum()),
+            "mean_pixel_milli_sum": int(np.floor(g["mean_pixel"] * 1000)
+                                        .astype(np.int64).sum())}),
+        include_groups=False).reset_index())
+    got_inv = (rows.groupby("fmt").apply(
+        lambda g: pd.Series({
+            "n": len(g),
+            "n_psnr_ok": int(g["psnr_ok"].sum()),
+            "n_caption_ok": int(g["caption_ok"].sum()),
+            "min_psnr_floor": int(np.floor(g["psnr_db"].min()))}),
+        include_groups=False).reset_index())
+
+    con = duckdb.connect()
+    want_stats = con.sql(Q.SQL_MM_STATS).df()
+    want_inv = con.sql(Q.SQL_MM_INV).df()
+    for got, want in ((got_stats, want_stats), (got_inv, want_inv)):
+        got = got.sort_values("fmt").reset_index(drop=True)
+        want = want.sort_values("fmt").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns)
+        for c in got.columns:
+            assert list(got[c]) == list(want[c]), (c, list(got[c]),
+                                                   list(want[c]))
+
+
 def test_batched_kernels_bit_identical():
     """phash64_batch / block_mean_resize_batch / psnr_batch must equal
     the per-image kernels elementwise (the stored phash column and the

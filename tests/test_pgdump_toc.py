@@ -26,12 +26,13 @@ def _write_full_toc(path: str) -> list[PGT.TocEntry]:
 
 
 def test_strict_reader_parses_real_pg_dump_toc():
-    """The strongest format check available without pg_restore in the
-    container: our STRICT field-by-field reader must consume the
-    reference fixture's genuine pg_dump 15.1 -Fd toc (456 entries,
-    schema DDL included) to the last byte. If our understanding of the
-    public archiver layout were wrong anywhere, this desynchronizes
-    immediately."""
+    """Our STRICT field-by-field reader must consume the reference
+    fixture's genuine pg_dump 15.1 -Fd toc (456 entries, schema DDL
+    included) to the last byte. If our understanding of the public
+    archiver layout were wrong anywhere, this desynchronizes
+    immediately. (The real consumer is also checked:
+    test_pg_restore_lists_generated_toc runs the container's actual
+    pg_restore binary against our generated archive.)"""
     template = "/root/reference/src/osm/apidb_dump/write/toc/toc.dat"
     checked = 0
     for toc_path, min_entries in [(REF_TOC, 50), (template, 400)]:
@@ -124,3 +125,40 @@ def test_deterministic_and_malformed_rejected(tmp_path):
         fh.write(b"NOTPG" + b1[5:])
     with pytest.raises(ValueError):
         PGT.read_toc(p2)
+
+
+def test_pg_restore_lists_generated_toc(tmp_path):
+    """End-to-end validation with the REAL consumer: run the
+    container's pg_restore (PostgreSQL 15.x) against a directory-format
+    archive whose toc.dat our sink generated. `pg_restore --list` must
+    accept the archive (rc 0) and list all 53 TABLE DATA entries plus
+    the 3 session-setup entries — so any regression in the archiver
+    layout fails CI with the genuine binary, not only with our own
+    reimplementation of the format. Reference behavior being matched:
+    write/toc.rs:6-13, read/reader.rs:88-134."""
+    import shutil
+    import subprocess
+
+    if shutil.which("pg_restore") is None:
+        pytest.skip("pg_restore not installed")
+    path = str(tmp_path / "toc.dat")
+    _write_full_toc(path)
+    proc = subprocess.run(
+        ["pg_restore", "--list", str(tmp_path)],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln and not ln.startswith(";")]
+    data = [ln for ln in lines if " TABLE DATA " in ln]
+    assert len(data) == len(apidb.TOC_FILE_MAPPING) == 53, proc.stdout
+    listed = {ln.split(" TABLE DATA public ")[1].split()[0]
+              for ln in data}
+    assert listed == set(apidb.TOC_FILE_MAPPING)
+    # the 3 session-setup entries (ENCODING/STDSTRINGS/SEARCHPATH) are
+    # "special" entries pg_restore counts but does not list — the
+    # header's entry count is the visible evidence it parsed them
+    assert "TOC Entries: 56" in proc.stdout
+    # header metadata survives: the archive self-identifies as
+    # directory-format against database openstreetmap
+    assert "dbname: openstreetmap" in proc.stdout
+    assert "Format: DIRECTORY" in proc.stdout
