@@ -1628,11 +1628,14 @@ def q_stream_cell_enrich(spark, sf_dir):
 def q_stream_image_dedup(spark, sf_dir):
     """Streaming perceptual image dedup (streaming/events.py
     image_dedup_stream): an upload feed of 240 unique images, each
-    re-uploaded 3x under different ids at the same event time, drains
-    to exactly the distinct (phash, ts) set — decode + phash run
-    INSIDE the stream (stateless mapInPandas), state bounded by the
-    watermark. Engine-native rows-only (binary image corpus);
-    batch-equivalence asserted in tests/test_streaming.py."""
+    re-uploaded 3x under different ids at DIFFERENT event times (+7s,
+    +31s — a realistic re-upload feed, well inside the 1h watermark),
+    drains to exactly the distinct phash set — content-keyed
+    dropDuplicatesWithinWatermark, decode + phash run INSIDE the
+    stream (stateless mapInPandas), state bounded by the watermark.
+    Engine-native rows-only (binary image corpus); batch-equivalence
+    and checkpoint-resume exactly-once asserted in
+    tests/test_streaming.py."""
     import os
     import tempfile
 
@@ -1641,24 +1644,25 @@ def q_stream_image_dedup(spark, sf_dir):
     ensure_shipped(spark)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     src = os.path.join(tempfile.gettempdir(),
-                       f"osm_io_stream_img_src_{tag}")
+                       f"osm_io_stream_img_src2_{tag}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         base = (SY.images_df(spark, 240, seed=42, partitions=8)
                 .withColumn("ts", F.timestamp_seconds(
                     F.lit(1_700_000_000)
                     + F.pmod(F.xxhash64("image_id"), F.lit(86400)))))
         ups = base
-        for i in (1, 2):
-            ups = ups.unionByName(base.withColumn(
-                "image_id", F.concat("image_id", F.lit(f"-up{i}"))))
+        for i, delta_s in ((1, 7), (2, 31)):
+            ups = ups.unionByName(
+                base.withColumn("image_id",
+                                F.concat("image_id", F.lit(f"-up{i}")))
+                .withColumn("ts", F.col("ts")
+                            + F.expr(f"INTERVAL {delta_s} SECONDS")))
         ups.repartition(4).write.mode("overwrite").parquet(src)
     _STREAM_RUN_N[0] += 1
     name = f"stream_img_dedup_{tag}_{_STREAM_RUN_N[0]}"
     ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
     dd = SE.image_dedup_stream(SE.stream_images(spark, src))
-    out = dd.select("phash_calc",
-                    F.unix_timestamp("ts").alias("ts_epoch"))
-    SE.run_available_now(out, ckpt, name)
+    SE.run_available_now(dd, ckpt, name)
     return spark.table(name)
 
 

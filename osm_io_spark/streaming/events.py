@@ -179,12 +179,20 @@ def image_dedup_stream(images: DataFrame,
     """Streaming PERCEPTUAL image dedup with bounded state — the
     multimodal twin of ``dedup_stream``: Arrow-batched decode +
     recomputed phash inside the stream (mapInPandas is stateless, so it
-    composes with streaming plans unchanged), then dropDuplicates on
-    (phash_calc, ts) under the event-time watermark. Re-uploads of the
-    same content (identical pixels ⇒ identical phash, whatever the
-    image_id) collapse to one row; keying on the event-time column
-    keeps the state store O(watermark window), not O(stream history) —
-    the viability condition for an unbounded image-upload feed."""
+    composes with streaming plans unchanged), then
+    ``dropDuplicatesWithinWatermark`` keyed on CONTENT ALONE
+    (``phash_calc``). Re-uploads of the same content (identical pixels
+    ⇒ identical phash, whatever the image_id and whatever the upload
+    time) collapse to one row as long as they arrive within the
+    watermark delay of each other; the watermark evicts a phash's state
+    once event time moves past it, keeping the state store O(watermark
+    window), not O(stream history) — the viability condition for an
+    unbounded image-upload feed. (Plain dropDuplicates on
+    (phash_calc, ts) — the earlier shape — only collapsed re-uploads
+    whose timestamps were second-identical.) Output carries only
+    ``phash_calc``: which duplicate's ts survives is
+    arrival-order-dependent, so emitting it would make the drain
+    nondeterministic."""
     from ..functions import images as I
     from ..operators.multimodal import _decode_stack
 
@@ -211,8 +219,8 @@ def image_dedup_stream(images: DataFrame,
     hashed = (images.select("image_id", "bytes", "w", "h", "fmt", "ts")
               .mapInPandas(_ph, schema=schema))
     return (hashed.withWatermark("ts", watermark)
-            .dropDuplicates(["phash_calc", "ts"])
-            .select("phash_calc", "ts"))
+            .dropDuplicatesWithinWatermark(["phash_calc"])
+            .select("phash_calc"))
 
 
 def stream_cell_enrich(events: DataFrame, polygons_cells: DataFrame,
@@ -237,6 +245,24 @@ def run_available_now(stream_df: DataFrame, checkpoint: str,
     q = (stream_df.writeStream
          .format("memory").queryName(out_table)
          .outputMode("append")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def run_available_now_to_path(stream_df: DataFrame, checkpoint: str,
+                              out_path: str) -> None:
+    """Drain all currently-available input into a parquet FILE sink and
+    stop. Unlike the memory sink (append mode cannot recover from a
+    checkpoint at all), the file sink is fault-tolerant: a new query
+    started on the same checkpoint resumes offsets AND state, so this
+    is the drain the kill-and-resume tests (and any real restartable
+    pipeline) use."""
+    q = (stream_df.writeStream
+         .format("parquet")
+         .outputMode("append")
+         .option("path", out_path)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())

@@ -170,10 +170,11 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
 
 def test_stream_image_dedup_batch_equivalence(spark):
     """image_dedup_stream: a 3x re-upload feed (same pixels, different
-    ids, same event time) drains to exactly the batch-computed distinct
-    (phash, ts) set — decode + phash happen inside the streaming plan."""
-    from pyspark.sql import functions as F
-
+    ids, DIFFERENT event times — +7s/+31s) drains to exactly the
+    batch-computed distinct phash set — content-keyed
+    dropDuplicatesWithinWatermark; decode + phash happen inside the
+    streaming plan. The shifted timestamps are the point: the earlier
+    (phash, ts)-keyed shape only collapsed same-second re-uploads."""
     from osm_io_spark import queries as Q
     from osm_io_spark.operators import multimodal as MM
     from osm_io_spark.sources import synth as SY
@@ -181,14 +182,90 @@ def test_stream_image_dedup_batch_equivalence(spark):
     out = Q.q_stream_image_dedup(spark, "/root/testdata/sf0.001").toPandas()
     assert len(out) > 0
 
-    base = (SY.images_df(spark, 240, seed=42, partitions=8)
-            .withColumn("ts_epoch", F.lit(1_700_000_000)
-                        + F.pmod(F.xxhash64("image_id"), F.lit(86400))))
-    stats = MM.decode_stats(base).select("image_id", "phash_calc")
-    want = set(map(tuple, stats.join(base.select("image_id", "ts_epoch"),
-                                     "image_id")
-                   .select("phash_calc", "ts_epoch").distinct().collect()))
-    got = set(map(tuple, out[["phash_calc", "ts_epoch"]].values))
+    base = SY.images_df(spark, 240, seed=42, partitions=8)
+    want = {r[0] for r in (MM.decode_stats(base)
+                           .select("phash_calc").distinct().collect())}
+    got = set(out["phash_calc"])
     assert got == want
-    # the 720-row feed really collapsed
+    # the 720-row feed really collapsed despite the ts shifts
     assert len(out) == len(want) <= 240
+
+
+def test_stream_dedup_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume: drain the time-ordered first half of the feed,
+    then resume from the SAME checkpoint after the second half arrives
+    — including re-uploads of drain-1 rows that are still INSIDE the
+    watermark (a time-ordered split matters: the drain-1 watermark
+    drops older rows as late, which would mask the dedup). The restored
+    state store must swallow every in-watermark re-upload — union of
+    both drains is exactly the distinct set, no key emitted twice
+    (exactly-once output across the restart)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t_mid = ev.agg(
+        F.expr("percentile_approx(ts, 0.5)")).collect()[0][0]
+    half1 = ev.filter(F.col("ts") <= F.lit(t_mid))
+    half2 = ev.filter(F.col("ts") > F.lit(t_mid))
+    # drain-1 rows a resumed query MUST still dedup: newer than the
+    # drain-1 watermark (max(half1.ts) - 1h), so not droppable as late
+    dups = half1.filter(
+        F.col("ts") > F.lit(t_mid) - F.expr("INTERVAL 30 MINUTES"))
+    assert dups.count() > 0
+
+    src = str(tmp_path / "src")
+    half1.repartition(3).write.mode("overwrite").parquet(src)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    SE.run_available_now_to_path(
+        SE.dedup_stream(SE.stream_events(spark, src)), ckpt, out)
+    got1 = spark.read.parquet(out).toPandas()
+    assert len(got1) > 0
+
+    # "crash": the first query object is gone; the rest of the feed
+    # (plus the in-watermark re-uploads) lands, and a NEW query resumes
+    # from the same checkpoint + sink
+    (half2.unionByName(dups).repartition(3)
+     .write.mode("append").parquet(src))
+    SE.run_available_now_to_path(
+        SE.dedup_stream(SE.stream_events(spark, src)), ckpt, out)
+    both = spark.read.parquet(out).toPandas()
+
+    keys = list(map(tuple, both[["event_id", "ts"]].values))
+    assert len(keys) == len(set(keys)), (
+        "resumed drain re-emitted keys the checkpointed state had seen")
+    want = ev.select("event_id", "ts").distinct().count()
+    assert len(keys) == want and len(both) > len(got1)
+
+
+def test_stream_image_dedup_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume for the perceptual image dedup: drain the base
+    uploads, then resume from the same checkpoint after time-shifted
+    re-uploads of the SAME content arrive. The restored phash state
+    must swallow all of them — zero new rows, union still the distinct
+    phash set."""
+    from pyspark.sql import functions as F
+
+    from osm_io_spark.sources import synth as SY
+
+    base = (SY.images_df(spark, 240, seed=42, partitions=4)
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + F.pmod(F.xxhash64("image_id"), F.lit(3600)))))
+    src = str(tmp_path / "img_src")
+    base.write.mode("overwrite").parquet(src)
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    SE.run_available_now_to_path(
+        SE.image_dedup_stream(SE.stream_images(spark, src)), ckpt, out)
+    got1 = spark.read.parquet(out).toPandas()
+    n_distinct = len(set(got1["phash_calc"]))
+    assert len(got1) == n_distinct > 0
+
+    (base.withColumn("image_id", F.concat("image_id", F.lit("-re")))
+     .withColumn("ts", F.col("ts") + F.expr("INTERVAL 45 SECONDS"))
+     .write.mode("append").parquet(src))
+    SE.run_available_now_to_path(
+        SE.image_dedup_stream(SE.stream_images(spark, src)), ckpt, out)
+    both = spark.read.parquet(out).toPandas()
+    assert len(both) == len(got1), (
+        f"resumed drain re-emitted {len(both) - len(got1)} phashes for "
+        "re-uploaded content the checkpointed state had already seen")
+    assert set(both["phash_calc"]) == set(got1["phash_calc"])
