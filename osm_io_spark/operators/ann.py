@@ -572,18 +572,55 @@ def ivf_build(candidates: DataFrame, n_centroids: int = 32,
 
     assigned0 = c.mapInPandas(_assign_fn(S0, S0n, 1), assign_schema)
 
-    # element-wise mean per cluster from exact long sums (one Lloyd step)
-    dim_df = (assigned0.select("centroid_id",
-                               F.posexplode("_cv").alias("_i", "_x"))
-              .groupBy("centroid_id", "_i")
-              .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n")))
-    centroids = (dim_df.withColumn("_m", F.col("_s").cast("double") / F.col("_n"))
+    # element-wise mean per cluster from exact long sums (one Lloyd
+    # step). The aggregation is algebraic, so the heavy lifting happens
+    # map-side: each Arrow batch emits ONE (sum_vec, count) partial per
+    # centroid it touches (numpy add.at — no per-dim explosion), and the
+    # only shuffle is n_batches·n_centroids array rows into a
+    # per-centroid merge. The earlier shape posexploded every vector
+    # into d rows before the groupBy — an n·d-row shuffle (~7e11 rows at
+    # 1e9 vectors × 768 dims) for what is a per-partition partial sum.
+    # Integer sums are order-invariant, so the centroids stay
+    # byte-identical to the exploded path (test_ann.py pins this).
+    partial_schema = T.StructType([
+        T.StructField("centroid_id", T.LongType(), False),
+        T.StructField("_ps", T.ArrayType(T.LongType()), False),
+        T.StructField("_pn", T.LongType(), False)])
+
+    def _partial_sums(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_cv"].to_numpy()).astype(np.int64)
+            uniq, inv = np.unique(
+                pdf["centroid_id"].to_numpy(np.int64), return_inverse=True)
+            sums = np.zeros((len(uniq), V.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, V)
+            yield pd.DataFrame({
+                "centroid_id": uniq,
+                "_ps": [list(map(int, r)) for r in sums],
+                "_pn": np.bincount(inv, minlength=len(uniq))
+                         .astype(np.int64)})
+
+    merge_schema = T.StructType([
+        T.StructField("centroid_id", T.LongType(), False),
+        T.StructField("_sv", T.ArrayType(T.LongType()), False),
+        T.StructField("_sn", T.LongType(), False)])
+
+    def _merge_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack(pdf["_ps"].to_numpy()).astype(np.int64).sum(axis=0)
+        n = int(pdf["_pn"].sum())
+        # identical rounding to the exploded path: exact long sum →
+        # double divide → floor(m + 0.5)
+        m = np.floor(S / n + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+            "_sv": [list(map(int, m))],
+            "_sn": [int((m * m).sum())]})
+
+    centroids = (assigned0.mapInPandas(_partial_sums, partial_schema)
                  .groupBy("centroid_id")
-                 .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("_i", "_m"))),
-                     lambda s: F.floor(s["_m"] + F.lit(0.5)).cast("long")
-                 ).alias("_sv")))
-    centroids = centroids.withColumn("_sn", norm_sq_q(F.col("_sv")))
+                 .applyInPandas(_merge_partials, merge_schema))
 
     cent_pdf = centroids.orderBy("centroid_id").toPandas()
     # empty clusters vanish from the mean aggregation: re-index by the

@@ -421,3 +421,46 @@ def test_registry_ann_recall_floors(spark):
          .select("query_id", "recall_at_k").distinct()
          .agg(F.mean("recall_at_k")).collect()[0][0])
     assert g >= 0.95, f"knn_graph_ivf registry recall {g:.3f}"
+
+
+def test_ivf_build_centroids_match_exact_recompute(spark, emb):
+    """The Lloyd mean now aggregates per-Arrow-batch numpy PARTIAL sums
+    (one (sum_vec, count) row per centroid per batch) instead of
+    posexploding every vector into d rows — the shuffle drops from n·d
+    rows to n_batches·n_centroids. Integer sums are order-invariant, so
+    the centroids must stay BYTE-IDENTICAL to a single-node exact
+    recomputation of the same seed-assign-mean pipeline (exact long
+    sums → double divide → floor(m + 0.5)), multi-partition input
+    included."""
+    import numpy as np
+
+    from osm_io_spark.operators.ann import (ivf_build, norm_sq_q,
+                                            quantize, widen)
+
+    vecs = emb.repartition(7)   # force many partial-sum batches
+    cent, _ = ivf_build(vecs, n_centroids=16)
+    got = cent.orderBy("centroid_id").toPandas()
+
+    c = (widen(vecs).select(F.col("vec_id").alias("cand_id"),
+                            quantize(F.col("embedding")).alias("_cv"))
+         .withColumn("_cn", norm_sq_q(F.col("_cv"))))
+    seeds = (c.withColumn("_h", F.xxhash64(F.col("cand_id")))
+             .orderBy("_h", "cand_id").limit(16)
+             .orderBy("cand_id").select("_cv", "_cn").toPandas())
+    S0 = np.stack(seeds["_cv"].to_numpy()).astype(np.int64)
+    S0n = seeds["_cn"].to_numpy(np.int64)
+    pdf = c.toPandas()
+    V = np.stack(pdf["_cv"].to_numpy()).astype(np.int64)
+    D = (pdf["_cn"].to_numpy(np.int64)[:, None] + S0n[None, :]
+         - 2 * (V @ S0.T))
+    nearest = D.argmin(axis=1)
+    want = []
+    for cid in np.unique(nearest):
+        sel = V[nearest == cid]
+        want.append(np.floor(sel.sum(axis=0) / len(sel) + 0.5)
+                    .astype(np.int64))
+    assert len(want) == len(got)
+    for pos, w in enumerate(want):
+        g = np.array(got["_sv"].iloc[pos], dtype=np.int64)
+        assert np.array_equal(g, w), f"centroid {pos} diverged"
+        assert int(got["_sn"].iloc[pos]) == int((w * w).sum())
