@@ -66,6 +66,24 @@ BENCH_QUERIES = [
 ]
 
 
+# Timing overrides where the registry function bundles a correctness
+# artifact the bench should not charge to the operator: q_knn_graph_ivf
+# also computes the EXACT graph for its recall column, so timing the
+# registry fn makes the IVF scale path look slower than the exact
+# `knn_graph` row it exists to beat. Bench the scale path alone — same
+# parameters as the registry query, matching sf1_evidence's
+# knn_graph_ivf_20k row.
+def _bench_knn_graph_ivf(spark, sf_dir):
+    from osm_io_spark.operators import ann as ANN
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ANN.knn_graph_ivf(emb, k=5, n_centroids=16, n_probe=8)
+
+
+BENCH_OVERRIDES = {
+    "knn_graph_ivf": _bench_knn_graph_ivf,
+}
+
+
 def main() -> None:
     # Contract: exactly ONE JSON line on stdout. The Spark JVM is a
     # child process sharing fd 1 and can write GC/log noise there, so
@@ -112,7 +130,7 @@ def main() -> None:
         "knn_graph_ivf",
     }
     for name in BENCH_QUERIES:
-        fn = Q.QUERIES[name]
+        fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])
         df = None if name in construct_in_timer else fn(spark, sf_dir)
         best = None
         # the headline query gets a warm-up (JIT/broadcast/codegen are

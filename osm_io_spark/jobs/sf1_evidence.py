@@ -124,6 +124,33 @@ def run(argv: list[str] | None = None) -> dict:
         return n
 
     for name in names:
+        if name == "dedup_ngram_jaccard":
+            # at 10x the candidate-volume guard fires BY DESIGN
+            # (measured crossover: 156s exact vs 13.7s minhash) — the
+            # routed row records the guard + the scale route's timing;
+            # --ngram-optin re-times the exact quadratic run
+            t0 = time.perf_counter()
+            try:
+                rows = fns[name](spark, args.dir).count()
+                results[name] = {
+                    "s": round(time.perf_counter() - t0, 2), "rows": rows}
+            except ValueError as e:
+                dt = round(time.perf_counter() - t0, 2)
+                results[name] = {
+                    "s": dt, "rows": None,
+                    "guard": "candidate-volume guard raised; "
+                             "scale route = dedup_minhash_lsh"}
+                print(f"# {name}: guard raised in {dt}s — routed to "
+                      f"minhash ({e})", flush=True)
+            if args.ngram_optin:
+                from ..operators import dedup as DDng
+                docs10 = spark.read.parquet(
+                    f"{args.dir}/documents.parquet")
+                timed("dedup_ngram_jaccard_optin",
+                      lambda: DDng.ngram_jaccard_pairs(
+                          docs10, n=3, min_pct=50,
+                          max_candidate_pairs=None).count())
+            continue
         timed(name, lambda name=name: fns[name](spark, args.dir).count())
 
     # --- ANN at 10x with a PERSISTED, REUSED index (round-3 item):

@@ -1741,26 +1741,23 @@ def q_mm_phash_near_dup(spark, sf_dir):
                                      fp_col="phash_calc", id_col="image_id")
 
 
-IMG_CURATE_MIN_QUALITY = 0.96
+# quality gate = this exact corpus quantile of the exposure score —
+# derived per corpus instead of a tuned absolute (the earlier constant
+# 0.96 was fit to seed-42's quality range [0.94, 1.0] and a reseed
+# silently flipped keep/drop decisions). Exact percentile, so the gate
+# is deterministic for a given corpus.
+IMG_CURATE_QUALITY_QUANTILE = 0.25
 
 
-def q_image_curation(spark, sf_dir):
-    """End-to-end curation for the IMAGE modality — the image-side twin
-    of corpus_curation: synthetic image corpus + its resized twins →
-    batched Arrow decode (recomputed phash + mean pixel, ONE pass) →
-    pigeonhole hamming near-dup pairs → duplicate clusters (connected
-    components) → per-image keep/drop decision with reason. Duplicate
-    removal precedes the quality gate (textops.curate reused with
-    id_col='image_id'); quality is a deterministic exposure score
-    1 - |mean_pixel - 127.5|/127.5, a pure Column over the decode stats
-    — no second decode pass. Engine-native (rows-only driver check: the
-    corpus is binary image bytes a SQL oracle cannot decode);
-    composition verified in tests/test_images.py."""
+def image_curation_pipeline(spark, n: int = 240, seed: int = 42):
+    """The image curation pipeline body, parameterized by corpus size
+    and seed so the reseed-robustness test runs the IDENTICAL
+    composition the registry query ships."""
     from .operators import multimodal as MM
     from .operators import textops as TX
     from .sources import synth as SY
     ensure_shipped(spark)
-    both = SY.images_with_twins(spark, 240, with_phash=True)
+    both = SY.images_with_twins(spark, n, seed=seed, with_phash=True)
     # one decode feeds pairs AND quality AND the vertex list — pin it
     # (fan-out rule) so the Arrow decode doesn't re-execute per branch
     # or per clustering round
@@ -1776,8 +1773,43 @@ def q_image_curation(spark, sf_dir):
         "image_id",
         (F.lit(1.0) - F.abs(F.col("mean_pixel") - 127.5) / 127.5)
         .alias("quality"))
-    return TX.curate(stats, clusters, quality,
-                     IMG_CURATE_MIN_QUALITY, id_col="image_id")
+    gate = float(quality.agg(F.expr(
+        f"percentile(quality, {IMG_CURATE_QUALITY_QUANTILE})"))
+        .collect()[0][0])
+    return TX.curate(stats, clusters, quality, gate, id_col="image_id")
+
+
+def q_image_curation(spark, sf_dir):
+    """End-to-end curation for the IMAGE modality — the image-side twin
+    of corpus_curation: synthetic image corpus + its resized twins →
+    batched Arrow decode (recomputed phash + mean pixel, ONE pass) →
+    pigeonhole hamming near-dup pairs → duplicate clusters (connected
+    components) → per-image keep/drop decision with reason. Duplicate
+    removal precedes the quality gate (textops.curate reused with
+    id_col='image_id'); quality is a deterministic exposure score
+    1 - |mean_pixel - 127.5|/127.5, a pure Column over the decode
+    stats — no second decode pass — gated at the corpus's own
+    IMG_CURATE_QUALITY_QUANTILE (reseed-robust by construction, pinned
+    in tests). Engine-native (rows-only driver check: the corpus is
+    binary image bytes a SQL oracle cannot decode); composition +
+    reseed robustness verified in tests/test_images.py."""
+    return image_curation_pipeline(spark, 240, seed=42)
+
+
+def mm_embed_near_dup_pipeline(spark, n: int = 240, seed: int = 42):
+    """The image-embedding near-dup pipeline body, parameterized so the
+    reseed-robustness test runs the identical composition. The cos ≥
+    0.98 gate is construction-derived, not corpus-tuned: twins are
+    block-mean resizes and the embedding is block means, so twin
+    cosine approaches 1 for ANY seed (the reseed test pins this)."""
+    from .operators import multimodal as MM
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    both = SY.images_with_twins(spark, n, seed=seed)
+    emb = MM.image_embed(both, grid=4).localCheckpoint(eager=False)
+    return DD.embedding_near_dup_pairs_ivf(
+        emb, threshold_pct=98, n_centroids=8, n_probe=4,
+        id_col="image_id")
 
 
 def q_mm_embed_near_dup(spark, sf_dir):
@@ -1790,15 +1822,8 @@ def q_mm_embed_near_dup(spark, sf_dir):
     resolution-invariant), so every twin pair must clear the cos ≥ 0.98
     gate; candidate generation stays a bucketed centroid equi-join.
     Engine-native (rows-only driver check: binary image corpus);
-    brute-force-verified in tests/test_images.py."""
-    from .operators import multimodal as MM
-    from .sources import synth as SY
-    ensure_shipped(spark)
-    both = SY.images_with_twins(spark, 240)
-    emb = MM.image_embed(both, grid=4).localCheckpoint(eager=False)
-    return DD.embedding_near_dup_pairs_ivf(
-        emb, threshold_pct=98, n_centroids=8, n_probe=4,
-        id_col="image_id")
+    brute-force-verified + reseed-robust in tests/test_images.py."""
+    return mm_embed_near_dup_pipeline(spark, 240, seed=42)
 
 
 def q_knn_graph_ivf(spark, sf_dir):

@@ -464,3 +464,22 @@ def test_ivf_build_centroids_match_exact_recompute(spark, emb):
         g = np.array(got["_sv"].iloc[pos], dtype=np.int64)
         assert np.array_equal(g, w), f"centroid {pos} diverged"
         assert int(got["_sn"].iloc[pos]) == int((w * w).sum())
+
+
+def test_ngram_jaccard_guard_routes_at_scale(spark):
+    """The candidate-volume guard (Σ count(shingle)² budget) raises
+    with a minhash routing message past the budget, admits small
+    corpora under the default, and max_candidate_pairs=None opts in to
+    the exact quadratic join regardless."""
+    from osm_io_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(20)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash"):
+        DD.ngram_jaccard_pairs(docs, max_candidate_pairs=10)
+    n_pairs = 20 * 19 // 2   # identical texts: every pair passes
+    assert DD.ngram_jaccard_pairs(
+        docs, max_candidate_pairs=None).count() == n_pairs
+    assert DD.ngram_jaccard_pairs(docs).count() == n_pairs
