@@ -89,6 +89,9 @@ def run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--dir", default="/tmp/osm_io_spark_sf1")
     ap.add_argument("--out", default=None, help="markdown evidence file")
     ap.add_argument("--cpus", default=None)
+    ap.add_argument("--ngram-optin", action="store_true",
+                    help="also time the exact quadratic ngram join "
+                         "(max_candidate_pairs=None) past the guard")
     args = ap.parse_args(argv)
 
     spark = get_spark("sf1-evidence", master=(
@@ -143,13 +146,21 @@ def run(argv: list[str] | None = None) -> dict:
                 print(f"# {name}: guard raised in {dt}s — routed to "
                       f"minhash ({e})", flush=True)
             if args.ngram_optin:
+                # IDENTICAL workload to the routed registry row (the
+                # partial-duplication corpus, same n/min_pct) with the
+                # guard lifted — the routed-vs-exact contrast is
+                # apples-to-apples; both exact methods timed (this
+                # corpus is duplicate-SATURATED: candidates ≈ output,
+                # so prefix can only tie inverted here — the prefix
+                # win case is the boilerplate corpus in BENCH/NGRAM.md)
                 from ..operators import dedup as DDng
-                docs10 = spark.read.parquet(
-                    f"{args.dir}/documents.parquet")
-                timed("dedup_ngram_jaccard_optin",
-                      lambda: DDng.ngram_jaccard_pairs(
-                          docs10, n=3, min_pct=50,
-                          max_candidate_pairs=None).count())
+                from ..queries import _partial_corpus
+                for m in ("prefix", "inverted"):
+                    timed(f"dedup_ngram_exact_{m}",
+                          lambda m=m: DDng.ngram_jaccard_pairs(
+                              _partial_corpus(spark, args.dir), n=3,
+                              min_pct=50, max_candidate_pairs=None,
+                              method=m).count())
             continue
         timed(name, lambda name=name: fns[name](spark, args.dir).count())
 

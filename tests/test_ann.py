@@ -483,3 +483,81 @@ def test_ngram_jaccard_guard_routes_at_scale(spark):
     assert DD.ngram_jaccard_pairs(
         docs, max_candidate_pairs=None).count() == n_pairs
     assert DD.ngram_jaccard_pairs(docs).count() == n_pairs
+
+
+def test_ngram_prefix_matches_inverted(spark):
+    """method='prefix' (PPJoin prefix+positional candidates +
+    array_intersect verify) is EXACT: identical (pair, inter, union_n,
+    jaccard) rows to the inverted-index baseline on an adversarial
+    corpus — exact duplicates (prefixes fully shared), canonical-order
+    ties, boundary-threshold pairs, sub-n-token docs (empty shingle
+    sets), repeated-token docs, rotations — across thresholds
+    including the degenerate 0 and 100."""
+    from osm_io_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "a b c d e f g h"),           # exact dup of 1
+         (3, "a b c d e f g x"),           # near dup of 1/2
+         (4, "x y z w v u t s"),           # disjoint-ish
+         (5, "a b c x y z q r s t"),       # partial overlap both ways
+         (6, "one two"),                   # < n tokens: no shingles
+         (7, "p q r"),                     # single shingle
+         (8, "p q r"),                     # its exact dup
+         (9, "the the the the the"),       # 1 distinct shingle
+         (10, "b c d e f g h a")],         # rotation of 1
+        "doc_id long, text string")
+    for pct in (0, 20, 50, 100):
+        got = sorted(map(tuple, DD.ngram_jaccard_pairs(
+            docs, min_pct=pct, max_candidate_pairs=None,
+            method="prefix").collect()))
+        want = sorted(map(tuple, DD.ngram_jaccard_pairs(
+            docs, min_pct=pct, max_candidate_pairs=None,
+            method="inverted").collect()))
+        assert got == want, f"min_pct={pct}"
+        if pct <= 50:
+            assert len(got) > 0  # the corpus has qualifying pairs
+
+
+def test_ngram_prefix_matches_inverted_partial_corpus(spark):
+    """Same exactness on the registry's partial-duplication corpus at
+    sf0.001 (the oracle workload shape: doc + token-dropped twin)."""
+    from osm_io_spark.operators import dedup as DD
+    from osm_io_spark.queries import _partial_corpus
+
+    corpus = _partial_corpus(spark, SF_DIR)
+    got = sorted(map(tuple, DD.ngram_jaccard_pairs(
+        corpus, n=3, min_pct=50, method="prefix").collect()))
+    want = sorted(map(tuple, DD.ngram_jaccard_pairs(
+        corpus, n=3, min_pct=50, method="inverted").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ngram_auto_routes_boilerplate_to_prefix(spark):
+    """method='auto' routing: a shared-footer corpus whose inverted
+    candidate volume exceeds the budget must ROUTE to the prefix plan
+    (which excludes the hot footer shingles) and return the exact
+    answer instead of raising; the same corpus with an explicit
+    method='inverted' raises past the same budget."""
+    from pyspark.sql import functions as F
+
+    from osm_io_spark.operators import dedup as DD
+
+    bp = "subscribe to our newsletter for updates terms apply"  # 8 tokens
+    docs = (spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ",
+                    *[F.concat(F.lit(f"w{j}_"), F.col("id"))
+                      for j in range(8)],
+                    F.lit(bp)).alias("text")))
+    # 8 unique + 8 footer tokens → 14 trigrams/doc, prefix p = 8 =
+    # exactly the df=1 unique-content trigrams; the 6 pure-footer
+    # trigrams (df=60) give inverted vol ≥ 6·60² = 21600 > 3000 while
+    # prefix vol = 8·60·1² = 480 ≤ 3000
+    budget = 3000
+    got = DD.ngram_jaccard_pairs(docs, n=3, min_pct=50,
+                                 max_candidate_pairs=budget)
+    assert got.count() == 0  # unique content: no qualifying pairs
+    with pytest.raises(ValueError, match="prefix"):
+        DD.ngram_jaccard_pairs(docs, n=3, min_pct=50, method="inverted",
+                               max_candidate_pairs=budget)
