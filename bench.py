@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "mm_decode_stats",
     "image_curation",
     "mm_embed_near_dup",
+    "pack_sequences",
+    "dedup_substring",
+    "mm_caption_audit",
 ]
 
 
@@ -128,6 +131,9 @@ def main() -> None:
         # with an eager count — same rule
         "image_curation", "mm_embed_near_dup", "knn_graph",
         "knn_graph_ivf",
+        # pack_sequences collects per-partition offsets eagerly;
+        # mm_caption_audit runs its caption-group guard aggregation
+        "pack_sequences", "mm_caption_audit",
     }
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import hash64_col
 from .ann import cosine_q, dot_q, norm_sq_q, quantize
@@ -346,6 +347,62 @@ def _ngram_jaccard_prefix(sh: DataFrame, min_pct: int, id_col: str,
            .withColumn("jaccard", F.col("inter").cast("double")
                        / F.col("union_n").cast("double")))
     return ver.select("id_a", "id_b", "inter", "union_n", "jaccard")
+
+
+def repeated_window_spans(docs: DataFrame, k: int = 8, min_docs: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup at k-token granularity (the published
+    exact-substring recipe for LM training corpora — find every
+    k-token run that recurs across documents, then merge the marked
+    windows into maximal spans so a downstream pass can cut them out).
+
+    A k-token rolling WINDOW (all positions — unlike shingle_array's
+    distinct sets) is "duplicated" when its text occurs in ≥ min_docs
+    distinct documents. Output one row per maximal run of duplicated
+    windows: (doc_id, span_start, span_len, n_windows) where the token
+    range [span_start, span_start + span_len) is verbatim-shared text
+    (0-based; span_len = last_window_start - span_start + k).
+
+    Scale design: windows are keyed by md5 of the window text, so the
+    frequency groupBy and the match-back join shuffle 32-byte keys, not
+    window strings; both are linear in total token count. The join
+    output is only the DUPLICATED windows. Span merge is the classic
+    gaps-and-islands window partitioned BY DOCUMENT — no global
+    ordering. No quadratic pair materialization anywhere, so unlike
+    ngram_jaccard_pairs this needs no candidate-volume guard: cost is
+    O(total_windows) regardless of how duplicate-heavy the corpus is.
+    (The trade: it reports spans per doc, not similarity pairs.)
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = tokens_col(F.col(text_col))
+    m = F.size(toks) - (k - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.expr("cast(array() as array<int>)"))
+    wtexts = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int"))
+                   for j in range(k)])))
+    wins = (widen(docs)
+            .select(F.col(id_col), F.posexplode(wtexts))
+            .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
+                    F.col("col").alias("_wh"))
+            .localCheckpoint(eager=False))  # feeds freq agg + match join
+    dup_keys = (wins.groupBy("_wh")
+                .agg(F.count_distinct(id_col).alias("_nd"))
+                .filter(F.col("_nd") >= min_docs)
+                .select("_wh"))
+    marked = wins.join(dup_keys, on="_wh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = F.col("pos") - F.row_number().over(w)
+    return (marked.withColumn("_isl", island)
+            .groupBy(F.col(id_col), F.col("_isl"))
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") - F.min("pos") + k).alias("span_len"),
+                 F.count("*").alias("n_windows"))
+            .select(id_col, "span_start", "span_len", "n_windows"))
 
 
 def salted_self_band_join(a: DataFrame, b: DataFrame, band_col: str,

@@ -228,3 +228,81 @@ def invariant_check(images: DataFrame, seed: int = 42,
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption"]
     return images.select(*cols).mapInPandas(_check, schema=INVARIANTS)
+
+
+def caption_audit(images: DataFrame, max_k: int = 4, nbits: int = 63,
+                  max_caption_group: int = 4096,
+                  id_col: str = "image_id",
+                  caption_col: str = "caption") -> DataFrame:
+    """Cross-modal consistency audit over an image+caption corpus: find
+    every pair that is near-duplicate in EITHER modality and classify
+    the agreement — the curation signal an image-text training pipeline
+    needs before collapsing duplicates (re-captioned crops, stock
+    captions pasted onto unrelated photos, true duplicates).
+
+      consistent_dup    pixels near-dup (hamming ≤ max_k on recomputed
+                        phash) AND captions identical — safe to collapse
+      caption_conflict  pixels near-dup, captions differ — collapsing
+                        loses a caption; surface for review
+      image_conflict    captions identical, pixels far — a template /
+                        stock caption on distinct content; keeping both
+                        would double-weight the caption text
+
+    Output: (id_a, id_b, hamming, caption_match, audit_class).
+
+    Scale design: image-near candidates come from the pigeonhole band
+    join (hamming_near_dup_pairs — salted, never cross-join); caption
+    candidates from an equi-join on md5(caption), quadratic only within
+    a caption-dup GROUP, guarded by ``max_caption_group`` (template
+    captions are Zipf-headed at web scale — the guard raises with the
+    hot captions listed rather than silently running an all-pairs blow
+    up; route those through dedup_clusters star representation
+    instead). The classify join reads one pinned (id, phash, caption)
+    frame on both sides — decode runs ONCE (fan-out rule).
+    """
+    from . import dedup as DD
+    caps = images.select(F.col(id_col), F.col(caption_col))
+    feat = (decode_stats(images)
+            .select(F.col(id_col), "phash_calc")
+            .join(caps, on=id_col)
+            .withColumn("_ck", F.md5(F.col(caption_col)))
+            .localCheckpoint(eager=False))
+
+    if max_caption_group is not None:
+        hot = (feat.groupBy("_ck").count()
+               .filter(F.col("count") > max_caption_group)
+               .limit(5).collect())
+        if hot:
+            raise ValueError(
+                f"caption_audit: caption-dup groups exceed "
+                f"max_caption_group={max_caption_group} "
+                f"(e.g. {[(r['_ck'], r['count']) for r in hot]}); "
+                "an all-pairs join inside those groups is quadratic — "
+                "dedup the hot captions via their md5 group (star "
+                "representation) first, or raise max_caption_group")
+
+    img_pairs = DD.hamming_near_dup_pairs(
+        feat, max_k=max_k, nbits=nbits,
+        fp_col="phash_calc", id_col=id_col).select("id_a", "id_b")
+    cx = feat.select(F.col(id_col).alias("id_a"), "_ck")
+    cy = feat.select(F.col(id_col).alias("id_b"), "_ck")
+    cap_pairs = (cx.join(cy, on="_ck")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+    cands = img_pairs.unionByName(cap_pairs).distinct()
+
+    fa = feat.select(F.col(id_col).alias("id_a"),
+                     F.col("phash_calc").alias("_pa"),
+                     F.col(caption_col).alias("_ca"))
+    fb = feat.select(F.col(id_col).alias("id_b"),
+                     F.col("phash_calc").alias("_pb"),
+                     F.col(caption_col).alias("_cb"))
+    ham = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("long")
+    cap_eq = F.col("_ca") == F.col("_cb")
+    cls = (F.when((ham <= max_k) & cap_eq, F.lit("consistent_dup"))
+           .when(ham <= max_k, F.lit("caption_conflict"))
+           .otherwise(F.lit("image_conflict")))
+    return (cands.join(fa, on="id_a").join(fb, on="id_b")
+            .select("id_a", "id_b", ham.alias("hamming"),
+                    cap_eq.alias("caption_match"),
+                    cls.alias("audit_class")))

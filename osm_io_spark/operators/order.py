@@ -74,3 +74,54 @@ def with_global_position(df: DataFrame, keys: list[str],
             yield pdf[out_cols]
 
     return parted.mapInPandas(_assign, schema=out_schema)
+
+
+def with_running_total(df: DataFrame, keys: list[str], val_col: str,
+                       out_col: str = "run_before",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Append the EXCLUSIVE global prefix sum of ``val_col`` under
+    ORDER BY *keys*: out = Σ val over all rows strictly before this one.
+
+    Same two-pass design as :func:`with_global_position` (range shuffle
+    + pinned layout + one bounded per-partition aggregate + Arrow
+    cumsum) — the scale-safe replacement for
+    ``SUM(val) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)``, which
+    Spark executes as a single-task window. Keys must be a total order
+    (no ties); ``val_col`` must be integral (sums stay exact in int64).
+    """
+    spark = df.sparkSession
+    parts = num_partitions or max(spark.sparkContext.defaultParallelism,
+                                  df.rdd.getNumPartitions())
+    parted = (df.repartitionByRange(parts, *keys)
+              .sortWithinPartitions(*keys)
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+
+    sums = {int(r["_pid"]): int(r["s"])
+            for r in parted.groupBy("_pid").agg(
+                F.sum(val_col).alias("s")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    out_schema = T.StructType(
+        [f for f in parted.schema.fields if f.name != "_pid"]
+        + [T.StructField(out_col, T.LongType(), False)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _assign(batches):
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            vals = pdf[val_col].to_numpy(dtype=np.int64)
+            pdf[out_col] = base + np.cumsum(vals) - vals
+            base += int(vals.sum())
+            yield pdf[out_cols]
+
+    return parted.mapInPandas(_assign, schema=out_schema)

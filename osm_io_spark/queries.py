@@ -1891,6 +1891,55 @@ def q_dedup_embedding_ivf(spark, sf_dir):
         n_centroids=64, n_probe=12)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: the documents table token stream laid
+    end-to-end (ORDER BY doc_id) and cut every 64 tokens — one row per
+    (document, sequence) overlap with the exact slice bounds a packed-
+    batch writer needs (operators/packing.py). The global prefix sum
+    runs scale-safe (range shuffle + partial sums, no single-task
+    window — same machinery as o2_global_order). Engine-native tail
+    entry (outside the driver's 50-entry oracle window);
+    DuckDB window-SQL parity is pinned in tests/test_packing.py."""
+    from .operators import packing as PK
+    ensure_shipped(spark)
+    return PK.pack_sequences(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        seq_len=64)
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup at 8-token granularity over the partial-
+    duplication corpus (doc + token-dropped twin): every 8-token window
+    occurring in ≥2 distinct documents is marked and per-doc marked
+    windows merge into maximal spans — the published exact-substring
+    recipe for LM training data, complementing the similarity-pair
+    family (reports WHERE the shared text is, not which pairs are
+    similar). Linear in total windows; no candidate-volume guard needed
+    (see operators/dedup.repeated_window_spans). Engine-native tail
+    entry; DuckDB parity pinned in tests/test_packing.py."""
+    ensure_shipped(spark)
+    return DD.repeated_window_spans(_partial_corpus(spark, sf_dir),
+                                    k=8, min_docs=2)
+
+
+def q_mm_caption_audit(spark, sf_dir):
+    """Cross-modal consistency audit: pairs near-duplicate in EITHER
+    modality (pixels via recomputed-phash pigeonhole bands, captions
+    via md5 equality) classified consistent_dup / caption_conflict /
+    image_conflict — the collapse-or-review signal for image-text
+    training corpora (operators/multimodal.caption_audit). The corpus
+    (sources/synth.images_with_caption_variants) populates all three
+    classes by construction: twins keeping the source caption,
+    re-captioned twins, and template captions shared across distinct
+    content. Engine-native (binary image corpus — no SQL oracle);
+    class counts brute-force-verified in tests/test_images.py."""
+    from .operators import multimodal as MM
+    from .sources import synth as SY
+    ensure_shipped(spark)
+    corpus = SY.images_with_caption_variants(spark, 240, seed=42)
+    return MM.caption_audit(corpus, max_k=4, nbits=63)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1977,6 +2026,13 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "knn_graph_ivf": q_knn_graph_ivf,
+    # round-4 additions (engine-native tail: DuckDB parity for the two
+    # text ops lives in tests/test_packing.py — adding a 51st+ ORACLES
+    # entry would push an existing oracled entry out of the driver's
+    # 50-entry window, so their parity is pytest-pinned instead)
+    "pack_sequences": q_pack_sequences,
+    "dedup_substring": q_dedup_substring,
+    "mm_caption_audit": q_mm_caption_audit,
 }
 
 ORACLES = {

@@ -128,6 +128,39 @@ def images_with_twins(spark: SparkSession, n: int, seed: int = 42,
     return imgs.select(*cols).unionByName(resized)
 
 
+def images_with_caption_variants(spark: SparkSession, n: int,
+                                 seed: int = 42, partitions: int = 8,
+                                 size: int = 16,
+                                 reuse_groups: int = 40) -> DataFrame:
+    """The cross-modal audit corpus: base images + resized twins where
+    half the twins keep the source caption (consistent duplicates) and
+    half get a TEMPLATE caption reused across small groups — twins that
+    are pixel-near their source but caption-different (caption
+    conflicts), and caption-identical to content-distinct rows (image
+    conflicts). Deterministic in (n, seed); every class of
+    multimodal.caption_audit is populated by construction."""
+    from pyspark.sql import functions as F
+
+    from ..operators import multimodal as MM
+    imgs = images_df(spark, n, seed=seed, partitions=partitions)
+    idx = F.substring("image_id", 5, 12).cast("long")
+    caps = imgs.select(
+        "image_id",
+        F.when(idx % 2 == 0, F.col("caption"))
+        .otherwise(F.concat(F.lit("stock photo caption "),
+                            (idx % reuse_groups).cast("string")))
+        .alias("_twin_caption"))
+    resized = (MM.resize(imgs, size)
+               .join(caps, on="image_id")
+               .select(F.concat(F.col("image_id"), F.lit("-r"))
+                       .alias("image_id"),
+                       "bytes", "w", "h", "fmt",
+                       F.col("_twin_caption").alias("caption"),
+                       F.lit(0).cast("long").alias("phash")))
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return imgs.select(*cols).unionByName(resized)
+
+
 def polygons_local(n: int, seed: int = 42) -> list[dict]:
     """n deterministic polygons: 60% rects, 20% triangles, 15% hexagons,
     5% oversized 'continents' (hot build-side rows)."""

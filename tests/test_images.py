@@ -295,3 +295,51 @@ def test_image_thresholds_survive_corpus_reseed(spark):
     for i in range(120):
         a, b = sorted([f"img-{i:012d}", f"img-{i:012d}-r"])
         assert (a, b) in got, f"twin pair {a}<->{b} missed at seed 7"
+
+
+def test_caption_audit_matches_brute_force(spark):
+    """caption_audit (band-join image candidates ∪ md5-equality caption
+    candidates, classify) == the all-pairs python reference on the
+    caption-variant corpus; every audit class is populated by
+    construction of that corpus."""
+    from osm_io_spark.operators import multimodal as MM
+    from osm_io_spark.sources import synth as SY
+
+    corpus = SY.images_with_caption_variants(spark, 120, seed=42)
+    got = {(r["id_a"], r["id_b"]):
+           (r["hamming"], r["caption_match"], r["audit_class"])
+           for r in MM.caption_audit(corpus, max_k=4, nbits=63).collect()}
+
+    stats = {r["image_id"]: int(r["phash_calc"])
+             for r in MM.decode_stats(corpus).collect()}
+    caps = {r["image_id"]: r["caption"]
+            for r in corpus.select("image_id", "caption").collect()}
+    ids = sorted(stats)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(stats[a] ^ stats[b]).count("1")
+            cap = caps[a] == caps[b]
+            if ham <= 4 and cap:
+                want[(a, b)] = (ham, True, "consistent_dup")
+            elif ham <= 4:
+                want[(a, b)] = (ham, False, "caption_conflict")
+            elif cap:
+                want[(a, b)] = (ham, True, "image_conflict")
+    assert got == want
+    classes = {v[2] for v in want.values()}
+    assert classes == {"consistent_dup", "caption_conflict",
+                       "image_conflict"}
+
+
+def test_caption_audit_group_guard(spark):
+    """The caption-group quadratic guard raises (listing the hot
+    caption) instead of running an all-pairs join over a template
+    caption shared past max_caption_group."""
+    from osm_io_spark.operators import multimodal as MM
+    from osm_io_spark.sources import synth as SY
+
+    corpus = SY.images_with_caption_variants(
+        spark, 60, seed=42, reuse_groups=1)  # ALL odd twins share 1 caption
+    with pytest.raises(ValueError, match="max_caption_group"):
+        MM.caption_audit(corpus, max_k=4, nbits=63, max_caption_group=8)
