@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "dedup_substring",
     "mm_caption_audit",
+    "text_pii_scrub",
 ]
 
 

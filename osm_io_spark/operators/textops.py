@@ -134,3 +134,39 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     toks = F.split(F.col(text_col), " ")
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# PII patterns restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, ASCII \b word boundaries — no lookaround (RE2 lacks it).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers with typed placeholders
+    and report per-doc match counts — the standard pre-training
+    redaction pass. Pure Column expressions (regexp_count +
+    regexp_replace chains, JVM-side); patterns are dialect-portable so
+    the same semantics are SQL-oracle-able in DuckDB.
+
+    Output: (doc_id, scrubbed, n_emails, n_ipv4, n_phones). Replacement
+    order is fixed (email → ipv4 → phone) and counts are taken on the
+    ORIGINAL text, so overlapping-pattern edge cases (an IPv4 inside an
+    email's domain would already be consumed by the email redaction)
+    resolve deterministically."""
+    t = F.col(text_col)
+    counts = {k: F.regexp_count(t, F.lit(p)).cast("long")
+              for k, p in PII_PATTERNS.items()}
+    scrubbed = t
+    for k, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{k.upper()}>")
+    return docs.select(
+        F.col(id_col), scrubbed.alias("scrubbed"),
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"))

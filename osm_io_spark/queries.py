@@ -1922,6 +1922,36 @@ def q_dedup_substring(spark, sf_dir):
                                     k=8, min_docs=2)
 
 
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic PII injected into residue classes
+    of doc_id (the base synthetic corpus contains no PII-shaped text,
+    so the scrub query needs its own workload — mirrored verbatim in
+    the DuckDB parity SQL, tests/test_packing.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    inject = (
+        F.when(did % 7 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now")))
+        .when(did % 7 == 1, F.concat(
+            F.col("text"), F.lit(" from 10.0."),
+            (did % 256).cast("string"), F.lit(".1 and 192.168.0.1")))
+        .when(did % 7 == 2, F.concat(
+            F.col("text"), F.lit(" call 555-867-5309")))
+        .otherwise(F.col("text")))
+    return docs.select("doc_id", inject.alias("text"))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails / IPv4s / phones → typed
+    placeholders + per-doc counts) over the PII-injected corpus —
+    pure JVM regexp Columns (operators/textops.pii_scrub). Engine-
+    native tail entry; DuckDB regexp parity pinned in
+    tests/test_packing.py (patterns restricted to the Java-regex ∩ RE2
+    dialect intersection)."""
+    return TX.pii_scrub(_pii_corpus(spark, sf_dir))
+
+
 def q_mm_caption_audit(spark, sf_dir):
     """Cross-modal consistency audit: pairs near-duplicate in EITHER
     modality (pixels via recomputed-phash pigeonhole bands, captions
@@ -2033,6 +2063,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "dedup_substring": q_dedup_substring,
     "mm_caption_audit": q_mm_caption_audit,
+    "text_pii_scrub": q_text_pii_scrub,
 }
 
 ORACLES = {

@@ -157,3 +157,59 @@ def test_repeated_spans_hand_case(spark):
     # doc1: shared run at token offset 2; doc2: at 0. 10-token run with
     # k=4 → windows at relative 0..6 → span_len 10, n_windows 7
     assert got == {(1, 2): (10, 7), (2, 0): (10, 7)}
+
+
+PII_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 7 = 0 THEN text || ' contact user'
+         || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN doc_id % 7 = 1 THEN text || ' from 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.1 and 192.168.0.1'
+    WHEN doc_id % 7 = 2 THEN text || ' call 555-867-5309'
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+FROM corpus
+"""
+
+
+def test_pii_scrub_duckdb_parity(spark, duck_docs):
+    got = Q.q_text_pii_scrub(spark, SF_DIR).toPandas()
+    want = duck_docs.sql(PII_SQL).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got) == _canon(want)
+    # the injected residue classes actually exercise every pattern
+    assert got["n_emails"].sum() > 0
+    assert got["n_ipv4"].sum() > 0
+    assert got["n_phones"].sum() > 0
+
+
+def test_pii_scrub_hand_case(spark):
+    from osm_io_spark.operators import textops as TX
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co and 1.2.3.4 then 555-123-4567 twice "
+             "d@e.io end"),
+         (2, "no pii here 123.456 1-2-3")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in TX.pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 2
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phones"] == 1
+    assert rows[1]["scrubbed"] == (
+        "mail <EMAIL> and <IPV4> then <PHONE> twice <EMAIL> end")
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_ipv4"] == 0 \
+        and rows[2]["n_phones"] == 0
+    assert rows[2]["scrubbed"] == "no pii here 123.456 1-2-3"
