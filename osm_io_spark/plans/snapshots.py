@@ -232,11 +232,17 @@ class SnapshotTable:
 
     def commit_partitions(self, entries: list[dict], operation: str,
                           lineage: dict[str, Any] | None = None,
-                          replace: bool = False) -> Snapshot:
+                          replace: bool = False,
+                          drop: list[str] | None = None) -> Snapshot:
         """Fold new partition entries into a new snapshot (append or
-        replace semantics) and atomically publish it."""
+        replace semantics) and atomically publish it. ``drop`` removes
+        logical partitions from the new snapshot (their data stays on
+        disk for time travel until expire_snapshots) — the primitive
+        epoch consolidation uses to retire merged micro-batches."""
         prev = self.snapshot()
         parts: dict[str, dict] = {} if (replace or prev is None) else dict(prev.partitions)
+        for name in (drop or []):
+            parts.pop(name, None)
         for e in entries:
             parts[e["partition"]] = e
         snap = Snapshot(
@@ -309,6 +315,149 @@ class SnapshotTable:
                 shutil.rmtree(full, ignore_errors=True)
                 deleted += 1
         return {"expired_versions": expired, "deleted_paths": deleted}
+
+    def compact(self, spark: SparkSession,
+                target_bytes: int = 128 * 1024 * 1024,
+                stats_columns: list[str] | None = None) -> dict:
+        """Small-file compaction (the Iceberg rewrite_data_files
+        analogue): rewrite every partition that carries more parquet
+        files than its byte size needs into ⌈bytes/target_bytes⌉ files,
+        and publish ONE new snapshot with operation='compact'. Rows are
+        untouched — only the physical layout changes.
+
+        Why it exists: streaming sinks and per-micro-batch checkpoints
+        (snapshot_sink.foreachBatch) accrete one small file per batch
+        per partition; at 10^12 rows that is millions of KB-files and
+        every read pays open/footer costs dwarfing the scan itself.
+
+        Safety at scale: rewrites stage through write_partition, so the
+        new layout lands under a NEW nonce dir beside the old bytes —
+        time travel to pre-compaction versions keeps working and a
+        crash mid-compaction publishes nothing (the old snapshot stays
+        current). Old layouts are reclaimed only by expire_snapshots().
+        Each selected partition is one independent Spark write — no
+        global shuffle; untouched partitions carry over by manifest
+        reference (zero data movement). ``stats_columns`` re-records
+        data-skipping min/max on the rewritten layout; by default the
+        previous entry's column_stats carry over unchanged (same rows).
+
+        Returns {"version", "partitions_compacted", "files_before",
+        "files_after"}; version is None when nothing needed compaction
+        (no empty snapshot is published)."""
+        snap = self.snapshot()
+        if snap is None or not snap.partitions:
+            raise FileNotFoundError(
+                f"table {self.name} has no committed snapshot")
+        entries: list[dict] = []
+        files_before = files_after = 0
+        for name, entry in sorted(snap.partitions.items()):
+            need = max(1, -(-int(entry["bytes"]) // target_bytes))
+            n_files = len(entry["files"])
+            if n_files <= need:
+                continue
+            files_before += n_files
+            src = os.path.join(self.data_dir, entry.get("path", name))
+            df = spark.read.parquet(src).repartition(need)
+            new = self.write_partition(
+                df, name,
+                lineage={"op": "compact", "source_path": entry["path"],
+                         "source_version": snap.version},
+                stats_columns=stats_columns)
+            if stats_columns is None and "column_stats" in entry:
+                new["column_stats"] = entry["column_stats"]
+            if new["rows"] != entry["rows"]:     # paranoia: rewrite must
+                raise RuntimeError(              # never change the data
+                    f"compact({self.name}/{name}): rewrote "
+                    f"{new['rows']} rows != manifest {entry['rows']}")
+            files_after += len(new["files"])
+            entries.append(new)
+        if not entries:
+            return {"version": None, "partitions_compacted": 0,
+                    "files_before": 0, "files_after": 0}
+        out = self.commit_partitions(
+            entries, operation="compact",
+            lineage={"source_version": snap.version,
+                     "target_bytes": target_bytes})
+        return {"version": out.version,
+                "partitions_compacted": len(entries),
+                "files_before": files_before, "files_after": files_after}
+
+    def compact_epochs(self, spark: SparkSession, prefix: str = "epoch=",
+                       keep_last: int = 2,
+                       target_bytes: int = 128 * 1024 * 1024,
+                       stats_columns: list[str] | None = None) -> dict:
+        """Consolidate streaming micro-batch partitions: greedy-bucket
+        the ``prefix``-named epoch partitions (oldest first, cumulative
+        size ≤ target_bytes per bucket), rewrite each bucket as one
+        ``epochs=<first>..<last>`` partition, and publish ONE snapshot
+        that adds the consolidated partitions and DROPS the merged
+        epochs. The file-count fix compact() can't deliver for
+        streaming sinks: each micro-batch is one tiny PARTITION (one
+        manifest entry + one file), so per-partition rewriting is a
+        no-op — the partition count itself is the metadata+open-cost
+        problem at 10^6 epochs.
+
+        Exactly-once safety: the newest ``keep_last`` epochs are never
+        touched. foreachBatch replay after a crash re-writes only the
+        LAST uncommitted epoch (offset checkpointing), so consolidating
+        older epochs can never race a replay into duplicating rows —
+        the replayed epoch's partition name still exists and is simply
+        overwritten in the manifest. Consolidated partitions keep full
+        lineage (the merged epoch names + source version). Rows are
+        check-summed: a consolidated bucket must re-read exactly the
+        rows its manifests promised."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.name} has no committed snapshot")
+        epochs = sorted(n for n in snap.partitions if n.startswith(prefix))
+        cands = epochs[:max(0, len(epochs) - max(0, keep_last))]
+        if len(cands) < 2:
+            return {"version": None, "epochs_merged": 0, "buckets": 0}
+        buckets: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for name in cands:
+            b = int(snap.partitions[name]["bytes"])
+            if cur and cur_bytes + b > target_bytes:
+                buckets.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(name)
+            cur_bytes += b
+        if cur:
+            buckets.append(cur)
+        buckets = [g for g in buckets if len(g) >= 2]
+        if not buckets:
+            return {"version": None, "epochs_merged": 0, "buckets": 0}
+        entries: list[dict] = []
+        dropped: list[str] = []
+        for g in buckets:
+            paths = [os.path.join(self.data_dir,
+                                  snap.partitions[n]["path"]) for n in g]
+            want_rows = sum(int(snap.partitions[n]["rows"]) for n in g)
+            want_bytes = sum(int(snap.partitions[n]["bytes"]) for n in g)
+            need = max(1, -(-want_bytes // target_bytes))
+            df = spark.read.parquet(*paths).repartition(need)
+            first = g[0][len(prefix):]
+            last = g[-1][len(prefix):]
+            new = self.write_partition(
+                df, f"epochs={first}..{last}",
+                lineage={"op": "compact_epochs", "merged": list(g),
+                         "source_version": snap.version},
+                stats_columns=stats_columns)
+            if new["rows"] != want_rows:
+                raise RuntimeError(
+                    f"compact_epochs({self.name}): bucket {g[0]}..{g[-1]} "
+                    f"rewrote {new['rows']} rows != manifest {want_rows}")
+            entries.append(new)
+            dropped.extend(g)
+        out = self.commit_partitions(
+            entries, operation="compact-epochs",
+            lineage={"source_version": snap.version,
+                     "target_bytes": target_bytes},
+            drop=dropped)
+        return {"version": out.version, "epochs_merged": len(dropped),
+                "buckets": len(entries)}
 
     def version_as_of(self, ts: str) -> int:
         """Time travel (the Iceberg `TIMESTAMP AS OF` analogue): the

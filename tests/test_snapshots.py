@@ -278,3 +278,48 @@ def test_curate_job_runs_and_resumes(spark, tmp_path):
 
     curated = curate.curated_documents(spark, "/root/testdata/sf0.001")
     assert curated.count() == s1["rows"]
+
+
+def test_compact_small_files(spark, tmp_path):
+    """compact() rewrites many-small-file partitions into the minimal
+    layout, preserves every row, keeps time travel to the pre-compaction
+    version working (immutable paths), carries untouched partitions by
+    reference, and expire_snapshots afterwards reclaims the old layout
+    without touching the new one."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("frag")
+    # partition 'a': 16 tiny files; partition 'b': already 1 file
+    a = spark.range(2000).select(F.col("id"), (F.col("id") * 7).alias("v")) \
+        .repartition(16)
+    b = spark.range(2000, 2100).select(F.col("id"), (F.col("id") * 7).alias("v")) \
+        .coalesce(1)
+    e1 = t.write_partition(a, "a", stats_columns=["id"])
+    e2 = t.write_partition(b, "b", stats_columns=["id"])
+    snap1 = t.commit_partitions([e1, e2], operation="append")
+    assert len(snap1.partitions["a"]["files"]) == 16
+
+    rep = t.compact(spark)
+    assert rep["partitions_compacted"] == 1          # 'b' untouched
+    assert rep["files_before"] == 16 and rep["files_after"] == 1
+    snap2 = t.snapshot()
+    assert snap2.version == rep["version"] == snap1.version + 1
+    assert snap2.operation == "compact"
+    assert len(snap2.partitions["a"]["files"]) == 1
+    # untouched partition carried over by manifest reference
+    assert snap2.partitions["b"]["path"] == snap1.partitions["b"]["path"]
+    # data identical; data-skipping stats carried over
+    assert t.read(spark).agg(F.sum("v")).collect()[0][0] \
+        == 7 * (2099 * 2100 // 2)
+    assert snap2.partitions["a"]["column_stats"] \
+        == snap1.partitions["a"]["column_stats"]
+    # time travel to the fragmented version still reads the OLD layout
+    old = t.read(spark, version=snap1.version)
+    assert old.count() == 2100
+    # second compact is a no-op and publishes nothing
+    rep2 = t.compact(spark)
+    assert rep2["version"] is None and t.current_version() == snap2.version
+    # expiry reclaims the fragmented layout, current read unaffected
+    t.expire_snapshots(keep_last=1)
+    assert t.read(spark).count() == 2100
+    with pytest.raises(Exception):
+        t.read(spark, version=snap1.version).count()
