@@ -112,6 +112,10 @@ def run(argv: list[str] | None = None) -> dict:
         # chunking — the training-pipeline spine at 10x
         "dedup_clusters", "corpus_curation", "sample_mixture",
         "text_chunks",
+        # round-4 additions: packed-sequence slicing (global prefix sum
+        # at 10x) and exact-substring spans (linear window volume at a
+        # duplicate-saturated 10x corpus — the no-guard-needed claim)
+        "pack_sequences", "dedup_substring",
     ]
     fns = dict(Q.QUERIES)
     fns["entry_flagship"] = Q.q_entry_flagship
@@ -151,8 +155,9 @@ def run(argv: list[str] | None = None) -> dict:
                 # guard lifted — the routed-vs-exact contrast is
                 # apples-to-apples; both exact methods timed (this
                 # corpus is duplicate-SATURATED: candidates ≈ output,
-                # so prefix can only tie inverted here — the prefix
-                # win case is the boilerplate corpus in BENCH/NGRAM.md)
+                # prefix's weakest regime — measured 1.4x ahead even
+                # here; its decisive win is the boilerplate corpus in
+                # BENCH/NGRAM.md)
                 from ..operators import dedup as DDng
                 from ..queries import _partial_corpus
                 for m in ("prefix", "inverted"):

@@ -167,7 +167,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_pct: int = 12,
     candidates via array_intersect on the per-doc shingle arrays —
     the quadratic pair-COUNT shuffle never happens. On duplicate-
     SATURATED corpora (the 10x replica bench) output ≈ candidates and
-    prefix merely ties inverted (97.7s vs 102.4s).
+    the win narrows to 1.4x (108.8s vs 154.6s, BENCH/SF1.md).
 
     ``method='inverted'``: the round-1 inverted-index join on ALL
     shingles + lossless length filter + pair-count groupBy; its

@@ -232,7 +232,6 @@ def invariant_check(images: DataFrame, seed: int = 42,
 
 def caption_audit(images: DataFrame, max_k: int = 4, nbits: int = 63,
                   max_caption_group: int = 4096,
-                  id_col: str = "image_id",
                   caption_col: str = "caption") -> DataFrame:
     """Cross-modal consistency audit over an image+caption corpus: find
     every pair that is near-duplicate in EITHER modality and classify
@@ -261,10 +260,10 @@ def caption_audit(images: DataFrame, max_k: int = 4, nbits: int = 63,
     frame on both sides — decode runs ONCE (fan-out rule).
     """
     from . import dedup as DD
-    caps = images.select(F.col(id_col), F.col(caption_col))
+    caps = images.select(F.col("image_id"), F.col(caption_col))
     feat = (decode_stats(images)
-            .select(F.col(id_col), "phash_calc")
-            .join(caps, on=id_col)
+            .select("image_id", "phash_calc")
+            .join(caps, on="image_id")
             .withColumn("_ck", F.md5(F.col(caption_col)))
             .localCheckpoint(eager=False))
 
@@ -283,18 +282,18 @@ def caption_audit(images: DataFrame, max_k: int = 4, nbits: int = 63,
 
     img_pairs = DD.hamming_near_dup_pairs(
         feat, max_k=max_k, nbits=nbits,
-        fp_col="phash_calc", id_col=id_col).select("id_a", "id_b")
-    cx = feat.select(F.col(id_col).alias("id_a"), "_ck")
-    cy = feat.select(F.col(id_col).alias("id_b"), "_ck")
+        fp_col="phash_calc", id_col="image_id").select("id_a", "id_b")
+    cx = feat.select(F.col("image_id").alias("id_a"), "_ck")
+    cy = feat.select(F.col("image_id").alias("id_b"), "_ck")
     cap_pairs = (cx.join(cy, on="_ck")
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b"))
     cands = img_pairs.unionByName(cap_pairs).distinct()
 
-    fa = feat.select(F.col(id_col).alias("id_a"),
+    fa = feat.select(F.col("image_id").alias("id_a"),
                      F.col("phash_calc").alias("_pa"),
                      F.col(caption_col).alias("_ca"))
-    fb = feat.select(F.col(id_col).alias("id_b"),
+    fb = feat.select(F.col("image_id").alias("id_b"),
                      F.col("phash_calc").alias("_pb"),
                      F.col(caption_col).alias("_cb"))
     ham = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))).cast("long")

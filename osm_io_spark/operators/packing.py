@@ -54,9 +54,10 @@ def pack_sequences(docs: DataFrame, seq_len: int,
                .filter(F.col("n_tokens") > 0))
     cum = with_running_total(counted, [id_col], "n_tokens",
                              out_col="_cum_before")
-    first = (F.col("_cum_before") / seq_len).cast("long")
-    last = ((F.col("_cum_before") + F.col("n_tokens") - 1)
-            / seq_len).cast("long")
+    # integer DIV, not float division: the cumulative token count of a
+    # 100 TB corpus exceeds 2^53 and double division would mis-floor
+    first = F.expr(f"_cum_before DIV {seq_len}")
+    last = F.expr(f"(_cum_before + n_tokens - 1) DIV {seq_len}")
     out = (cum
            .withColumn("seq_id", F.explode(F.sequence(first, last)))
            .withColumn("tok_start", F.greatest(

@@ -144,3 +144,24 @@ def test_bucketed_join_is_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_pack_sequences_no_global_window(spark):
+    """Round-4: sequence packing's global prefix sum must plan like
+    o2 — per-partition offsets + Arrow cumsum, never a single-partition
+    Window over the whole corpus."""
+    df = Q.q_pack_sequences(spark, SF_DIR)
+    plan = A.formatted_plan(df)
+    assert A.count_op(plan, "Window") == 0, A.operator_tree(plan)
+    assert A.count_op(plan, "MapInPandas") == 1
+
+
+def test_new_candidate_joins_never_cartesian(spark):
+    """Round-4 candidate generators (substring window match-back,
+    caption-audit union of band + md5 equi-joins) must stay bucketed
+    equi-joins — same rule as the round-3 generators."""
+    for name in ["dedup_substring", "mm_caption_audit"]:
+        df = Q.QUERIES[name](spark, SF_DIR)
+        plan = A.formatted_plan(df)
+        assert A.count_op(plan, "CartesianProduct") == 0, name
+        assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0, name
