@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "dedup_substring",
     "mm_caption_audit",
     "text_pii_scrub",
+    "s2_cellid",
+    "s2_containment_join",
 ]
 
 

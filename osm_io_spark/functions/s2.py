@@ -1,0 +1,345 @@
+"""True S2 cell ids: cube-face + quadratic-ST + Hilbert-curve 64-bit ids.
+
+The Morton hierarchy in ``functions/cells.py`` generalizes the
+reference's flat tile key (/root/reference/src/osm/apidb_dump/sql.rs:50-61)
+on an equirectangular grid; this module adds the genuine S2 encoding the
+north rule names ("H3/S2 index"): project a direction vector onto one of
+six cube faces, apply the area-equalizing quadratic ST transform, and
+order leaf coordinates along a Hilbert space-filling curve so that 1-D
+id locality == 2-D spatial locality (the property that makes range scans
+and hierarchical containment-as-BETWEEN work). Layout and constants
+follow the published s2geometry algorithm (s2.sidewalklabs.com /
+github.com/google/s2geometry docs): 3-bit face, 2·level Hilbert bits, a
+trailing 1 sentinel at position 2·(30-level):
+
+    id = face << 61 | hilbert_pos << 1 | 1            (level 30 leaf)
+
+Hierarchy is pure bit math — ``lsb = id & -id`` gives the level,
+``(id & -lsb') | lsb'`` the ancestor, ``id ± (lsb-1)`` the descendant
+range — so containment joins become BETWEEN range predicates (oracle
+path) or, scale-safe, one equi-join per distinct ancestor level
+(operators use the decomposed form; see queries.q_s2_containment_join).
+
+Three synchronized implementations, bit-identical (unit-tested against
+each other and against Hilbert bijection/adjacency invariants): numpy
+kernels, PySpark Column expressions (whole-stage-codegen friendly; the
+stateful Hilbert scan is materialized one level per projection so
+Catalyst's CollapseProject never duplicates the non-cheap step
+expressions), and ANSI-SQL text for the DuckDB oracle.
+
+Determinism note: the oracled entry points take a raw DIRECTION VECTOR
+(x, y, z — S2 never needs it normalized: face/u/v are component
+ratios), so the whole pipeline is +,-,*,/ and sqrt — all IEEE-exact and
+bit-reproducible across Spark and DuckDB. The lat/lon convenience
+wrappers use cos/sin, which are NOT cross-engine exact; they exist for
+the engine side only and are tested numpy-vs-Column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 30
+
+# Packed per-level Hilbert transition table. Key = orientation*4 + ij
+# (ij = i_bit*2 + j_bit), value nibble = pos*4 + next_orientation, built
+# from s2geometry's kPosToIJ / kPosToOrientation constants
+# (tests/test_s2.py re-derives it from those tables and asserts
+# equality, plus bijection + step-adjacency of the resulting curve).
+HILBERT_LUT = 0x2C7B36DA95E08F41
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (1, 0, 0, 3)  # swap, none, none, swap|invert
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+
+def face_uv_np(x, y, z):
+    """Face index (0..5) and (u, v) face coordinates of direction
+    (x, y, z). Comparison chain matches s2geometry's
+    LargestAbsComponent exactly so all three implementations break
+    ties identically."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.choose(axis, (x, y, z))
+    face = np.where(comp < 0, axis + 3, axis)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # np.choose evaluates every branch; non-selected faces may
+        # divide by a zero component harmlessly
+        u = np.choose(face, (y / x, -x / y, -x / z, z / x, z / y, -y / z))
+        v = np.choose(face, (z / x, z / y, -y / z, y / x, -x / y, -x / z))
+    return face.astype(np.int64), u, v
+
+
+def uv_to_st_np(u):
+    """Quadratic area-equalizing UV→ST transform (s2geometry
+    S2_QUADRATIC_PROJECTION)."""
+    u = np.asarray(u, np.float64)
+    return np.where(u >= 0.0,
+                    0.5 * np.sqrt(1.0 + 3.0 * u),
+                    1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+
+
+def st_to_ij_np(s, level: int = MAX_LEVEL):
+    n = np.int64(1) << np.int64(level)
+    i = np.floor(np.asarray(s, np.float64) * float(n)).astype(np.int64)
+    return np.clip(i, 0, n - 1)
+
+
+def hilbert_pos_np(face, i, j, level: int = MAX_LEVEL) -> np.ndarray:
+    """Hilbert curve position of (i, j) on ``face`` — 2·level bits."""
+    i = np.asarray(i, np.uint64)
+    j = np.asarray(j, np.uint64)
+    o = (np.asarray(face, np.uint64) & np.uint64(1)).astype(np.uint64)
+    d = np.zeros(i.shape, np.uint64)
+    lut = np.uint64(HILBERT_LUT)
+    for k in range(level - 1, -1, -1):
+        kk = np.uint64(k)
+        ij = (((i >> kk) & np.uint64(1)) << np.uint64(1)) | ((j >> kk) & np.uint64(1))
+        v = (lut >> (np.uint64(4) * ((o << np.uint64(2)) | ij))) & np.uint64(15)
+        d = (d << np.uint64(2)) | (v >> np.uint64(2))
+        o = v & np.uint64(3)
+    return d
+
+
+def s2_from_xyz_np(x, y, z, level: int = MAX_LEVEL) -> np.ndarray:
+    """Level-``level`` S2 cell id of direction (x, y, z)."""
+    face, u, v = face_uv_np(x, y, z)
+    i = st_to_ij_np(uv_to_st_np(u), level)
+    j = st_to_ij_np(uv_to_st_np(v), level)
+    d = hilbert_pos_np(face, i, j, level)
+    fid = np.asarray(face, np.uint64) << np.uint64(2 * level)
+    cell = (((fid | d) << np.uint64(1)) | np.uint64(1)) << np.uint64(
+        2 * (MAX_LEVEL - level))
+    # faces 4-5 set bit 63: reinterpret, don't value-convert (published
+    # S2 layout is unsigned; the signed view is what BIGINT columns hold)
+    return cell.view(np.int64)
+
+
+def s2_from_latlon_np(lat, lon, level: int = MAX_LEVEL) -> np.ndarray:
+    """Engine-side convenience (cos/sin — not oracle-deterministic)."""
+    phi = np.radians(np.asarray(lat, np.float64))
+    theta = np.radians(np.asarray(lon, np.float64))
+    return s2_from_xyz_np(np.cos(phi) * np.cos(theta),
+                          np.cos(phi) * np.sin(theta),
+                          np.sin(phi), level)
+
+
+def s2_lsb_np(cid) -> np.ndarray:
+    c = np.asarray(cid, np.int64)
+    return c & -c
+
+
+def s2_level_np(cid) -> np.ndarray:
+    """30 - trailing_zeros(id)/2, via the lsb's bit position."""
+    lsb = s2_lsb_np(cid).astype(np.uint64)
+    tz = np.zeros(lsb.shape, np.int64)
+    v = lsb.copy()
+    for shift, width in ((32, 0xFFFFFFFF), (16, 0xFFFF), (8, 0xFF),
+                         (4, 0xF), (2, 0x3), (1, 0x1)):
+        hit = (v & np.uint64(width)) == 0
+        tz += np.where(hit, shift, 0)
+        v = np.where(hit, v >> np.uint64(shift), v)
+    return MAX_LEVEL - (tz >> 1)
+
+
+def s2_parent_np(cid, level: int) -> np.ndarray:
+    lsb = np.int64(1) << np.int64(2 * (MAX_LEVEL - level))
+    return (np.asarray(cid, np.int64) & -lsb) | lsb
+
+
+def s2_range_np(cid):
+    """(range_min, range_max): every descendant id lies inside."""
+    c = np.asarray(cid, np.int64)
+    lsb = c & -c
+    return c - (lsb - 1), c + (lsb - 1)
+
+
+# ---------------------------------------------------------------------------
+# PySpark Column expressions
+# ---------------------------------------------------------------------------
+
+
+def face_uv_col(x: Column, y: Column, z: Column):
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    axis = (F.when(ax > ay, F.when(ax > az, F.lit(0)).otherwise(F.lit(2)))
+            .otherwise(F.when(ay > az, F.lit(1)).otherwise(F.lit(2))))
+    comp = (F.when(axis == 0, x).when(axis == 1, y).otherwise(z))
+    face = F.when(comp < 0, axis + F.lit(3)).otherwise(axis).cast("long")
+    u = (F.when(face == 0, y / x).when(face == 1, -x / y)
+         .when(face == 2, -x / z).when(face == 3, z / x)
+         .when(face == 4, z / y).otherwise(-y / z))
+    v = (F.when(face == 0, z / x).when(face == 1, z / y)
+         .when(face == 2, -y / z).when(face == 3, y / x)
+         .when(face == 4, -x / y).otherwise(-x / z))
+    return face, u, v
+
+
+def uv_to_st_col(u: Column) -> Column:
+    return (F.when(u >= 0.0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * u))
+            .otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * u)))
+
+
+def st_to_ij_col(s: Column, level: int = MAX_LEVEL) -> Column:
+    n = 1 << level
+    return F.greatest(F.lit(0).cast("long"),
+                      F.least(F.lit(n - 1).cast("long"),
+                              F.floor(s * F.lit(float(n)))))
+
+
+def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
+                 out: str = "s2_cell", level: int = MAX_LEVEL) -> DataFrame:
+    """Append column ``out`` = S2 cell id of direction (x, y, z).
+
+    The Hilbert scan is a 2-bit state machine over ``level`` levels;
+    each level is materialized as its own projection (one `_s2v` column
+    per step) so the state column is a cheap attribute reference in the
+    next step — Catalyst's CollapseProject keeps non-cheap expressions
+    that are consumed twice in separate projections, and whole-stage
+    codegen fuses the chain back into a single stage (asserted in
+    tests/test_plan_audit.py)."""
+    cols = [F.col(c) for c in df.columns]
+    face, u, v = face_uv_col(x, y, z)
+    base = df.select(*cols, face.alias("_s2f"),
+                     st_to_ij_col(uv_to_st_col(u), level).alias("_s2i"),
+                     st_to_ij_col(uv_to_st_col(v), level).alias("_s2j"))
+    cur = base.select(*cols, "_s2f", "_s2i", "_s2j",
+                      F.col("_s2f").bitwiseAND(F.lit(1)).alias("_s2o"),
+                      F.lit(0).cast("long").alias("_s2d"))
+    passthru = [*[c for c in df.columns], "_s2f", "_s2i", "_s2j"]
+    for k in range(level - 1, -1, -1):
+        # variable shift amount (4 * lut key) needs the SQL form —
+        # F.shiftright's python wrapper only takes a constant count
+        vexp = F.expr(
+            f"shiftright({HILBERT_LUT}L, 4 * cast(("
+            f"shiftleft(_s2o, 2) | "
+            f"(shiftleft(shiftright(_s2i, {k}) & 1, 1) | "
+            f"(shiftright(_s2j, {k}) & 1))) as int)) & 15")
+        step = cur.select(*passthru, "_s2o", "_s2d", vexp.alias("_s2v"))
+        cur = step.select(
+            *passthru,
+            F.col("_s2v").bitwiseAND(F.lit(3)).alias("_s2o"),
+            F.shiftleft(F.col("_s2d"), 2)
+            .bitwiseOR(F.shiftright(F.col("_s2v"), 2)).alias("_s2d"))
+    cell = (F.shiftleft(F.shiftleft(F.col("_s2f"), 2 * level)
+                        .bitwiseOR(F.col("_s2d")), 1)
+            .bitwiseOR(F.lit(1)))
+    if level < MAX_LEVEL:
+        cell = F.shiftleft(cell, 2 * (MAX_LEVEL - level))
+    return cur.select(*[c for c in df.columns], cell.alias(out))
+
+
+def s2_lsb_col(cid: Column) -> Column:
+    return cid.bitwiseAND(-cid)
+
+
+def s2_parent_col(cid: Column, level: int) -> Column:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return cid.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def s2_level_col(cid: Column) -> Column:
+    """Level from the trailing-1 sentinel: a 31-branch CASE on the lsb
+    (exact integer compare — no float log in the plan)."""
+    lsb = s2_lsb_col(cid)
+    expr = F.lit(None).cast("int")
+    for lvl in range(MAX_LEVEL + 1):
+        expr = F.when(lsb == F.lit(1 << (2 * (MAX_LEVEL - lvl))),
+                      F.lit(lvl)).otherwise(expr)
+    return expr
+
+
+def s2_range_min_col(cid: Column) -> Column:
+    return cid - (s2_lsb_col(cid) - F.lit(1))
+
+
+def s2_range_max_col(cid: Column) -> Column:
+    return cid + (s2_lsb_col(cid) - F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# ANSI SQL text generators (DuckDB oracle parity)
+# ---------------------------------------------------------------------------
+
+
+def s2_chain_sql(base_from: str, x: str, y: str, z: str,
+                 out: str = "s2_cell", level: int = MAX_LEVEL,
+                 keep: tuple[str, ...] = ()) -> str:
+    """Subquery text computing ``out`` = S2 cell id of (x, y, z) over
+    ``base_from`` (a FROM-able: table name or parenthesized subquery).
+    ``keep`` columns are carried through. One nested SELECT per Hilbert
+    level, exactly mirroring with_s2_cell's projection chain."""
+    kc = "".join(f"{c}, " for c in keep)
+    # stage 1: bind the raw direction expressions once
+    q = (f"(SELECT {''.join(f'({c}) AS {c}, ' for c in keep)}"
+         f"({x}) AS _x, ({y}) AS _y, ({z}) AS _z FROM {base_from})")
+    # stage 2: face from the bound components
+    axis = ("(CASE WHEN abs(_x) > abs(_y) "
+            "THEN (CASE WHEN abs(_x) > abs(_z) THEN 0 ELSE 2 END) "
+            "ELSE (CASE WHEN abs(_y) > abs(_z) THEN 1 ELSE 2 END) END)")
+    comp = f"(CASE WHEN {axis} = 0 THEN _x WHEN {axis} = 1 THEN _y ELSE _z END)"
+    face = f"(CASE WHEN {comp} < 0 THEN {axis} + 3 ELSE {axis} END)"
+    q = f"(SELECT {kc}_x, _y, _z, {face} AS _f FROM {q})"
+    # stage 3: u/v ratios, quadratic ST, leaf ij, initial hilbert state
+    u = ("(CASE WHEN _f = 0 THEN _y/_x WHEN _f = 1 THEN -_x/_y "
+         "WHEN _f = 2 THEN -_x/_z WHEN _f = 3 THEN _z/_x "
+         "WHEN _f = 4 THEN _z/_y ELSE -_y/_z END)")
+    v = ("(CASE WHEN _f = 0 THEN _z/_x WHEN _f = 1 THEN _z/_y "
+         "WHEN _f = 2 THEN -_y/_z WHEN _f = 3 THEN _y/_x "
+         "WHEN _f = 4 THEN -_x/_y ELSE -_x/_z END)")
+
+    # e-notation literals: DuckDB parses bare decimals as DECIMAL (see
+    # CLAUDE.md); every constant here is also exactly representable
+    def st(e: str) -> str:
+        return (f"(CASE WHEN {e} >= 0e0 THEN 5e-1 * sqrt(1e0 + 3e0 * {e}) "
+                f"ELSE 1e0 - 5e-1 * sqrt(1e0 - 3e0 * {e}) END)")
+
+    n = 1 << level
+
+    def ij(e: str) -> str:
+        return f"greatest(0, least({n - 1}, CAST(floor({e} * {n}e0) AS BIGINT)))"
+
+    q = (f"(SELECT {kc}_f, {ij(st(u))} AS _i, {ij(st(v))} AS _j, "
+         f"(_f & 1) AS _o, CAST(0 AS BIGINT) AS _d FROM {q})")
+    for k in range(level - 1, -1, -1):
+        ijk = f"(((( _i >> {k}) & 1) << 1) | ((_j >> {k}) & 1))"
+        vex = f"(({HILBERT_LUT} >> (4 * ((_o << 2) | {ijk}))) & 15)"
+        q = (f"(SELECT {kc}_f, _i, _j, ({vex} & 3) AS _o, "
+             f"((_d << 2) | ({vex} >> 2)) AS _d FROM {q})")
+    # assemble in HUGEINT and wrap to the signed BIGINT bit pattern by
+    # hand: faces 4-5 set bit 63, and DuckDB's BIGINT << raises on
+    # overflow where Java (Spark) and numpy wrap
+    u128 = (f"((CAST(_f AS HUGEINT) * {1 << (2 * level)} + CAST(_d AS HUGEINT)) "
+            f"* 2 + 1) * {1 << (2 * (MAX_LEVEL - level))}")
+    cell = (f"CAST(({u128}) - (CASE WHEN ({u128}) >= 9223372036854775808 "
+            f"THEN 18446744073709551616 ELSE 0 END) AS BIGINT)")
+    return f"(SELECT {kc}{cell} AS {out} FROM {q})"
+
+
+def s2_level_sql(cid: str) -> str:
+    """Level from the lsb — 31-branch CASE, mirrors s2_level_col."""
+    lsb = f"(({cid}) & -({cid}))"
+    branches = " ".join(
+        f"WHEN {1 << (2 * (MAX_LEVEL - lvl))} THEN {lvl}"
+        for lvl in range(MAX_LEVEL + 1))
+    return f"(CASE {lsb} {branches} END)"
+
+
+def s2_parent_sql(cid: str, level: int) -> str:
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return f"((({cid}) & {-lsb}) | {lsb})"
+
+
+def s2_range_min_sql(cid: str) -> str:
+    return f"(({cid}) - ((({cid}) & -({cid})) - 1))"
+
+
+def s2_range_max_sql(cid: str) -> str:
+    return f"(({cid}) + ((({cid}) & -({cid})) - 1))"

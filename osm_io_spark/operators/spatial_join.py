@@ -312,3 +312,42 @@ def spatial_join_polygons(images: DataFrame, polygons: DataFrame, res: int,
     refined = refine_pip_json(joined)
     return (refined.withColumn("rings", F.from_json("_rings_json", _RINGS_TYPE))
             .drop("_rings_json"))
+
+
+def s2_containment_join(points: DataFrame, covers: DataFrame,
+                        cell: str = "s2_cell", cover: str = "cover_id",
+                        broadcast_covers: bool = True) -> DataFrame:
+    """Hierarchical S2 containment join: every (point, cover) pair where
+    the point's leaf cell is a descendant of the cover cell (covers may
+    mix levels — a real S2 cell cover is a union of cells at different
+    levels).
+
+    Semantically this is the 1-D range join
+    ``point.cell BETWEEN range_min(cover) AND range_max(cover)`` (the
+    Hilbert prefix property; the DuckDB oracle runs exactly that), but a
+    range predicate forces a nested-loop/IEJoin physical plan. Because a
+    cover at level L contains a leaf iff the leaf's level-L ancestor
+    EQUALS the cover id, the join decomposes into one hash equi-join per
+    distinct cover level — at most 31 joins, each shuffle-partitioned on
+    the ancestor key (salting-compatible, AQE-friendly), which is the
+    shape that survives 10^12 probe rows. The distinct-level collect is
+    bounded by 31 rows."""
+    from ..functions import s2 as S2
+    # covers fans out: the level collect + one filtered branch per level
+    # would re-execute its upstream plan each time (CLAUDE.md fan-out
+    # rule) — pin it once
+    covers = covers.localCheckpoint(eager=False)
+    lv = covers.select(S2.s2_level_col(F.col(cover)).alias("_lv")).distinct()
+    levels = sorted(r["_lv"] for r in lv.collect())
+    out = None
+    for l in levels:
+        cov_l = covers.filter(
+            S2.s2_level_col(F.col(cover)) == F.lit(l))
+        if broadcast_covers:
+            cov_l = F.broadcast(cov_l)
+        hit = points.join(
+            cov_l, S2.s2_parent_col(F.col(cell), l) == F.col(cover), "inner")
+        out = hit if out is None else out.unionByName(hit)
+    if out is None:
+        return points.limit(0).crossJoin(covers.limit(0))
+    return out

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import cells as C
+from .functions import s2 as S2
 from .functions.hashing import hash64_sql
 from .operators import ann as ANN
 from .operators import dedup as DD
@@ -1971,6 +1972,107 @@ def q_mm_caption_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# true S2 cell index (functions/s2.py): cube-face + quadratic-ST +
+# Hilbert-curve ids in the published s2geometry layout. The oracled
+# entry points take a raw direction vector (component ratios + sqrt
+# only — IEEE-exact both engines); lat/lon trig wrappers are
+# engine-side only. Direction here derives from lineitem doubles with
+# offsets chosen so no component can be exactly 0 and the largest
+# magnitude is always >= 0.05 (no 0/0 face math).
+# ---------------------------------------------------------------------------
+
+_S2_X_SQL = "(l_quantity / 25e0 - 1.02e0)"
+_S2_Y_SQL = "(l_discount * 10e0 - 0.55e0)"
+_S2_Z_SQL = "(l_tax * 12e0 - 0.51e0)"
+
+
+def _s2_points(spark, sf_dir, keep):
+    li = _t(spark, sf_dir, "lineitem").select(*keep, "l_quantity",
+                                              "l_discount", "l_tax")
+    pts = S2.with_s2_cell(
+        li,
+        F.col("l_quantity") / 25.0 - 1.02,
+        F.col("l_discount") * 10.0 - 0.55,
+        F.col("l_tax") * 12.0 - 0.51)
+    return pts.select(*keep, "s2_cell")
+
+
+def q_s2_cellid(spark, sf_dir):
+    """Level-30 S2 leaf id + level-10 ancestor + descendant range per
+    lineitem row — the full encode path (face, quadratic ST, 30-level
+    Hilbert scan) plus the bit-math hierarchy ops, all whole-stage
+    codegen Column expressions (no UDF). Hash-compared against the
+    identical algorithm generated as DuckDB SQL."""
+    pts = _s2_points(spark, sf_dir, ("l_orderkey", "l_linenumber"))
+    return pts.select(
+        "l_orderkey", "l_linenumber", "s2_cell",
+        S2.s2_parent_col(F.col("s2_cell"), 10).alias("s2_p10"),
+        S2.s2_range_min_col(F.col("s2_cell")).alias("s2_rmin"),
+        S2.s2_range_max_col(F.col("s2_cell")).alias("s2_rmax"))
+
+
+SQL_S2CELL = f"""
+SELECT l_orderkey, l_linenumber, s2_cell,
+       {S2.s2_parent_sql('s2_cell', 10)} AS s2_p10,
+       {S2.s2_range_min_sql('s2_cell')} AS s2_rmin,
+       {S2.s2_range_max_sql('s2_cell')} AS s2_rmax
+FROM {S2.s2_chain_sql('lineitem', _S2_X_SQL, _S2_Y_SQL, _S2_Z_SQL,
+                      keep=('l_orderkey', 'l_linenumber'))}
+"""
+
+
+def q_s2_containment_join(spark, sf_dir):
+    """Mixed-level S2 cell-cover containment join. Covers are distinct
+    level-4 / level-8 ancestors of two point subsets (a stand-in for a
+    real region cover, which unions cells at different levels); the
+    operator decomposes containment into one broadcast hash equi-join
+    per distinct cover level (operators/spatial_join.s2_containment_join)
+    — the shape that scales, vs the BETWEEN range join the DuckDB oracle
+    runs. Hash equality of the two proves the decomposition exact."""
+    from .operators import spatial_join as SJ
+    # pts feeds both cover branches and both per-level join probes —
+    # pin the 30-level encode chain so it runs (and compiles) once
+    pts = (_s2_points(spark, sf_dir, ("l_orderkey", "l_quantity"))
+           .localCheckpoint(eager=False))
+    cov4 = (pts.filter(F.col("l_orderkey") % 97 == 0)
+            .select(S2.s2_parent_col(F.col("s2_cell"), 4).alias("cover_id"))
+            .distinct())
+    cov8 = (pts.filter(F.col("l_orderkey") % 193 == 0)
+            .select(S2.s2_parent_col(F.col("s2_cell"), 8).alias("cover_id"))
+            .distinct())
+    covers = cov4.unionByName(cov8)
+    joined = SJ.s2_containment_join(pts, covers)
+    return (joined.groupBy("cover_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("l_quantity").alias("qty_sum"))
+            .select("cover_id",
+                    S2.s2_level_col(F.col("cover_id")).alias("cover_level"),
+                    "n_points", "qty_sum"))
+
+
+SQL_S2CONTAIN = f"""
+WITH pts AS (
+  SELECT l_orderkey, l_quantity, s2_cell
+  FROM {S2.s2_chain_sql('lineitem', _S2_X_SQL, _S2_Y_SQL, _S2_Z_SQL,
+                        keep=('l_orderkey', 'l_quantity'))}
+),
+covers AS (
+  SELECT DISTINCT {S2.s2_parent_sql('s2_cell', 4)} AS cover_id
+  FROM pts WHERE l_orderkey % 97 = 0
+  UNION ALL
+  SELECT DISTINCT {S2.s2_parent_sql('s2_cell', 8)}
+  FROM pts WHERE l_orderkey % 193 = 0
+)
+SELECT cover_id, {S2.s2_level_sql('cover_id')} AS cover_level,
+       COUNT(*) AS n_points, SUM(l_quantity) AS qty_sum
+FROM covers JOIN pts
+  ON pts.s2_cell BETWEEN {S2.s2_range_min_sql('cover_id')}
+                     AND {S2.s2_range_max_sql('cover_id')}
+GROUP BY cover_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2064,6 +2166,11 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "mm_caption_audit": q_mm_caption_audit,
     "text_pii_scrub": q_text_pii_scrub,
+    # true S2 index: oracled in tests/test_oracle_parity.py (outside the
+    # driver's 50-entry window; the window's 50 oracled entries above
+    # must not be displaced — see test_registry_contract.py)
+    "s2_cellid": q_s2_cellid,
+    "s2_containment_join": q_s2_containment_join,
 }
 
 ORACLES = {
@@ -2117,4 +2224,6 @@ ORACLES = {
     "stream_dedup": SQL_STREAM_DD,
     "mm_row_invariants": SQL_MM_INV,
     "mm_decode_stats": SQL_MM_STATS,
+    "s2_cellid": SQL_S2CELL,
+    "s2_containment_join": SQL_S2CONTAIN,
 }
