@@ -163,6 +163,158 @@ def s2_range_np(cid):
 
 
 # ---------------------------------------------------------------------------
+# inverse transforms + cap covering (driver-side planning: covers are
+# small and broadcast; the join itself is the distributed part)
+# ---------------------------------------------------------------------------
+
+# inverse Hilbert nibble table: key = orientation*4 + pos -> ij*4 + next
+# orientation (built from the same published tables as HILBERT_LUT)
+_HILBERT_LUT_INV = 0
+for _o in range(4):
+    for _pos in range(4):
+        _ij = _POS_TO_IJ[_o][_pos]
+        _val = (_ij << 2) | (_o ^ _POS_TO_ORIENT[_pos])
+        _HILBERT_LUT_INV |= _val << (4 * (_o * 4 + _pos))
+del _o, _pos, _ij, _val
+
+
+def s2_to_face_ij_np(cid):
+    """(face, i, j, level) of each cell id — inverse of the encode scan."""
+    c = np.asarray(cid, np.int64)
+    level = s2_level_np(c)
+    u = c.view(np.uint64)
+    face = (u >> np.uint64(61)).astype(np.int64)
+    lut = np.uint64(_HILBERT_LUT_INV)
+    i = np.zeros(c.shape, np.uint64)
+    j = np.zeros(c.shape, np.uint64)
+    o = (face.astype(np.uint64)) & np.uint64(1)
+    for k in range(MAX_LEVEL):  # consume pos bits most-significant first
+        lvl_active = k < level  # cells coarser than k contribute nothing
+        shift = np.uint64(2 * (MAX_LEVEL - k) - 1)
+        pos = (u >> shift) & np.uint64(3)
+        v = (lut >> (np.uint64(4) * ((o << np.uint64(2)) | pos))) & np.uint64(15)
+        bit_i = (v >> np.uint64(3)) & np.uint64(1)
+        bit_j = (v >> np.uint64(2)) & np.uint64(1)
+        i = np.where(lvl_active, (i << np.uint64(1)) | bit_i, i)
+        j = np.where(lvl_active, (j << np.uint64(1)) | bit_j, j)
+        o = np.where(lvl_active, v & np.uint64(3), o)
+    return face, i.astype(np.int64), j.astype(np.int64), level
+
+
+def st_to_uv_np(s):
+    """Inverse quadratic transform (exact inverse of uv_to_st_np)."""
+    s = np.asarray(s, np.float64)
+    return np.where(s >= 0.5,
+                    (1.0 / 3.0) * (4.0 * s * s - 1.0),
+                    (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+
+
+def face_uv_to_xyz_np(face, u, v):
+    """Unnormalized direction for face coordinates (standard S2 face
+    frames — exact inverse of face_uv_np, verified in tests)."""
+    face = np.asarray(face, np.int64)
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    one = np.ones_like(u)
+    xs = (one, -u, -u, -one, v, v)
+    ys = (u, one, -v, -v, -one, u)
+    zs = (v, v, one, -u, -u, -one)
+    x = np.choose(face, xs)
+    y = np.choose(face, ys)
+    z = np.choose(face, zs)
+    n = np.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+def s2_cell_corners_np(cid):
+    """Unit-sphere xyz of each cell's 4 corners and center:
+    returns (cx, cy, cz, corners) with corners shaped (n, 4, 3)."""
+    face, i, j, level = s2_to_face_ij_np(cid)
+    # i/j are in the cell's own level units — rescale to the leaf grid
+    i30 = np.left_shift(i, MAX_LEVEL - level).astype(np.float64)
+    j30 = np.left_shift(j, MAX_LEVEL - level).astype(np.float64)
+    size = (np.int64(1) << (np.int64(MAX_LEVEL) - level)).astype(np.float64)
+    scale = 1.0 / float(1 << MAX_LEVEL)
+    i0 = i30 * scale
+    j0 = j30 * scale
+    i1 = (i30 + size) * scale
+    j1 = (j30 + size) * scale
+    im = 0.5 * (i0 + i1)
+    jm = 0.5 * (j0 + j1)
+    corners = np.empty(face.shape + (4, 3), np.float64)
+    for idx, (si, sj) in enumerate(((i0, j0), (i1, j0), (i1, j1), (i0, j1))):
+        x, y, z = face_uv_to_xyz_np(face, st_to_uv_np(si), st_to_uv_np(sj))
+        corners[:, idx, 0] = x
+        corners[:, idx, 1] = y
+        corners[:, idx, 2] = z
+    cx, cy, cz = face_uv_to_xyz_np(face, st_to_uv_np(im), st_to_uv_np(jm))
+    return cx, cy, cz, corners
+
+
+def _angle(ax, ay, az, bx, by, bz):
+    dot = np.clip(ax * bx + ay * by + az * bz, -1.0, 1.0)
+    return np.arccos(dot)
+
+
+def s2_cover_cap_np(lat: float, lon: float, radius_rad: float,
+                    max_level: int = 10, max_cells: int = 256) -> np.ndarray:
+    """Mixed-level S2 cell cover of a spherical cap (simplified
+    S2RegionCoverer): descend from the 6 face cells; prune a cell only
+    on the provable disjointness bound ``angle(cap_center, cell_center)
+    - circumradius > radius`` (for a convex spherical cell both the
+    circumradius and the max distance to an outside point are attained
+    at a VERTEX, so corner math is exact for both bounds); emit when
+    fully contained (all corners within radius, again vertex-exact for
+    the convex cell), at max_level, or when the cell budget is reached.
+    Never misses an intersecting leaf (completeness is only ever
+    relaxed toward emitting a coarser ancestor).
+    """
+    phi = np.radians(lat)
+    theta = np.radians(lon)
+    qx = np.cos(phi) * np.cos(theta)
+    qy = np.cos(phi) * np.sin(theta)
+    qz = np.sin(phi)
+
+    def children(cell):
+        lsb = cell & -cell
+        child_lsb = lsb >> 2
+        base = cell - lsb + child_lsb
+        return [base + 2 * k * child_lsb for k in range(4)]
+
+    def wrap64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    out: list[int] = []
+    # level-0 face cells: face<<61 | sentinel at bit 60 (faces 4-5 wrap
+    # into the signed representation)
+    frontier = [wrap64(((f << 1) | 1) << 60) for f in range(6)]
+    while frontier:
+        ids = np.array(frontier, np.int64)
+        cx, cy, cz, corners = s2_cell_corners_np(ids)
+        ctr_ang = _angle(qx, qy, qz, cx, cy, cz)
+        corner_ang = _angle(qx, qy, qz,
+                            corners[:, :, 0], corners[:, :, 1],
+                            corners[:, :, 2])
+        circ = _angle(cx[:, None], cy[:, None], cz[:, None],
+                      corners[:, :, 0], corners[:, :, 1],
+                      corners[:, :, 2]).max(axis=1)
+        lvl = s2_level_np(ids)
+        disjoint = ctr_ang - circ > radius_rad
+        contained = corner_ang.max(axis=1) <= radius_rad
+        nxt: list[int] = []
+        for n, cell in enumerate(frontier):
+            if disjoint[n]:
+                continue
+            if (contained[n] or lvl[n] >= max_level
+                    or len(out) + len(frontier) - n + len(nxt) >= max_cells):
+                out.append(cell)
+            else:
+                nxt.extend(children(cell))
+        frontier = nxt
+    return np.array(sorted(out), np.int64)
+
+
+# ---------------------------------------------------------------------------
 # PySpark Column expressions
 # ---------------------------------------------------------------------------
 
@@ -234,6 +386,16 @@ def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
     if level < MAX_LEVEL:
         cell = F.shiftleft(cell, 2 * (MAX_LEVEL - level))
     return cur.select(*[c for c in df.columns], cell.alias(out))
+
+
+def latlon_xyz_cols(lat: Column, lon: Column):
+    """Unit-sphere direction Columns (trig — engine-side only, not
+    oracle-deterministic; see module docstring)."""
+    phi = F.radians(lat)
+    theta = F.radians(lon)
+    return (F.cos(phi) * F.cos(theta),
+            F.cos(phi) * F.sin(theta),
+            F.sin(phi))
 
 
 def s2_lsb_col(cid: Column) -> Column:

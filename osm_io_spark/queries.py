@@ -2072,6 +2072,49 @@ GROUP BY cover_id
 """
 
 
+# deterministic query caps for the cover join: spread across faces,
+# one straddling a cube-face corner (41N 45E) and one the antimeridian
+_S2_CAPS = ((0, 43.1, -79.2, 0.05), (1, 41.0, 45.0, 0.12),
+            (2, -35.7, 149.2, 0.08), (3, 12.0, -179.8, 0.10))
+
+
+def q_s2_cap_cover_join(spark, sf_dir):
+    """Spherical cover+refine geo-join — the S2 analogue of the
+    j7/j8 cell-cover + PIP pattern: driver-side mixed-level cap covers
+    (functions/s2.s2_cover_cap_np, completeness proven in test_s2.py),
+    hierarchical containment join for candidates, then exact
+    dot-product refine, per-cap candidate and hit counts. Engine-native
+    rows-only (lat/lon→xyz uses trig, which is not cross-engine
+    bit-exact); counts brute-force-verified in tests/test_s2.py."""
+    from .operators import spatial_join as SJ
+    cover_rows = [
+        (cid, int(cell))
+        for cid, la, lo, r in _S2_CAPS
+        for cell in S2.s2_cover_cap_np(la, lo, r, max_level=10,
+                                       max_cells=256)]
+    covers = spark.createDataFrame(cover_rows, "cap_id INT, cover_id LONG")
+    caps = spark.createDataFrame(list(_S2_CAPS),
+                                 "cap_id INT, cap_lat DOUBLE, "
+                                 "cap_lon DOUBLE, cap_r DOUBLE")
+    img = images_probe(spark, sf_dir)
+    x, y, z = S2.latlon_xyz_cols(F.col("lat"), F.col("lon"))
+    # pin: the encode chain feeds one join branch per distinct cover
+    # level — unpinned, the replicated 90-projection analysis tree OOMs
+    # a default-heap driver session
+    pts = S2.with_s2_cell(
+        img.select("img_id", x.alias("px"), y.alias("py"), z.alias("pz")),
+        F.col("px"), F.col("py"), F.col("pz")).localCheckpoint(eager=False)
+    cand = SJ.s2_containment_join(pts, covers)
+    qx, qy, qz = S2.latlon_xyz_cols(F.col("cap_lat"), F.col("cap_lon"))
+    dot = (F.col("px") * qx + F.col("py") * qy + F.col("pz") * qz)
+    hit = F.when(dot >= F.cos(F.col("cap_r")), 1).otherwise(0)
+    return (cand.join(F.broadcast(caps), "cap_id")
+            .groupBy("cap_id")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.sum(hit).alias("n_images"))
+            .orderBy("cap_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2171,6 +2214,7 @@ QUERIES = {
     # must not be displaced — see test_registry_contract.py)
     "s2_cellid": q_s2_cellid,
     "s2_containment_join": q_s2_containment_join,
+    "s2_cap_cover_join": q_s2_cap_cover_join,
 }
 
 ORACLES = {

@@ -168,3 +168,88 @@ def test_containment_join_plan_is_equi_broadcast(spark):
     want = (pd.DataFrame(rows, columns=["cover_id", "count"])
             .sort_values("cover_id").reset_index(drop=True))
     assert got.equals(want)
+
+
+def test_cap_cover_completeness_and_budget():
+    """No point inside the cap may be missed by the cover (the descent
+    only prunes on the provable disjointness bound), covers never
+    ancestor-overlap, and the budget holds."""
+    rng = np.random.default_rng(13)
+    for lat0, lon0, rad in ((43.1, -79.2, 0.05), (41.0, 45.0, 0.12),
+                            (-35.7, 149.2, 0.08), (12.0, -179.8, 0.10),
+                            (89.5, 10.0, 0.03)):
+        cover = s2.s2_cover_cap_np(lat0, lon0, rad, max_level=10,
+                                   max_cells=256)
+        assert 0 < len(cover) <= 256
+        rn, rx = s2.s2_range_np(cover)
+        order = np.argsort(rn)
+        assert np.all(rn[order][1:] > rx[order][:-1])  # disjoint cells
+        m = 50000
+        lat = rng.uniform(max(-89.9, lat0 - 10), min(89.9, lat0 + 10), m)
+        lon = rng.uniform(lon0 - 15, lon0 + 15, m)
+        lon = (lon + 180.0) % 360.0 - 180.0  # antimeridian wrap
+        phi, th = np.radians(lat), np.radians(lon)
+        px = np.cos(phi) * np.cos(th)
+        py = np.cos(phi) * np.sin(th)
+        pz = np.sin(phi)
+        q0, q1 = np.radians(lat0), np.radians(lon0)
+        qx = np.cos(q0) * np.cos(q1)
+        qy = np.cos(q0) * np.sin(q1)
+        qz = np.sin(q0)
+        dist = np.arccos(np.clip(px * qx + py * qy + pz * qz, -1, 1))
+        leaf = s2.s2_from_latlon_np(lat, lon)
+        inside = np.zeros(m, bool)
+        for a, b in zip(rn, rx):
+            inside |= (leaf >= a) & (leaf <= b)
+        assert not np.any((dist <= rad) & ~inside), (lat0, lon0, rad)
+
+
+def test_inverse_transforms_roundtrip():
+    rng = np.random.default_rng(29)
+    n = 5000
+    x = rng.uniform(-1, 1, n)
+    y = rng.uniform(-1, 1, n)
+    z = rng.uniform(-1, 1, n)
+    ok = np.maximum.reduce([np.abs(x), np.abs(y), np.abs(z)]) > 1e-6
+    x, y, z = x[ok], y[ok], z[ok]
+    nrm = np.sqrt(x * x + y * y + z * z)
+    face, u, v = s2.face_uv_np(x, y, z)
+    xx, yy, zz = s2.face_uv_to_xyz_np(face, u, v)
+    assert np.allclose(np.c_[xx, yy, zz], np.c_[x, y, z] / nrm[:, None],
+                       atol=1e-14)
+    # id -> (face, i, j) matches the forward grid coordinates
+    ids = s2.s2_from_xyz_np(x, y, z)
+    f2, i2, j2, lvl = s2.s2_to_face_ij_np(ids)
+    assert np.array_equal(f2, face)
+    assert np.all(lvl == 30)
+    assert np.array_equal(i2, s2.st_to_ij_np(s2.uv_to_st_np(u)))
+    assert np.array_equal(j2, s2.st_to_ij_np(s2.uv_to_st_np(v)))
+    # every point sits within its own level-12 cell's circumradius
+    p12 = s2.s2_parent_np(ids, 12)
+    cx, cy, cz, corners = s2.s2_cell_corners_np(p12)
+    ang = np.arccos(np.clip(cx * x / nrm + cy * y / nrm + cz * z / nrm,
+                            -1, 1))
+    circ = np.arccos(np.clip(
+        cx[:, None] * corners[:, :, 0] + cy[:, None] * corners[:, :, 1]
+        + cz[:, None] * corners[:, :, 2], -1, 1)).max(1)
+    assert np.all(ang <= circ + 1e-12)
+
+
+def test_cap_cover_join_query_matches_brute_force(spark):
+    from osm_io_spark import queries as Q
+    sf_dir = "/root/testdata/sf0.001"
+    got = (Q.q_s2_cap_cover_join(spark, sf_dir).toPandas()
+           .sort_values("cap_id").reset_index(drop=True))
+    img = Q.images_probe(spark, sf_dir).toPandas()
+    phi, th = np.radians(img.lat.to_numpy()), np.radians(img.lon.to_numpy())
+    px = np.cos(phi) * np.cos(th)
+    py = np.cos(phi) * np.sin(th)
+    pz = np.sin(phi)
+    for _, row in got.iterrows():
+        cid, la, lo, r = Q._S2_CAPS[int(row.cap_id)]
+        q0, q1 = np.radians(la), np.radians(lo)
+        dot = (px * np.cos(q0) * np.cos(q1) + py * np.cos(q0) * np.sin(q1)
+               + pz * np.sin(q0))
+        want = int((dot >= np.cos(r)).sum())
+        assert int(row.n_images) == want, (cid, int(row.n_images), want)
+        assert int(row.n_candidates) >= want
