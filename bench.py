@@ -138,6 +138,10 @@ def main() -> None:
         # pack_sequences collects per-partition offsets eagerly;
         # mm_caption_audit runs its caption-group guard aggregation
         "pack_sequences", "mm_caption_audit",
+        # the S2 joins collect the distinct index levels eagerly,
+        # which materializes the checkpointed 30-level encode — the
+        # dominant cost must land inside the timer (same rule)
+        "s2_containment_join", "s2_cap_cover_join",
     }
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])

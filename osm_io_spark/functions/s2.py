@@ -22,10 +22,15 @@ path) or, scale-safe, one equi-join per distinct ancestor level
 
 Three synchronized implementations, bit-identical (unit-tested against
 each other and against Hilbert bijection/adjacency invariants): numpy
-kernels, PySpark Column expressions (whole-stage-codegen friendly; the
-stateful Hilbert scan is materialized one level per projection so
-Catalyst's CollapseProject never duplicates the non-cheap step
-expressions), and ANSI-SQL text for the DuckDB oracle.
+kernels and PySpark Column expressions (both stepping the Hilbert scan
+4 levels at a time through LOOKUP4, the published s2geometry
+kLookupBits=4 table — on the Column side each step is its own
+projection so CollapseProject never duplicates the step expression,
+and the ~9-step fused stage stays under HotSpot's 8000-bytecode
+huge-method JIT limit, which the original 30 single-level steps blew
+past, leaving the whole encode interpreted at ~180x cost), and
+ANSI-SQL text for the DuckDB oracle (kept single-level: the oracle
+runs at sf0.01 scale where clarity beats constant factors).
 
 Determinism note: the oracled entry points take a raw DIRECTION VECTOR
 (x, y, z — S2 never needs it normalized: face/u/v are component
@@ -51,6 +56,33 @@ MAX_LEVEL = 30
 HILBERT_LUT = 0x2C7B36DA95E08F41
 _POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
 _POS_TO_ORIENT = (1, 0, 0, 3)  # swap, none, none, swap|invert
+
+
+def _build_lookup4() -> np.ndarray:
+    """4-levels-at-a-time Hilbert transition table, the layout the
+    published s2geometry implementation calls ``lookup_pos``
+    (kLookupBits = 4): key = orient(2b)·256 + i₄(4b)·16 + j₄(4b),
+    value = pos(8b)·4 + next_orient(2b). Derived here by stepping the
+    verified per-level HILBERT_LUT four times, so the single source of
+    truth stays the nibble table the tests re-derive from kPosToIJ /
+    kPosToOrientation."""
+    tbl = np.zeros(1024, np.int64)
+    for o0 in range(4):
+        for i4 in range(16):
+            for j4 in range(16):
+                o, d = o0, 0
+                for k in range(3, -1, -1):
+                    ij = (((i4 >> k) & 1) << 1) | ((j4 >> k) & 1)
+                    v = (HILBERT_LUT >> (4 * ((o << 2) | ij))) & 15
+                    d = (d << 2) | (v >> 2)
+                    o = v & 3
+                tbl[(o0 << 8) | (i4 << 4) | j4] = (d << 2) | o
+    return tbl
+
+
+# Values 0..1023 — safe in int64/uint64 alike; .view is a no-op copy
+# avoidance for the unsigned shifts below.
+LOOKUP4 = _build_lookup4()
 
 
 # ---------------------------------------------------------------------------
@@ -82,9 +114,12 @@ def uv_to_st_np(u):
     """Quadratic area-equalizing UV→ST transform (s2geometry
     S2_QUADRATIC_PROJECTION)."""
     u = np.asarray(u, np.float64)
-    return np.where(u >= 0.0,
-                    0.5 * np.sqrt(1.0 + 3.0 * u),
-                    1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    with np.errstate(invalid="ignore"):
+        # np.where evaluates both branches; the non-selected sqrt sees
+        # a negative argument harmlessly (same pattern as face_uv_np)
+        return np.where(u >= 0.0,
+                        0.5 * np.sqrt(1.0 + 3.0 * u),
+                        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
 
 
 def st_to_ij_np(s, level: int = MAX_LEVEL):
@@ -94,17 +129,33 @@ def st_to_ij_np(s, level: int = MAX_LEVEL):
 
 
 def hilbert_pos_np(face, i, j, level: int = MAX_LEVEL) -> np.ndarray:
-    """Hilbert curve position of (i, j) on ``face`` — 2·level bits."""
+    """Hilbert curve position of (i, j) on ``face`` — 2·level bits.
+
+    4 levels per iteration through LOOKUP4 (the published s2geometry
+    kLookupBits=4 scheme): ``level // 4`` table steps after
+    ``level % 4`` single-level warm-up steps for the top bits — the
+    remainder must run per-level because a zero-padded phantom (0,0)
+    step through the table toggles the swap bit (pos-0 transitions
+    alternate swap), so an odd pad count would corrupt the state."""
     i = np.asarray(i, np.uint64)
     j = np.asarray(j, np.uint64)
     o = (np.asarray(face, np.uint64) & np.uint64(1)).astype(np.uint64)
     d = np.zeros(i.shape, np.uint64)
     lut = np.uint64(HILBERT_LUT)
-    for k in range(level - 1, -1, -1):
+    for k in range(level - 1, level - 1 - (level % 4), -1):
         kk = np.uint64(k)
         ij = (((i >> kk) & np.uint64(1)) << np.uint64(1)) | ((j >> kk) & np.uint64(1))
         v = (lut >> (np.uint64(4) * ((o << np.uint64(2)) | ij))) & np.uint64(15)
         d = (d << np.uint64(2)) | (v >> np.uint64(2))
+        o = v & np.uint64(3)
+    tbl = LOOKUP4.view(np.uint64)
+    for c in range(level // 4 - 1, -1, -1):
+        cc = np.uint64(4 * c)
+        key = ((o << np.uint64(8))
+               | (((i >> cc) & np.uint64(15)) << np.uint64(4))
+               | ((j >> cc) & np.uint64(15)))
+        v = tbl[key.astype(np.intp)]
+        d = (d << np.uint64(8)) | (v >> np.uint64(2))
         o = v & np.uint64(3)
     return d
 
@@ -350,12 +401,18 @@ def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
                  out: str = "s2_cell", level: int = MAX_LEVEL) -> DataFrame:
     """Append column ``out`` = S2 cell id of direction (x, y, z).
 
-    The Hilbert scan is a 2-bit state machine over ``level`` levels;
-    each level is materialized as its own projection (one `_s2v` column
-    per step) so the state column is a cheap attribute reference in the
-    next step — Catalyst's CollapseProject keeps non-cheap expressions
-    that are consumed twice in separate projections, and whole-stage
-    codegen fuses the chain back into a single stage (asserted in
+    The Hilbert scan runs 4 levels per step through the LOOKUP4 table
+    (published s2geometry kLookupBits=4 scheme) after ``level % 4``
+    single-level warm-up steps — the remainder must run per-level
+    because a zero-padded phantom (0,0) step through the table toggles
+    the swap bit. Each step is materialized as its own projection (one
+    `_s2v` column per step, consumed twice) so Catalyst's
+    CollapseProject keeps the step boundary; whole-stage codegen fuses
+    the ~9 projections into one stage. The 4-level grouping is what
+    keeps the fused doConsume methods under HotSpot's 8000-bytecode
+    huge-method limit: the original 30 single-level projections
+    generated a method the JIT refused, leaving the whole encode in
+    the bytecode interpreter (~180x slower; asserted small in
     tests/test_plan_audit.py)."""
     cols = [F.col(c) for c in df.columns]
     face, u, v = face_uv_col(x, y, z)
@@ -366,7 +423,7 @@ def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
                       F.col("_s2f").bitwiseAND(F.lit(1)).alias("_s2o"),
                       F.lit(0).cast("long").alias("_s2d"))
     passthru = [*[c for c in df.columns], "_s2f", "_s2i", "_s2j"]
-    for k in range(level - 1, -1, -1):
+    for k in range(level - 1, level - 1 - (level % 4), -1):
         # variable shift amount (4 * lut key) needs the SQL form —
         # F.shiftright's python wrapper only takes a constant count
         vexp = F.expr(
@@ -379,6 +436,21 @@ def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
             *passthru,
             F.col("_s2v").bitwiseAND(F.lit(3)).alias("_s2o"),
             F.shiftleft(F.col("_s2d"), 2)
+            .bitwiseOR(F.shiftright(F.col("_s2v"), 2)).alias("_s2d"))
+    # constant-folded array<bigint> literal; element_at is 1-based
+    lut4 = F.lit([int(w) for w in LOOKUP4])
+    for c in range(level // 4 - 1, -1, -1):
+        key = (F.shiftleft(F.col("_s2o"), 8)
+               .bitwiseOR(F.shiftleft(
+                   F.shiftright(F.col("_s2i"), 4 * c).bitwiseAND(F.lit(15)), 4))
+               .bitwiseOR(
+                   F.shiftright(F.col("_s2j"), 4 * c).bitwiseAND(F.lit(15))))
+        vexp = F.element_at(lut4, (key + F.lit(1)).cast("int"))
+        step = cur.select(*passthru, "_s2o", "_s2d", vexp.alias("_s2v"))
+        cur = step.select(
+            *passthru,
+            F.col("_s2v").bitwiseAND(F.lit(3)).alias("_s2o"),
+            F.shiftleft(F.col("_s2d"), 8)
             .bitwiseOR(F.shiftright(F.col("_s2v"), 2)).alias("_s2d"))
     cell = (F.shiftleft(F.shiftleft(F.col("_s2f"), 2 * level)
                         .bitwiseOR(F.col("_s2d")), 1)

@@ -1,0 +1,170 @@
+"""S2 encode throughput + cap-cover quality evidence.
+
+The 30-level Hilbert encode is a pure-Column projection chain stepping
+4 levels per LOOKUP4 table lookup (no UDF, no shuffle — BENCH/PLANS.md
+pins the plan); this job measures its
+codegen throughput at two parallelism levels on a generated probe, and
+the cap cover's candidate precision (exact hits / cover candidates)
+against dense sampling:
+
+    python -m osm_io_spark.jobs.s2_bench --n 20000000 --out BENCH/S2.md
+
+Deterministic input (hash-mixed grid directions), no external data.
+Separate JVM per parallelism level; best-of-N wall; a pure-codegen
+control (`sum(pmod)`) in the same JVM gives the box's own ceiling, as
+in BENCH/BASELINE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from .mdout import write_preserving
+
+_WORKER = """
+import json, sys, time
+from pyspark.sql import functions as F
+from osm_io_spark.session import get_spark
+from osm_io_spark.functions import s2
+
+n, cpus, repeats = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("s2-bench", master=f"local[{cpus}]")
+spark.sparkContext.setLogLevel("ERROR")
+
+# Non-periodic directions (seeded xxhash64 mixes, full-range doubles).
+# The probe is REBUILT fresh for every timed run: repeated .collect()
+# on the SAME DataFrame object reuses AQE's materialized shuffle
+# stages, so the pre-shuffle encode (the thing being measured!) would
+# only run once and every repeat after warm-up would time ~nothing
+# (observed: 0.077s/"260M ids/s" at 20M rows — an artifact).
+def probe():
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), 2000000) / 1000000.0 - 1.0 + 1e-7).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 2000000) / 1000000.0 - 1.0 + 1e-7).alias("y"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 2000000) / 1000000.0 - 1.0 + 1e-7).alias("z"))
+    out = s2.with_s2_cell(df, F.col("x"), F.col("y"), F.col("z"))
+    return out.agg(F.expr("bit_xor(s2_cell)").alias("h"))
+
+def control():
+    return spark.range(n).agg(
+        F.sum(F.pmod(F.col("id") * 48271, 97)).alias("s"))
+
+def timed(build):
+    build().collect()  # warm-up: codegen compile + JIT
+    best = None
+    for _ in range(repeats):
+        q = build()
+        t0 = time.time()
+        q.collect()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+best = timed(probe)
+cbest = timed(control)
+print(json.dumps({"cpus": cpus, "seconds": best, "rows_per_sec": n / best,
+                  "control_seconds": cbest}))
+spark.stop()
+"""
+
+
+def run(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    # the JIT'd LOOKUP4 chain sustains ~3M ids/s/core, so small n is
+    # pure task overhead — default deep enough that local[32] still
+    # runs whole seconds
+    ap.add_argument("--n", type=int, default=400_000_000)
+    ap.add_argument("--cpus", type=int, nargs=2, default=(8, 32))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    levels = {}
+    for cpus in args.cpus:
+        res = subprocess.run(
+            [sys.executable, "-c", _WORKER, str(args.n), str(cpus),
+             str(args.repeats)],
+            capture_output=True, text=True, check=True)
+        levels[cpus] = json.loads(res.stdout.strip().splitlines()[-1])
+
+    # cap-cover quality: exact in-cap fraction of the cover candidates
+    from ..functions import s2 as S2
+    rng = np.random.default_rng(17)
+    cover_rows = []
+    for lat0, lon0, rad in ((43.1, -79.2, 0.05), (41.0, 45.0, 0.12),
+                            (-35.7, 149.2, 0.08)):
+        cover = S2.s2_cover_cap_np(lat0, lon0, rad, max_level=10,
+                                   max_cells=256)
+        m = 400_000
+        lat = rng.uniform(max(-89.9, lat0 - 10), min(89.9, lat0 + 10), m)
+        lon = (rng.uniform(lon0 - 15, lon0 + 15, m) + 180.0) % 360.0 - 180.0
+        phi, th = np.radians(lat), np.radians(lon)
+        px = np.cos(phi) * np.cos(th)
+        py = np.cos(phi) * np.sin(th)
+        pz = np.sin(phi)
+        q0, q1 = np.radians(lat0), np.radians(lon0)
+        dist = np.arccos(np.clip(
+            px * np.cos(q0) * np.cos(q1) + py * np.cos(q0) * np.sin(q1)
+            + pz * np.sin(q0), -1, 1))
+        leaf = S2.s2_from_latlon_np(lat, lon)
+        rn, rx = S2.s2_range_np(cover)
+        inside = np.zeros(m, bool)
+        for a, b in zip(rn, rx):
+            inside |= (leaf >= a) & (leaf <= b)
+        n_cand = int(inside.sum())
+        n_hit = int((dist <= rad).sum())
+        assert not np.any((dist <= rad) & ~inside)  # completeness
+        cover_rows.append({"cap": f"({lat0}, {lon0}, r={rad})",
+                           "cells": len(cover),
+                           "levels": sorted(set(
+                               S2.s2_level_np(cover).tolist())),
+                           "candidates": n_cand, "exact_hits": n_hit,
+                           "precision": round(n_hit / max(1, n_cand), 4)})
+
+    lo, hi = sorted(levels)
+    eff = (levels[hi]["rows_per_sec"] / levels[lo]["rows_per_sec"]) / (hi / lo)
+    ceff = (levels[lo]["control_seconds"] / levels[hi]["control_seconds"]) / (hi / lo)
+    result = {"encode": levels, "efficiency": round(eff, 3),
+              "control_efficiency": round(ceff, 3), "covers": cover_rows}
+    print(json.dumps(result))
+
+    if args.out:
+        md = ["# BENCH/S2 — true S2 encode throughput + cap cover quality",
+              "",
+              f"Encode: `with_s2_cell` over {args.n:,} generated directions "
+              f"(pure-Column LOOKUP4 Hilbert chain; plan in "
+              f"BENCH/PLANS.md). Best of {args.repeats} after warm-up, "
+              "probe REBUILT per run (same-object re-collect reuses AQE "
+              "shuffle stages and times nothing), separate JVM per "
+              "level; control = `sum(pmod)` same JVM.",
+              "",
+              "| parallelism | wall s | ids/s | control s |",
+              "|---|---|---|---|"]
+        for cpus in sorted(levels):
+            r = levels[cpus]
+            md.append(f"| local[{cpus}] | {r['seconds']:.3f} | "
+                      f"{r['rows_per_sec']:,.0f} | "
+                      f"{r['control_seconds']:.3f} |")
+        md.append(f"| | | **efficiency {eff:.3f}** | control {ceff:.3f} |")
+        md += ["", "Cap covers (max_level=10, max_cells=256; completeness "
+               "asserted against 400k sampled points per cap):", "",
+               "| cap | cells | levels | candidates | exact hits | precision |",
+               "|---|---|---|---|---|---|"]
+        for c in cover_rows:
+            md.append(f"| {c['cap']} | {c['cells']} | {c['levels']} | "
+                      f"{c['candidates']:,} | {c['exact_hits']:,} | "
+                      f"{c['precision']} |")
+        md += ["", "Reproduce:", "",
+               f"    python -m osm_io_spark.jobs.s2_bench --n {args.n} "
+               f"--out BENCH/S2.md", ""]
+        write_preserving(args.out, "\n".join(md))
+    return result
+
+
+if __name__ == "__main__":
+    run()

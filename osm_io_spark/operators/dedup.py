@@ -293,10 +293,12 @@ def _ngram_jaccard_prefix(sh: DataFrame, min_pct: int, id_col: str,
         c2 = combos.select("shingle", F.col("_sz").alias("_s2"),
                            F.col("_rn").alias("_r2"),
                            F.col("count").alias("_c2"))
-        g_alpha = F.floor(
-            (F.lit(min_pct) * (F.col("_s1") + F.col("_s2"))
-             + F.lit(100 + min_pct - 1)).cast("long")
-            / F.lit(100 + min_pct))
+        # integer ceil via (x + d - 1) DIV d — SQL DIV keeps the whole
+        # bound in exact integer arithmetic (double / can mis-floor
+        # past 2^52)
+        g_alpha = F.expr(
+            f"CAST({min_pct} * (_s1 + _s2) + {100 + min_pct - 1} AS BIGINT)"
+            f" DIV {100 + min_pct}")
         vol = (c1.join(c2, on="shingle")
                .filter((F.least("_s1", "_s2") * 100
                         >= F.lit(min_pct) * F.greatest("_s1", "_s2"))
@@ -318,10 +320,10 @@ def _ngram_jaccard_prefix(sh: DataFrame, min_pct: int, id_col: str,
                    F.col("_sz").alias("_sza"), F.col("_rn").alias("_rna"))
     b = pre.select(F.col(id_col).alias("id_b"), "shingle",
                    F.col("_sz").alias("_szb"), F.col("_rn").alias("_rnb"))
-    alpha = (F.lit(min_pct) * (F.col("_sza") + F.col("_szb"))
-             + F.lit(100 + min_pct - 1)) \
-        .cast("long") / F.lit(100 + min_pct)
-    alpha = F.floor(alpha)  # integer ceil via (x + d - 1) div d
+    # integer ceil via (x + d - 1) DIV d, exact in BIGINT
+    alpha = F.expr(
+        f"CAST({min_pct} * (_sza + _szb) + {100 + min_pct - 1} AS BIGINT)"
+        f" DIV {100 + min_pct}")
     cand = (a.join(b, on="shingle")
             .filter((F.col("id_a") < F.col("id_b"))
                     # lossless length filter: J ≤ min/max of set sizes

@@ -76,8 +76,9 @@ def pack_sequences(docs: DataFrame, seq_len: int,
 
 def pack_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     """Per-sequence fill audit over :func:`pack_sequences` output:
-    (seq_id, n_docs, n_tokens) — every sequence must hold exactly
-    seq_len tokens except the final partial one. One groupBy on seq_id
+    (seq_id, n_docs, n_tokens, full) — every sequence must hold
+    exactly seq_len tokens except the final partial one; ``full`` is
+    the precomputed n_tokens == seq_len flag. One groupBy on seq_id
     (bounded: total_tokens/seq_len groups)."""
     return (packed.groupBy("seq_id")
             .agg(F.count("*").alias("n_docs"),

@@ -410,7 +410,24 @@ class SnapshotTable:
         if snap is None:
             raise FileNotFoundError(
                 f"table {self.name} has no committed snapshot")
-        epochs = sorted(n for n in snap.partitions if n.startswith(prefix))
+        epochs = [n for n in snap.partitions if n.startswith(prefix)]
+        # order NUMERICALLY when every suffix is an integer (the
+        # exactly-once guarantee below needs the true newest epochs,
+        # and lexicographic order breaks on unpadded names: epoch=12
+        # sorts before epoch=2); otherwise a suffix we can't order is
+        # a hard error, not a silent mis-merge
+        suffixes = [n[len(prefix):] for n in epochs]
+        if all(s.lstrip("-").isdigit() for s in suffixes):
+            epochs.sort(key=lambda n: int(n[len(prefix):]))
+        elif not suffixes or all(len(s) == len(suffixes[0])
+                                 for s in suffixes):
+            epochs.sort()
+        else:
+            raise ValueError(
+                f"compact_epochs({self.name}): cannot order epoch "
+                f"partitions with non-numeric, mixed-width suffixes "
+                f"{sorted(suffixes)[:4]}... — newest-epoch protection "
+                "requires integer or fixed-width epoch names")
         cands = epochs[:max(0, len(epochs) - max(0, keep_last))]
         if len(cands) < 2:
             return {"version": None, "epochs_merged": 0, "buckets": 0}

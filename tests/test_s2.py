@@ -253,3 +253,23 @@ def test_cap_cover_join_query_matches_brute_force(spark):
         want = int((dot >= np.cos(r)).sum())
         assert int(row.n_images) == want, (cid, int(row.n_images), want)
         assert int(row.n_candidates) >= want
+
+
+def test_encode_projection_chain_stays_jit_small(spark):
+    """The fused encode stage must stay a SHORT projection chain: 30
+    single-level projections generated a whole-stage-codegen method
+    past HotSpot's 8000-bytecode huge-method limit, which silently ran
+    the entire encode in the bytecode interpreter (~180x slower,
+    observed at 2B rows). The LOOKUP4 step keeps it ~11 projections;
+    pin that so a refactor back to per-level steps fails loudly."""
+    df = spark.range(10).select(
+        (F.col("id") + 1).cast("double").alias("x"),
+        (F.col("id") + 2).cast("double").alias("y"),
+        (F.col("id") + 3).cast("double").alias("z"))
+    q = s2.with_s2_cell(df, F.col("x"), F.col("y"), F.col("z"))
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    n_proj = plan.count("Project [")
+    assert n_proj <= 14, f"encode chain regrew to {n_proj} projections"
+    # and the whole chain is still one codegen stage over the scan
+    phys = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys

@@ -323,3 +323,61 @@ def test_compact_small_files(spark, tmp_path):
     assert t.read(spark).count() == 2100
     with pytest.raises(Exception):
         t.read(spark, version=snap1.version).count()
+
+
+def test_compact_epochs_consolidates_streaming_partitions(spark, tmp_path):
+    """compact_epochs merges old micro-batch partitions into
+    ``epochs=a..b`` buckets, NEVER touches the numerically-newest
+    keep_last epochs (even with unpadded names where lexicographic
+    order lies: epoch=12 < epoch=2), preserves every row, and records
+    merge lineage."""
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("stream")
+    entries = []
+    # deliberately UNPADDED epoch names spanning a lexicographic trap:
+    # sorted() order is 10,11,12,8,9 but numeric order is 8..12
+    for e in (8, 9, 10, 11, 12):
+        df = spark.range(e * 100, e * 100 + 50).select(
+            F.col("id"), (F.col("id") * 3).alias("v"))
+        entries.append(t.write_partition(df.coalesce(1), f"epoch={e}"))
+    snap1 = t.commit_partitions(entries, operation="append")
+    assert len(snap1.partitions) == 5
+
+    rep = t.compact_epochs(spark, keep_last=2)
+    assert rep["epochs_merged"] == 3 and rep["buckets"] == 1
+    snap2 = t.snapshot()
+    # numerically-newest two survive untouched; 8..10 merged
+    assert "epoch=11" in snap2.partitions
+    assert "epoch=12" in snap2.partitions
+    assert "epochs=8..10" in snap2.partitions
+    assert "epoch=8" not in snap2.partitions
+    merged = snap2.partitions["epochs=8..10"]
+    assert merged["lineage"]["merged"] == ["epoch=8", "epoch=9", "epoch=10"]
+    # every row preserved, exactly once
+    assert t.read(spark).count() == 250
+    assert t.read(spark).agg(F.sum("v")).collect()[0][0] == \
+        3 * sum(range(800, 850)) + 3 * sum(range(900, 950)) \
+        + 3 * sum(range(1000, 1050)) + 3 * sum(range(1100, 1150)) \
+        + 3 * sum(range(1200, 1250))
+    # a crash-replay of the newest epoch overwrites its own partition
+    # without racing the consolidated bucket
+    df12 = spark.range(1200, 1250).select(
+        F.col("id"), (F.col("id") * 3).alias("v"))
+    e12 = t.write_partition(df12.coalesce(1), "epoch=12")
+    t.commit_partitions([e12], operation="append")
+    assert t.read(spark).count() == 250
+    # second pass: nothing old enough left to merge (keep_last=2
+    # protects epoch=11/12; the bucket is a single partition)
+    rep2 = t.compact_epochs(spark, keep_last=2)
+    assert rep2["epochs_merged"] == 0
+
+    # non-numeric, mixed-width suffixes cannot be ordered safely
+    t2 = cat.table("bad")
+    b = []
+    for name in ("epoch=aa", "epoch=b"):
+        b.append(t2.write_partition(
+            spark.range(3).select(F.col("id"), F.col("id").alias("v"))
+            .coalesce(1), name))
+    t2.commit_partitions(b, operation="append")
+    with pytest.raises(ValueError, match="cannot order"):
+        t2.compact_epochs(spark, keep_last=0)
