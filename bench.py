@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "s2_cellid",
     "s2_containment_join",
     "s2_cap_cover_join",
+    "s2_polygon_cover_join",
 ]
 
 
@@ -140,8 +141,10 @@ def main() -> None:
         "pack_sequences", "mm_caption_audit",
         # the S2 joins collect the distinct index levels eagerly,
         # which materializes the checkpointed 30-level encode — the
-        # dominant cost must land inside the timer (same rule)
+        # dominant cost must land inside the timer (same rule); the
+        # polygon join also computes its covers driver-side
         "s2_containment_join", "s2_cap_cover_join",
+        "s2_polygon_cover_join",
     }
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])

@@ -365,6 +365,137 @@ def s2_cover_cap_np(lat: float, lon: float, radius_rad: float,
     return np.array(sorted(out), np.int64)
 
 
+def _latlon_xyz_np(lat, lon):
+    phi = np.radians(np.asarray(lat, np.float64))
+    theta = np.radians(np.asarray(lon, np.float64))
+    return (np.cos(phi) * np.cos(theta), np.cos(phi) * np.sin(theta),
+            np.sin(phi))
+
+
+def point_in_spherical_polygon_np(px, py, pz, verts: np.ndarray):
+    """Winding-number point-in-polygon on the sphere: sum of signed
+    tangent-plane angles subtended at P by each edge is ±2π inside and
+    0 outside. ``verts`` is an (E, 3) CCW loop of unit vectors
+    (interior on the left) whose region must fit in the hemisphere
+    centered on its vertex centroid — the winding sum is ALSO ±2π over
+    the polygon's antipodal mirror (the loop wraps the far side of the
+    sphere with reversed tangents), so the centroid-hemisphere gate
+    below is what disambiguates; for any region that small the gate
+    never excludes a true interior point. Broadcasting over n points
+    costs O(E·n) with no n×E materialization beyond one edge at a
+    time. Boundary points (P on an edge / vertex) are not guaranteed
+    either way — same caveat as any winding test."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    pz = np.asarray(pz, np.float64)
+    total = np.zeros(px.shape, np.float64)
+    e = len(verts)
+    # tangent-plane projection of each vertex as seen from P
+    def tangent(v):
+        d = v[0] * px + v[1] * py + v[2] * pz
+        tx, ty, tz = v[0] - d * px, v[1] - d * py, v[2] - d * pz
+        n = np.sqrt(tx * tx + ty * ty + tz * tz)
+        n = np.where(n == 0, 1.0, n)
+        return tx / n, ty / n, tz / n
+    t0 = tangent(verts[0])
+    ta = t0
+    for k in range(e):
+        tb = t0 if k == e - 1 else tangent(verts[k + 1])
+        dot = np.clip(ta[0] * tb[0] + ta[1] * tb[1] + ta[2] * tb[2],
+                      -1.0, 1.0)
+        cx = ta[1] * tb[2] - ta[2] * tb[1]
+        cy = ta[2] * tb[0] - ta[0] * tb[2]
+        cz = ta[0] * tb[1] - ta[1] * tb[0]
+        sin_s = cx * px + cy * py + cz * pz
+        total += np.arctan2(sin_s, dot)
+        ta = tb
+    ctr = verts.mean(axis=0)
+    ctr = ctr / np.sqrt((ctr * ctr).sum())
+    same_hemi = ctr[0] * px + ctr[1] * py + ctr[2] * pz > 0.0
+    return (np.abs(total) > np.pi) & same_hemi
+
+
+def _arcs_cross_np(a1, a2, b1, b2):
+    """True where minor arc a1→a2 properly crosses minor arc b1→b2.
+    Sign test on the two great-circle normals picks the crossing
+    great-circle pair; the hemisphere check on the candidate crossing
+    direction rejects the antipodal intersection (exact for arcs
+    shorter than a half circle — cell edges and polygon edges both
+    are). Inputs broadcast; each a*/b* is an (…, 3) stack."""
+    na = np.cross(a1, a2)
+    nb = np.cross(b1, b2)
+    s1 = np.einsum("...k,...k->...", na, b1)
+    s2 = np.einsum("...k,...k->...", na, b2)
+    s3 = np.einsum("...k,...k->...", nb, a1)
+    s4 = np.einsum("...k,...k->...", nb, a2)
+    straddle = ((s1 > 0) != (s2 > 0)) & ((s3 > 0) != (s4 > 0))
+    d = np.cross(na, nb)
+    on_a = np.einsum("...k,...k->...", d, a1 + a2)
+    on_b = np.einsum("...k,...k->...", d, b1 + b2)
+    # crossing direction is ±d; one sign must sit on BOTH minor arcs
+    same_side = ((on_a > 0) & (on_b > 0)) | ((on_a < 0) & (on_b < 0))
+    return straddle & same_side
+
+
+def s2_cover_polygon_np(lats, lons, max_level: int = 10,
+                        max_cells: int = 256) -> np.ndarray:
+    """Mixed-level S2 cell cover of a spherical polygon (CCW lat/lon
+    loop, interior on the left, smaller than a hemisphere) — the
+    polygon analogue of :func:`s2_cover_cap_np`. A frontier cell is
+    pruned only when it provably misses the polygon: no cell corner
+    inside the polygon, no polygon vertex inside the cell (leaf-id
+    range test — exact), and no cell-edge/polygon-edge crossing; if a
+    region intersects a cell none of those three can be false together
+    (Jordan argument for sub-hemisphere regions), so completeness
+    holds. Emitted when all 4 corners are inside with no edge crossing
+    (cell ⊂ polygon), at max_level, or on budget."""
+    vx, vy, vz = _latlon_xyz_np(lats, lons)
+    verts = np.stack([vx, vy, vz], axis=1)
+    vleaf = s2_from_xyz_np(vx, vy, vz)
+
+    def children(cell):
+        lsb = cell & -cell
+        child_lsb = lsb >> 2
+        base = cell - lsb + child_lsb
+        return [base + 2 * k * child_lsb for k in range(4)]
+
+    def wrap64(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    out: list[int] = []
+    frontier = [wrap64(((f << 1) | 1) << 60) for f in range(6)]
+    # closed edge loops for the crossing test
+    e_a = verts
+    e_b = np.roll(verts, -1, axis=0)
+    while frontier:
+        ids = np.array(frontier, np.int64)
+        _, _, _, corners = s2_cell_corners_np(ids)          # (n, 4, 3)
+        inside = point_in_spherical_polygon_np(
+            corners[:, :, 0], corners[:, :, 1], corners[:, :, 2], verts)
+        rn, rx = s2_range_np(ids)
+        vert_in_cell = ((vleaf[None, :] >= rn[:, None])
+                        & (vleaf[None, :] <= rx[:, None])).any(axis=1)
+        ca = corners                                        # (n, 4, 3)
+        cb = np.roll(corners, -1, axis=1)
+        cross = _arcs_cross_np(ca[:, :, None, :], cb[:, :, None, :],
+                               e_a[None, None, :, :],
+                               e_b[None, None, :, :]).any(axis=(1, 2))
+        disjoint = ~inside.any(axis=1) & ~vert_in_cell & ~cross
+        contained = inside.all(axis=1) & ~cross & ~vert_in_cell
+        lvl = s2_level_np(ids)
+        nxt: list[int] = []
+        for n, cell in enumerate(frontier):
+            if disjoint[n]:
+                continue
+            if (contained[n] or lvl[n] >= max_level
+                    or len(out) + len(frontier) - n + len(nxt) >= max_cells):
+                out.append(cell)
+            else:
+                nxt.extend(children(cell))
+        frontier = nxt
+    return np.array(sorted(out), np.int64)
+
+
 # ---------------------------------------------------------------------------
 # PySpark Column expressions
 # ---------------------------------------------------------------------------

@@ -2115,6 +2115,73 @@ def q_s2_cap_cover_join(spark, sf_dir):
             .orderBy("cap_id"))
 
 
+# deterministic query polygons (CCW, interior left, sub-hemisphere):
+# a triangle over the face-4/face-2 corner region, a quad straddling
+# the antimeridian, a concave L, and a southern-hemisphere quad
+_S2_POLYS = (
+    (0, (38.0, 44.0, 46.0), (40.0, 50.0, 42.0)),
+    (1, (10.0, 10.0, 16.0, 16.0), (178.0, -178.5, -178.5, 178.0)),
+    (2, (40.0, 40.0, 44.0, 44.0, 42.0, 42.0),
+     (-80.0, -74.0, -74.0, -77.0, -77.0, -80.0)),
+    (3, (-60.0, -58.0, -52.0, -55.0), (20.0, 30.0, 28.0, 18.0)),
+)
+
+
+def q_s2_polygon_cover_join(spark, sf_dir):
+    """Spherical POLYGON cover+refine geo-join — the full north-star
+    shape (OSM polygons ⋈ images) on the S2 index: driver-side
+    mixed-level polygon covers (functions/s2.s2_cover_polygon_np —
+    completeness proven in test_s2.py, incl. antimeridian + concave
+    loops), hierarchical containment join for candidates, then exact
+    winding-number point-in-polygon refine as a batched numpy kernel
+    in mapInPandas (no shuffle after the candidate join; per
+    CLAUDE.md, per-row trig chains stay out of Column space).
+    Engine-native rows-only (lat/lon→xyz trig is not cross-engine
+    bit-exact); per-polygon counts brute-force-verified in
+    tests/test_s2.py."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import spatial_join as SJ
+    cover_rows = [
+        (pid, int(cell))
+        for pid, las, los in _S2_POLYS
+        for cell in S2.s2_cover_polygon_np(
+            np.asarray(las), np.asarray(los), max_level=10, max_cells=256)]
+    covers = spark.createDataFrame(cover_rows, "poly_id INT, cover_id LONG")
+    img = images_probe(spark, sf_dir)
+    x, y, z = S2.latlon_xyz_cols(F.col("lat"), F.col("lon"))
+    # pin: the encode feeds one join branch per distinct cover level
+    pts = S2.with_s2_cell(
+        img.select("img_id", x.alias("px"), y.alias("py"), z.alias("pz")),
+        F.col("px"), F.col("py"), F.col("pz")).localCheckpoint(eager=False)
+    cand = SJ.s2_containment_join(pts, covers)
+    polys = {pid: np.stack(S2._latlon_xyz_np(np.asarray(las),
+                                             np.asarray(los)), axis=1)
+             for pid, las, los in _S2_POLYS}
+
+    def refine(batches):
+        for b in batches:
+            pid_arr = b["poly_id"].to_numpy()
+            px = b["px"].to_numpy()
+            py = b["py"].to_numpy()
+            pz = b["pz"].to_numpy()
+            hit = np.zeros(len(b), np.int32)
+            for pid, verts in polys.items():
+                m = pid_arr == pid
+                if m.any():
+                    hit[m] = S2.point_in_spherical_polygon_np(
+                        px[m], py[m], pz[m], verts).astype(np.int32)
+            yield pd.DataFrame({"poly_id": pid_arr, "hit": hit})
+
+    refined = cand.select("poly_id", "px", "py", "pz").mapInPandas(
+        refine, "poly_id int, hit int")
+    return (refined.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.sum("hit").alias("n_images"))
+            .orderBy("poly_id"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2215,6 +2282,7 @@ QUERIES = {
     "s2_cellid": q_s2_cellid,
     "s2_containment_join": q_s2_containment_join,
     "s2_cap_cover_join": q_s2_cap_cover_join,
+    "s2_polygon_cover_join": q_s2_polygon_cover_join,
 }
 
 ORACLES = {

@@ -273,3 +273,85 @@ def test_encode_projection_chain_stays_jit_small(spark):
     # and the whole chain is still one codegen stage over the scan
     phys = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys
+
+
+_TEST_POLYS = (
+    (0, (38.0, 44.0, 46.0), (40.0, 50.0, 42.0)),
+    (1, (10.0, 10.0, 16.0, 16.0), (178.0, -178.5, -178.5, 178.0)),
+    (2, (40.0, 40.0, 44.0, 44.0, 42.0, 42.0),
+     (-80.0, -74.0, -74.0, -77.0, -77.0, -80.0)),
+    (3, (-60.0, -58.0, -52.0, -55.0), (20.0, 30.0, 28.0, 18.0)),
+)
+
+
+def test_polygon_cover_completeness_and_budget():
+    """No point inside the polygon may be missed by the cover; cells
+    never ancestor-overlap; budget holds. Polygons exercise a cube-face
+    corner, the antimeridian, a concave loop, and the south."""
+    rng = np.random.default_rng(23)
+    for _, las, los in _TEST_POLYS:
+        cover = s2.s2_cover_polygon_np(np.asarray(las), np.asarray(los),
+                                       max_level=10, max_cells=256)
+        assert 0 < len(cover) <= 256
+        rn, rx = s2.s2_range_np(cover)
+        order = np.argsort(rn)
+        assert np.all(rn[order][1:] > rx[order][:-1])  # disjoint cells
+        m = 200000
+        lat = rng.uniform(max(-89.9, min(las) - 6), min(89.9, max(las) + 6), m)
+        lon = rng.uniform(-180.0, 180.0, m)
+        px, py, pz = s2._latlon_xyz_np(lat, lon)
+        vx, vy, vz = s2._latlon_xyz_np(np.asarray(las), np.asarray(los))
+        verts = np.stack([vx, vy, vz], axis=1)
+        inside = s2.point_in_spherical_polygon_np(px, py, pz, verts)
+        leaf = s2.s2_from_latlon_np(lat, lon)
+        in_cover = np.zeros(m, bool)
+        for a, b in zip(rn, rx):
+            in_cover |= (leaf >= a) & (leaf <= b)
+        assert not np.any(inside & ~in_cover), (las, los)
+        # the cover is a cover, not the whole sphere: candidate fraction
+        # stays within ~4x of the polygon's own sample mass
+        assert in_cover.sum() <= max(4 * inside.sum(), 2000)
+
+
+def test_spherical_pip_winding_basics():
+    """Winding PIP: centroid in, antipode out, CW order flips nothing
+    (abs winding), points near edges classified consistently vs a
+    planar approximation on a small quad."""
+    las, los = (10.0, 10.0, 14.0, 14.0), (20.0, 26.0, 26.0, 20.0)
+    vx, vy, vz = s2._latlon_xyz_np(np.asarray(las), np.asarray(los))
+    verts = np.stack([vx, vy, vz], axis=1)
+    cx, cy, cz = s2._latlon_xyz_np(np.array([12.0]), np.array([23.0]))
+    assert s2.point_in_spherical_polygon_np(cx, cy, cz, verts)[0]
+    assert not s2.point_in_spherical_polygon_np(-cx, -cy, -cz, verts)[0]
+    rng = np.random.default_rng(31)
+    lat = rng.uniform(8.0, 16.0, 20000)
+    lon = rng.uniform(18.0, 28.0, 20000)
+    px, py, pz = s2._latlon_xyz_np(lat, lon)
+    got = s2.point_in_spherical_polygon_np(px, py, pz, verts)
+    # small quad at low latitude: planar lat/lon box is the right
+    # answer away from the edges; allow a thin disagreement band
+    planar = (lat > 10.0) & (lat < 14.0) & (lon > 20.0) & (lon < 26.0)
+    margin = ((np.abs(lat - 10.0) > 0.05) & (np.abs(lat - 14.0) > 0.05)
+              & (np.abs(lon - 20.0) > 0.05) & (np.abs(lon - 26.0) > 0.05))
+    assert np.array_equal(got[margin], planar[margin])
+
+
+def test_polygon_cover_join_query_matches_brute_force(spark):
+    from osm_io_spark import queries as Q
+    sf_dir = "/root/testdata/sf0.001"
+    got = (Q.q_s2_polygon_cover_join(spark, sf_dir).toPandas()
+           .sort_values("poly_id").reset_index(drop=True))
+    img = Q.images_probe(spark, sf_dir).toPandas()
+    px, py, pz = s2._latlon_xyz_np(img.lat.to_numpy(), img.lon.to_numpy())
+    by_pid = {int(r.poly_id): r for _, r in got.iterrows()}
+    for pid, las, los in Q._S2_POLYS:
+        vx, vy, vz = s2._latlon_xyz_np(np.asarray(las), np.asarray(los))
+        verts = np.stack([vx, vy, vz], axis=1)
+        want = int(s2.point_in_spherical_polygon_np(px, py, pz, verts).sum())
+        if pid in by_pid:
+            assert int(by_pid[pid].n_images) == want, (pid, want)
+            assert int(by_pid[pid].n_candidates) >= want
+        else:
+            # a polygon may legitimately have no candidates at this sf,
+            # but completeness forbids it having any true hits
+            assert want == 0, (pid, want)
