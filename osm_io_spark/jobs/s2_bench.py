@@ -126,11 +126,42 @@ def run(argv: list[str] | None = None) -> dict:
                            "candidates": n_cand, "exact_hits": n_hit,
                            "precision": round(n_hit / max(1, n_cand), 4)})
 
+    # polygon-cover quality: exact in-polygon fraction of the cover
+    # candidates, same sampling discipline (registry polygons)
+    from ..queries import _S2_POLYS
+    poly_rows = []
+    for pid, las, los in _S2_POLYS:
+        cover = S2.s2_cover_polygon_np(np.asarray(las), np.asarray(los),
+                                       max_level=10, max_cells=256)
+        m = 400_000
+        lat = rng.uniform(max(-89.9, min(las) - 8),
+                          min(89.9, max(las) + 8), m)
+        lon = rng.uniform(-180.0, 180.0, m)
+        px, py, pz = S2._latlon_xyz_np(lat, lon)
+        vx, vy, vz = S2._latlon_xyz_np(np.asarray(las), np.asarray(los))
+        verts = np.stack([vx, vy, vz], axis=1)
+        in_poly = S2.point_in_spherical_polygon_np(px, py, pz, verts)
+        leaf = S2.s2_from_latlon_np(lat, lon)
+        rn, rx = S2.s2_range_np(cover)
+        inside = np.zeros(m, bool)
+        for a, b in zip(rn, rx):
+            inside |= (leaf >= a) & (leaf <= b)
+        n_cand = int(inside.sum())
+        n_hit = int(in_poly.sum())
+        assert not np.any(in_poly & ~inside)  # completeness
+        poly_rows.append({"polygon": f"poly_{pid} ({len(las)} verts)",
+                          "cells": len(cover),
+                          "levels": sorted(set(
+                              S2.s2_level_np(cover).tolist())),
+                          "candidates": n_cand, "exact_hits": n_hit,
+                          "precision": round(n_hit / max(1, n_cand), 4)})
+
     lo, hi = sorted(levels)
     eff = (levels[hi]["rows_per_sec"] / levels[lo]["rows_per_sec"]) / (hi / lo)
     ceff = (levels[lo]["control_seconds"] / levels[hi]["control_seconds"]) / (hi / lo)
     result = {"encode": levels, "efficiency": round(eff, 3),
-              "control_efficiency": round(ceff, 3), "covers": cover_rows}
+              "control_efficiency": round(ceff, 3), "covers": cover_rows,
+              "polygon_covers": poly_rows}
     print(json.dumps(result))
 
     if args.out:
@@ -157,6 +188,16 @@ def run(argv: list[str] | None = None) -> dict:
                "|---|---|---|---|---|---|"]
         for c in cover_rows:
             md.append(f"| {c['cap']} | {c['cells']} | {c['levels']} | "
+                      f"{c['candidates']:,} | {c['exact_hits']:,} | "
+                      f"{c['precision']} |")
+        md += ["", "Polygon covers (registry polygons: face-corner "
+               "triangle, antimeridian quad, concave L, southern quad; "
+               "same sampling discipline):", "",
+               "| polygon | cells | levels | candidates | exact hits "
+               "| precision |",
+               "|---|---|---|---|---|---|"]
+        for c in poly_rows:
+            md.append(f"| {c['polygon']} | {c['cells']} | {c['levels']} | "
                       f"{c['candidates']:,} | {c['exact_hits']:,} | "
                       f"{c['precision']} |")
         md += ["", "Reproduce:", "",
