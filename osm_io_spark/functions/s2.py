@@ -229,6 +229,21 @@ for _o in range(4):
 del _o, _pos, _ij, _val
 
 
+def s2_token_np(cid) -> list[str]:
+    """Published S2 token form of each id: lowercase hex with trailing
+    zeros stripped (s2geometry S2CellId::ToToken; the invalid id 0 is
+    the literal token "X" there — not needed here, ids are valid)."""
+    u = np.asarray(cid, np.int64).view(np.uint64)
+    return [format(int(v), "016x").rstrip("0") or "0" for v in u]
+
+
+def s2_from_token(token: str) -> int:
+    """Signed 64-bit id of a published S2 token (inverse of
+    s2_token_np for valid cells)."""
+    v = int(token.ljust(16, "0"), 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def s2_to_face_ij_np(cid):
     """(face, i, j, level) of each cell id — inverse of the encode scan."""
     c = np.asarray(cid, np.int64)
@@ -356,8 +371,14 @@ def s2_cover_cap_np(lat: float, lon: float, radius_rad: float,
         for n, cell in enumerate(frontier):
             if disjoint[n]:
                 continue
+            # budget check BEFORE descending: a descend raises the
+            # projected total (out + remaining frontier + nxt) by +3,
+            # so gate on projected+3 to keep the final cover a hard
+            # <= max_cells (ADVICE r4: the old post-hoc check could
+            # overshoot by 2)
             if (contained[n] or lvl[n] >= max_level
-                    or len(out) + len(frontier) - n + len(nxt) >= max_cells):
+                    or len(out) + (len(frontier) - n) + len(nxt) + 3
+                    >= max_cells):
                 out.append(cell)
             else:
                 nxt.extend(children(cell))
@@ -413,6 +434,24 @@ def point_in_spherical_polygon_np(px, py, pz, verts: np.ndarray):
     ctr = ctr / np.sqrt((ctr * ctr).sum())
     same_hemi = ctr[0] * px + ctr[1] * py + ctr[2] * pz > 0.0
     return (np.abs(total) > np.pi) & same_hemi
+
+
+def point_in_spherical_rings_np(px, py, pz, rings):
+    """Even-odd point-in-polygon for a multi-ring spherical polygon:
+    XOR of the per-ring winding tests — ring 0 the outer loop, further
+    rings inner loops punching holes (OSM multipolygon roles,
+    /root/reference/src/osm/model/relation.rs:3-49; same even-odd rule
+    as the planar path, functions/geometry.points_in_polygon). The
+    winding test's |total| > pi criterion is orientation-agnostic
+    (CW gives -2*pi), so arbitrary OSM ring orientations are fine;
+    each ring must satisfy the sub-hemisphere caveat of
+    :func:`point_in_spherical_polygon_np`. ``rings`` is a sequence of
+    (E, 3) unit-vector loops."""
+    px = np.asarray(px, np.float64)
+    inside = np.zeros(px.shape, bool)
+    for verts in rings:
+        inside ^= point_in_spherical_polygon_np(px, py, pz, verts)
+    return inside
 
 
 def _arcs_cross_np(a1, a2, b1, b2):
@@ -487,13 +526,71 @@ def s2_cover_polygon_np(lats, lons, max_level: int = 10,
         for n, cell in enumerate(frontier):
             if disjoint[n]:
                 continue
+            # same pre-descend budget gate as s2_cover_cap_np (ADVICE r4)
             if (contained[n] or lvl[n] >= max_level
-                    or len(out) + len(frontier) - n + len(nxt) >= max_cells):
+                    or len(out) + (len(frontier) - n) + len(nxt) + 3
+                    >= max_cells):
                 out.append(cell)
             else:
                 nxt.extend(children(cell))
         frontier = nxt
     return np.array(sorted(out), np.int64)
+
+
+def s2_cell_union_normalize_np(cells: np.ndarray) -> np.ndarray:
+    """Ancestor-free normalization of a cell set: drop every cell whose
+    leaf range lies inside another's (published S2CellUnion
+    normalization semantics minus sibling-merge). Because two cell
+    ranges either nest or are disjoint — never partially overlap — a
+    single sorted sweep suffices. Guarantees any leaf is contained by
+    AT MOST ONE output cell, which is what keeps containment-join
+    candidates duplicate-free."""
+    cells = np.asarray(cells, np.int64)
+    if len(cells) == 0:
+        return cells
+    rn, rx = s2_range_np(cells)
+    # UNSIGNED range endpoints (int64 order would split faces 4-5);
+    # sort by (range_min asc, range_max desc) so every ancestor
+    # precedes its descendants — ranges nest or are disjoint, never
+    # partially overlap, so one sweep over the running max suffices
+    urn = rn.view(np.uint64)
+    urx = rx.view(np.uint64)
+    order = np.lexsort((np.uint64(0xFFFFFFFFFFFFFFFF) - urx, urn))
+    keep = []
+    cur_max = None
+    for k in order:
+        if cur_max is not None and int(urx[k]) <= cur_max:
+            continue  # nested inside a kept cell
+        keep.append(k)
+        cur_max = int(urx[k])
+    keep = np.array(sorted(keep, key=lambda k: int(
+        cells.view(np.uint64)[k])), np.intp)
+    return cells[keep]
+
+
+def s2_cover_rings_np(rings_latlon, max_level: int = 10,
+                      max_cells: int = 256) -> np.ndarray:
+    """Cover of a multi-ring polygon: the normalized UNION of every
+    ring's cover. Even-odd semantics make any interior point lie
+    inside at least one ring (a point inside zero rings is outside),
+    so the union is complete for arbitrary outer/inner ring mixes —
+    including multipolygons with SEVERAL outer rings. Inner rings only
+    ever loosen the cover (cells fully inside a hole still reach the
+    containment join and are rejected by the exact refine).
+    Normalization (ancestor-free set) keeps join candidates
+    duplicate-free when one ring's fine cells nest inside another's
+    coarse cell. ``rings_latlon`` is a sequence of (lats, lons) pairs;
+    duplicated closing vertices (OSM closed-way convention) are
+    stripped."""
+    per_ring = []
+    for lats, lons in rings_latlon:
+        lats = np.asarray(lats, np.float64)
+        lons = np.asarray(lons, np.float64)
+        if len(lats) > 1 and lats[0] == lats[-1] and lons[0] == lons[-1]:
+            lats, lons = lats[:-1], lons[:-1]
+        per_ring.append(s2_cover_polygon_np(lats, lons, max_level=max_level,
+                                            max_cells=max_cells))
+    return s2_cell_union_normalize_np(np.unique(np.concatenate(per_ring)))
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +642,11 @@ def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
     generated a method the JIT refused, leaving the whole encode in
     the bytecode interpreter (~180x slower; asserted small in
     tests/test_plan_audit.py)."""
+    clash = {"_s2f", "_s2i", "_s2j", "_s2o", "_s2d", "_s2v"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_s2_cell scratch columns collide with input columns "
+            f"{sorted(clash)}; rename them first")
     cols = [F.col(c) for c in df.columns]
     face, u, v = face_uv_col(x, y, z)
     base = df.select(*cols, face.alias("_s2f"),

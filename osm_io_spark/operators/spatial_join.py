@@ -316,7 +316,8 @@ def spatial_join_polygons(images: DataFrame, polygons: DataFrame, res: int,
 
 def s2_containment_join(points: DataFrame, covers: DataFrame,
                         cell: str = "s2_cell", cover: str = "cover_id",
-                        broadcast_covers: bool = True) -> DataFrame:
+                        broadcast_covers: bool | str = "auto",
+                        max_broadcast_rows: int = 4_000_000) -> DataFrame:
     """Hierarchical S2 containment join: every (point, cover) pair where
     the point's leaf cell is a descendant of the cover cell (covers may
     mix levels — a real S2 cell cover is a union of cells at different
@@ -331,12 +332,20 @@ def s2_containment_join(points: DataFrame, covers: DataFrame,
     distinct cover level — at most 31 joins, each shuffle-partitioned on
     the ancestor key (salting-compatible, AQE-friendly), which is the
     shape that survives 10^12 probe rows. The distinct-level collect is
-    bounded by 31 rows."""
+    bounded by 31 rows.
+
+    ``broadcast_covers='auto'`` (default) broadcasts each per-level
+    cover slice only when the WHOLE cover table holds at most
+    ``max_broadcast_rows`` rows (counted once on the pinned
+    checkpoint); larger covers degrade to a shuffled hash join per
+    level instead of OOMing the driver (ADVICE r4)."""
     from ..functions import s2 as S2
     # covers fans out: the level collect + one filtered branch per level
     # would re-execute its upstream plan each time (CLAUDE.md fan-out
     # rule) — pin it once
     covers = covers.localCheckpoint(eager=False)
+    if broadcast_covers == "auto":
+        broadcast_covers = covers.count() <= max_broadcast_rows
     lv = covers.select(S2.s2_level_col(F.col(cover)).alias("_lv")).distinct()
     levels = sorted(r["_lv"] for r in lv.collect())
     out = None
@@ -351,3 +360,140 @@ def s2_containment_join(points: DataFrame, covers: DataFrame,
     if out is None:
         return points.limit(0).crossJoin(covers.limit(0))
     return out
+
+
+def _poly_key_cols(polygons: DataFrame,
+                   poly_cols: tuple[str, ...]) -> list[str]:
+    """Identity columns actually present on the polygon frame —
+    OSM polygon_id is unique only per source (way vs relation), so the
+    default key is the pair."""
+    return [c for c in poly_cols if c in polygons.columns]
+
+
+def s2_cover_polygons(polygons: DataFrame, max_level: int = 12,
+                      max_cells: int = 64,
+                      poly_cols: tuple[str, ...] = ("polygon_id", "source"),
+                      ) -> DataFrame:
+    """Distributed per-polygon S2 cover: (*poly_cols, cover_id) rows,
+    one normalized mixed-level cover per polygon, computed as a numpy
+    kernel in mapInPandas — cover planning scales with the POLYGON
+    table (the planet has ~10^8 polygons; driver-side planning as in
+    the synthetic-cap queries would not survive that), while each
+    single cover stays a bounded ≤max_cells driver-free computation.
+    Rings cross the Arrow boundary as JSON (ragged
+    array<array<struct>> rule, see _RINGS_TYPE above); the cover is
+    the normalized union over ALL rings (multipolygons may carry
+    several outer rings; holes never make a cover incomplete —
+    functions/s2.s2_cover_rings_np)."""
+    from ..functions import s2 as S2
+    keep = _poly_key_cols(polygons, poly_cols)
+    src = polygons.select(*keep, F.to_json("rings").alias("_rings_json"))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in polygons.schema if f.name in keep) + ", cover_id long"
+
+    def _cover(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            outs = []
+            for k in range(len(pdf)):
+                rings = json.loads(pdf["_rings_json"].iloc[k])
+                rl = [(np.array([p["lat"] for p in ring], np.float64),
+                       np.array([p["lon"] for p in ring], np.float64))
+                      for ring in rings]
+                cells = S2.s2_cover_rings_np(rl, max_level=max_level,
+                                             max_cells=max_cells)
+                rep = pdf.iloc[[k]][keep]
+                rep = rep.loc[rep.index.repeat(len(cells))].reset_index(
+                    drop=True)
+                rep["cover_id"] = cells.astype(np.int64)
+                outs.append(rep)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return src.mapInPandas(_cover, out_schema)
+
+
+def s2_refine_rings(cand: DataFrame, px: str = "px", py: str = "py",
+                    pz: str = "pz") -> DataFrame:
+    """Exact even-odd winding refine over candidate rows carrying
+    ``_rings_json`` + unit-vector point components: batched numpy
+    kernel grouped by polygon within each Arrow batch (per CLAUDE.md,
+    per-row trig chains never run as interpreted HOF Columns)."""
+    from ..functions import s2 as S2
+    schema = cand.schema
+
+    def _refine(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), bool)
+            ring_cache: dict[str, list[np.ndarray]] = {}
+            # group by the geometry itself: polygon_id alone is
+            # ambiguous across way/relation sources
+            for rj, idx in pdf.groupby("_rings_json").groups.items():
+                idx = np.asarray(idx)
+                rings = ring_cache.get(rj)
+                if rings is None:
+                    parsed = json.loads(rj)
+                    rings = []
+                    for ring in parsed:
+                        la = np.array([p["lat"] for p in ring], np.float64)
+                        lo = np.array([p["lon"] for p in ring], np.float64)
+                        if len(la) > 1 and la[0] == la[-1] and lo[0] == lo[-1]:
+                            la, lo = la[:-1], lo[:-1]
+                        rings.append(np.stack(
+                            S2._latlon_xyz_np(la, lo), axis=1))
+                    ring_cache[rj] = rings
+                keep[idx] = S2.point_in_spherical_rings_np(
+                    pdf[px].to_numpy()[idx], pdf[py].to_numpy()[idx],
+                    pdf[pz].to_numpy()[idx], rings)
+            yield pdf[keep]
+
+    return cand.mapInPandas(_refine, schema=schema)
+
+
+def s2_spatial_join_polygons(images: DataFrame, polygons: DataFrame,
+                             lat: str = "lat", lon: str = "lon",
+                             max_level: int = 12, max_cells: int = 64,
+                             broadcast_covers: bool | str = "auto") -> DataFrame:
+    """The north-star spine on the SPHERE: OSM-assembled polygons ⋈
+    image points on the true S2 index — the spherical sibling of
+    :func:`spatial_join_polygons` (planar Morton path, J7/J8).
+
+    Plan, stage by stage:
+      images   → unit vector + leaf S2 cell (whole-stage-codegen Column
+                 chain, functions/s2.with_s2_cell)
+      polygons → mixed-level covers, DISTRIBUTED per polygon
+                 (s2_cover_polygons, mapInPandas numpy kernel)
+      join     → hierarchical containment: one hash equi-join per
+                 distinct cover level, broadcast auto-gated on cover
+                 size (s2_containment_join). Cover cells of one polygon
+                 are disjoint (the descend emits a cell XOR its
+                 children), so each (image, polygon) candidate appears
+                 at most once — no post-join dedup shuffle.
+      refine   → exact even-odd winding PIP incl. inner-ring holes
+                 (s2_refine_rings, batched numpy), ring geometry joined
+                 back as a broadcast dim so the cover explode never
+                 duplicates ring JSON per cell.
+
+    Returns matched rows: every image column, plus ``s2_cell`` (the
+    per-image tile assignment) and the polygon identity columns
+    (``polygon_id`` + ``source`` when present — OSM ids are unique
+    only per element type)."""
+    from ..functions import s2 as S2
+    # polygons feeds two branches (covers + rings dim) — pin once
+    # (CLAUDE.md fan-out rule)
+    polygons = polygons.localCheckpoint(eager=False)
+    keep = _poly_key_cols(polygons, ("polygon_id", "source"))
+    covers = s2_cover_polygons(polygons, max_level=max_level,
+                               max_cells=max_cells)
+    x, y, z = S2.latlon_xyz_cols(F.col(lat), F.col(lon))
+    base = images.select("*", x.alias("px"), y.alias("py"), z.alias("pz"))
+    pts = S2.with_s2_cell(base, F.col("px"), F.col("py"), F.col("pz"))
+    cand = s2_containment_join(pts, covers,
+                               broadcast_covers=broadcast_covers)
+    dim = polygons.select(*keep, F.to_json("rings").alias("_rings_json"))
+    cand = cand.join(F.broadcast(dim), keep)
+    refined = s2_refine_rings(cand)
+    return refined.select(*images.columns, "s2_cell", *keep)

@@ -2182,6 +2182,36 @@ def q_s2_polygon_cover_join(spark, sf_dir):
             .orderBy("poly_id"))
 
 
+def q_s2_osm_polygon_join(spark, sf_dir):
+    """The north-star sentence end-to-end ON THE SPHERE (round-5
+    verdict task #3): PBF fixture → way/relation polygon assembly
+    (operators/assemble.py, incl. multipolygon inner-ring holes) →
+    DISTRIBUTED per-polygon S2 covers → hierarchical containment join →
+    even-odd winding refine — the spherical sibling of
+    q_pbf_spatial_join's planar Morton spine. Engine-native rows-only
+    (trig + mapInPandas); matched pairs brute-force-verified in
+    tests/test_s2_osm_join.py."""
+    from .operators import assemble as ASM
+    from .operators import spatial_join as SJ
+    from .sources.pbf import decode as PD
+    path = _fixture_pbf_path(spark)
+    polys = ASM.assemble_polygons(PD.read_pbf(spark, path))
+    # same deterministic probe grid as q_pbf_spatial_join so the two
+    # spines stay comparable
+    probe = (spark.range(20000).select(F.col("id").alias("img_id"))
+             .withColumn("lat", F.expr(
+                 "CAST((img_id * 2654435761) % 1000000 AS DOUBLE) / 1e6")
+                 * F.lit(0.6) - F.lit(19.35))
+             .withColumn("lon", F.expr(
+                 "CAST((img_id * 2971215073) % 1000000 AS DOUBLE) / 1e6")
+                 * F.lit(0.6) - F.lit(170.16)))
+    out = SJ.s2_spatial_join_polygons(probe, polys, max_level=14,
+                                      max_cells=64)
+    return (out.groupBy("polygon_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_images"))
+            .orderBy("polygon_id", "source"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2193,6 +2223,11 @@ QUERIES = {
     "j9_knn_ring_expansion": q_j9_knn,
     "j10_raster_vector": q_j10_raster_vector,
     "c1_zorder_tile": q_c1_zorder_tile,
+    # true S2 index — rotated INTO the driver window in round 5 (the
+    # r4 flagship capability deserves hard-gate visibility; see the
+    # swap policy note above the rows-only tail)
+    "s2_cellid": q_s2_cellid,
+    "s2_containment_join": q_s2_containment_join,
     "agg_cell_rollup": q_agg_cell_rollup,
     "a2_bounding_box": q_a2_bounding_box,
     # relational / reference operator analogues
@@ -2221,8 +2256,6 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "text_chunks": q_text_chunks,
     "text_language_id": q_text_language_id,
-    "text_quality": q_text_quality,
-    "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
     "text_vocab": q_text_vocab,
     # dedup family
@@ -2250,10 +2283,29 @@ QUERIES = {
     # rule and must stay inside the driver's run window
     "mm_row_invariants": q_mm_row_invariants,
     "mm_decode_stats": q_mm_decode_stats,
+    # -------------------------------------------------------------
+    # DRIVER-WINDOW SWAP POLICY (round-5, verdict task #8): the driver
+    # hard-gates only the FIRST 50 entries above, in dict order; every
+    # entry below still gets full oracle parity in pytest
+    # (tests/test_oracle_parity.py runs ALL registry entries) but only
+    # a rows-only (or no) driver check. When a new oracled capability
+    # lands, rotate it INTO the window by moving out entries that are
+    # (a) cheap pure-Column transforms with no join/shuffle/partition
+    # risk, and (b) already parity-covered in pytest — the window
+    # should spend its 50 slots on operators whose failure modes the
+    # driver could actually catch (joins, covers, partitioning, codecs),
+    # not on trivial projections. Rotated out so far (r5): text_quality,
+    # text_fingerprint (both single-projection Column ops; their
+    # ORACLES entries remain, so pytest still hash-checks them).
+    # test_registry_contract.py pins the windowing invariant executably.
+    # -------------------------------------------------------------
+    # oracled-but-rotated-out (pytest parity; past the driver window)
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
-    # every ORACLES-backed key above MUST precede every key below:
-    # the driver runs ~50 registry entries in dict order
-    # (test_registry_contract.py pins this invariant executably)
+    # every ORACLES-backed key above MUST precede every key below ONLY
+    # within the 50-slot window; the rotated-out oracled entries sit
+    # here by design
     "mm_phash_near_dup": q_mm_phash_near_dup,
     "image_curation": q_image_curation,
     "mm_embed_near_dup": q_mm_embed_near_dup,
@@ -2276,13 +2328,13 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "mm_caption_audit": q_mm_caption_audit,
     "text_pii_scrub": q_text_pii_scrub,
-    # true S2 index: oracled in tests/test_oracle_parity.py (outside the
-    # driver's 50-entry window; the window's 50 oracled entries above
-    # must not be displaced — see test_registry_contract.py)
-    "s2_cellid": q_s2_cellid,
-    "s2_containment_join": q_s2_containment_join,
+    # spherical cover joins: rows-only (cover planning is driver-side
+    # numpy; brute-force-verified in tests/test_s2.py)
     "s2_cap_cover_join": q_s2_cap_cover_join,
     "s2_polygon_cover_join": q_s2_polygon_cover_join,
+    # round-5: OSM-assembled polygons through the S2 spine (distributed
+    # covers + holes; brute-force-verified in tests/test_s2_osm_join.py)
+    "s2_osm_polygon_join": q_s2_osm_polygon_join,
 }
 
 ORACLES = {
