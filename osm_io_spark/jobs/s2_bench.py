@@ -73,6 +73,141 @@ spark.stop()
 """
 
 
+_JOIN_WORKER = """
+import json, sys, time
+import numpy as np
+from pyspark.sql import functions as F
+from osm_io_spark.session import get_spark
+from osm_io_spark.functions import s2 as S2
+from osm_io_spark.operators import spatial_join as SJ
+from osm_io_spark import queries as Q
+
+sf_dir, cpus, repeats = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("s2-join-bench", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+w = spark.range(0, 256, 1, cpus)
+w.mapInPandas(lambda it: it, w.schema).count()  # python-worker warm-up
+
+# Stage decomposition of the three S2 bench rows (round-5 verdict task
+# #7): the registry functions interleave cover planning, the eager
+# checkpoint materialization of the 30-level encode, and the actual
+# join, so a regression in the ~5s bench rows was unattributable. This
+# re-expresses each query with explicit stage boundaries (mirroring
+# queries.q_s2_containment_join / q_s2_cap_cover_join /
+# q_s2_polygon_cover_join line by line); every repeat rebuilds all
+# frames fresh (same-object re-collect reuses AQE shuffle stages).
+
+def containment_stages():
+    t = {}
+    t0 = time.time()
+    pts = (Q._s2_points(spark, sf_dir, ("l_orderkey", "l_quantity"))
+           .localCheckpoint(eager=False))
+    pts.count()
+    t["encode+checkpoint"] = time.time() - t0
+    t0 = time.time()
+    cov4 = (pts.filter(F.col("l_orderkey") % 97 == 0)
+            .select(S2.s2_parent_col(F.col("s2_cell"), 4).alias("cover_id"))
+            .distinct())
+    cov8 = (pts.filter(F.col("l_orderkey") % 193 == 0)
+            .select(S2.s2_parent_col(F.col("s2_cell"), 8).alias("cover_id"))
+            .distinct())
+    covers = cov4.unionByName(cov8).localCheckpoint(eager=False)
+    covers.count()
+    t["cover build"] = time.time() - t0
+    t0 = time.time()
+    joined = SJ.s2_containment_join(pts, covers)
+    (joined.groupBy("cover_id")
+     .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+     .count())
+    t["join+agg"] = time.time() - t0
+    return t
+
+def cap_stages():
+    t = {}
+    t0 = time.time()
+    cover_rows = [(cid, int(cell)) for cid, la, lo, r in Q._S2_CAPS
+                  for cell in S2.s2_cover_cap_np(la, lo, r, max_level=10,
+                                                 max_cells=256)]
+    t["cover planning (driver)"] = time.time() - t0
+    covers = spark.createDataFrame(cover_rows, "cap_id INT, cover_id LONG")
+    caps = spark.createDataFrame(list(Q._S2_CAPS),
+                                 "cap_id INT, cap_lat DOUBLE, "
+                                 "cap_lon DOUBLE, cap_r DOUBLE")
+    t0 = time.time()
+    img = Q.images_probe(spark, sf_dir)
+    x, y, z = S2.latlon_xyz_cols(F.col("lat"), F.col("lon"))
+    pts = S2.with_s2_cell(
+        img.select("img_id", x.alias("px"), y.alias("py"), z.alias("pz")),
+        F.col("px"), F.col("py"), F.col("pz")).localCheckpoint(eager=False)
+    pts.count()
+    t["encode+checkpoint"] = time.time() - t0
+    t0 = time.time()
+    cand = SJ.s2_containment_join(pts, covers)
+    qx, qy, qz = S2.latlon_xyz_cols(F.col("cap_lat"), F.col("cap_lon"))
+    dot = (F.col("px") * qx + F.col("py") * qy + F.col("pz") * qz)
+    hit = F.when(dot >= F.cos(F.col("cap_r")), 1).otherwise(0)
+    (cand.join(F.broadcast(caps), "cap_id").groupBy("cap_id")
+     .agg(F.count(F.lit(1)).alias("nc"), F.sum(hit).alias("ni")).count())
+    t["join+refine+agg"] = time.time() - t0
+    return t
+
+def polygon_stages():
+    t = {}
+    t0 = time.time()
+    cover_rows = [(pid, int(cell)) for pid, las, los in Q._S2_POLYS
+                  for cell in S2.s2_cover_polygon_np(
+                      np.asarray(las), np.asarray(los),
+                      max_level=10, max_cells=256)]
+    t["cover planning (driver)"] = time.time() - t0
+    covers = spark.createDataFrame(cover_rows, "poly_id INT, cover_id LONG")
+    t0 = time.time()
+    img = Q.images_probe(spark, sf_dir)
+    x, y, z = S2.latlon_xyz_cols(F.col("lat"), F.col("lon"))
+    pts = S2.with_s2_cell(
+        img.select("img_id", x.alias("px"), y.alias("py"), z.alias("pz")),
+        F.col("px"), F.col("py"), F.col("pz")).localCheckpoint(eager=False)
+    pts.count()
+    t["encode+checkpoint"] = time.time() - t0
+    t0 = time.time()
+    cand = SJ.s2_containment_join(pts, covers)
+    import pandas as pd
+    polys = {pid: np.stack(S2._latlon_xyz_np(np.asarray(las),
+                                             np.asarray(los)), axis=1)
+             for pid, las, los in Q._S2_POLYS}
+    def refine(batches):
+        for b in batches:
+            pid_arr = b["poly_id"].to_numpy()
+            hit = np.zeros(len(b), np.int32)
+            for pid, verts in polys.items():
+                m = pid_arr == pid
+                if m.any():
+                    hit[m] = S2.point_in_spherical_polygon_np(
+                        b["px"].to_numpy()[m], b["py"].to_numpy()[m],
+                        b["pz"].to_numpy()[m], verts).astype(np.int32)
+            yield pd.DataFrame({"poly_id": pid_arr, "hit": hit})
+    (cand.select("poly_id", "px", "py", "pz")
+     .mapInPandas(refine, "poly_id int, hit int")
+     .groupBy("poly_id").agg(F.count(F.lit(1)).alias("nc"),
+                             F.sum("hit").alias("ni")).count())
+    t["join+refine+agg"] = time.time() - t0
+    return t
+
+out = {}
+for name, fn in (("s2_containment_join", containment_stages),
+                 ("s2_cap_cover_join", cap_stages),
+                 ("s2_polygon_cover_join", polygon_stages)):
+    best = None
+    for _ in range(repeats):
+        t = fn()
+        if best is None or sum(t.values()) < sum(best.values()):
+            best = t
+    out[name] = {k: round(v, 3) for k, v in best.items()}
+print(json.dumps(out))
+spark.stop()
+"""
+
+
 def run(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     # the JIT'd LOOKUP4 chain sustains ~3M ids/s/core, so small n is
@@ -81,6 +216,9 @@ def run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n", type=int, default=400_000_000)
     ap.add_argument("--cpus", type=int, nargs=2, default=(8, 32))
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1",
+                    help="sf dir for the join-stage decomposition")
+    ap.add_argument("--join-cpus", type=int, default=32)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -156,12 +294,19 @@ def run(argv: list[str] | None = None) -> dict:
                           "candidates": n_cand, "exact_hits": n_hit,
                           "precision": round(n_hit / max(1, n_cand), 4)})
 
+    # join-stage decomposition (separate JVM, same discipline)
+    jres = subprocess.run(
+        [sys.executable, "-c", _JOIN_WORKER, args.sf_dir,
+         str(args.join_cpus), str(args.repeats)],
+        capture_output=True, text=True, check=True)
+    join_stages = json.loads(jres.stdout.strip().splitlines()[-1])
+
     lo, hi = sorted(levels)
     eff = (levels[hi]["rows_per_sec"] / levels[lo]["rows_per_sec"]) / (hi / lo)
     ceff = (levels[lo]["control_seconds"] / levels[hi]["control_seconds"]) / (hi / lo)
     result = {"encode": levels, "efficiency": round(eff, 3),
               "control_efficiency": round(ceff, 3), "covers": cover_rows,
-              "polygon_covers": poly_rows}
+              "polygon_covers": poly_rows, "join_stages": join_stages}
     print(json.dumps(result))
 
     if args.out:
@@ -200,6 +345,18 @@ def run(argv: list[str] | None = None) -> dict:
             md.append(f"| {c['polygon']} | {c['cells']} | {c['levels']} | "
                       f"{c['candidates']:,} | {c['exact_hits']:,} | "
                       f"{c['precision']} |")
+        md += ["", f"S2 join bench rows decomposed by stage (sf dir "
+               f"`{args.sf_dir}`, local[{args.join_cpus}], best total of "
+               f"{args.repeats} rebuilds — attributes any future "
+               "regression in the ~5s rows to cover planning, the eager "
+               "30-level-encode checkpoint, or the join itself):", "",
+               "| query | stage | seconds |",
+               "|---|---|---|"]
+        for qname, stages in join_stages.items():
+            for sname, secs in stages.items():
+                md.append(f"| {qname} | {sname} | {secs} |")
+            md.append(f"| {qname} | **total** | "
+                      f"**{round(sum(stages.values()), 3)}** |")
         md += ["", "Reproduce:", "",
                f"    python -m osm_io_spark.jobs.s2_bench --n {args.n} "
                f"--out BENCH/S2.md", ""]

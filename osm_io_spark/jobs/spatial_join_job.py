@@ -44,6 +44,15 @@ def run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--catalog", required=True)
     ap.add_argument("--table", default="image_polygon_matches")
     ap.add_argument("--res", type=int, default=10)
+    ap.add_argument("--index", choices=("morton", "s2"), default="morton",
+                    help="morton = planar Z-order cell join + rect "
+                         "refine (J7); s2 = true S2 spine "
+                         "(distributed polygon covers + hierarchical "
+                         "containment + spherical winding refine) — "
+                         "salting flags are ignored: the broadcast "
+                         "path never shuffles the probe and the "
+                         "shuffled path is AQE-skew-safe")
+    ap.add_argument("--s2-max-level", type=int, default=12)
     ap.add_argument("--n-buckets", type=int, default=8)
     ap.add_argument("--salt", default="0",
                     help="salt factor for hot cells, or 'auto' to "
@@ -75,6 +84,9 @@ def run(argv: list[str] | None = None) -> dict:
         images = images.filter(
             (F.col("lon") >= left) & (F.col("lon") <= right)
             & (F.col("lat") >= bottom) & (F.col("lat") <= top))
+
+    if args.index == "s2":
+        return _run_s2(spark, args, images, rects)
 
     # each bucket joins only ~1/n_buckets of the probe, so hotness and
     # salt factor are sized on per-bucket counts: full-table count
@@ -121,6 +133,68 @@ def run(argv: list[str] | None = None) -> dict:
             table.commit_partitions([entry], "spatial_join_j7:progress",
                                     {"job": "spatial_join_j7"})
             raise InjectedFailure(f"injected failure after {done_count['n']} buckets")
+
+    snap = job.run(plan, task, on_partition=on_partition)
+    result = {
+        "table": args.table,
+        "snapshot_version": snap.version,
+        "n_partitions": snap.summary["n_partitions"],
+        "total_rows": snap.summary["total_rows"],
+        "total_bytes": snap.summary["total_bytes"],
+    }
+    print(json.dumps(result))
+    return result
+
+
+def _run_s2(spark, args, images, rects):
+    """--index s2: the same resumable bucket plan over the TRUE S2
+    spine (distributed polygon covers → hierarchical containment →
+    spherical winding refine). The rect table becomes 4-vertex ring
+    polygons; note the semantic is containment ON THE SPHERE (rect
+    top/bottom edges become geodesics, not parallels), so counts are
+    not expected to equal the planar --index morton run."""
+    from pyspark.sql import functions as FF
+
+    from ..operators import spatial_join as SJ
+
+    ring = FF.array(*[
+        FF.struct(FF.col(lo).alias("lon"), FF.col(la).alias("lat"))
+        for lo, la in (("left", "bottom"), ("right", "bottom"),
+                       ("right", "top"), ("left", "top"),
+                       ("left", "bottom"))])
+    polys = rects.select("polygon_id", FF.lit("rect").alias("source"),
+                         FF.array(ring).alias("rings"))
+
+    catalog = SnapshotCatalog(args.catalog)
+    table = catalog.table(args.table)
+    job = ResumableJob(
+        table, "spatial_join_s2",
+        inputs={"sf_dir": args.sf_dir, "index": "s2",
+                "s2_max_level": args.s2_max_level,
+                "n_buckets": args.n_buckets, "bbox": args.bbox},
+        commit_every=args.commit_every)
+    plan = [f"bucket={b:04d}" for b in range(args.n_buckets)]
+
+    def task(pk: str):
+        b = int(pk.split("=")[1])
+        probe = images.filter(
+            FF.pmod(FF.col("img_id"), FF.lit(args.n_buckets)) == b)
+        out = SJ.s2_spatial_join_polygons(probe, polys,
+                                          max_level=args.s2_max_level)
+        return out.select("img_id", "polygon_id",
+                          FF.col("s2_cell").alias("cell"))
+
+    done_count = {"n": len(table.completed_partitions())}
+
+    def on_partition(entry: dict) -> None:
+        done_count["n"] += 1
+        print(f"# committed {entry['partition']}: rows={entry['rows']} "
+              f"bytes={entry['bytes']}", file=sys.stderr)
+        if args.fail_after and done_count["n"] >= args.fail_after:
+            table.commit_partitions([entry], "spatial_join_s2:progress",
+                                    {"job": "spatial_join_s2"})
+            raise InjectedFailure(
+                f"injected failure after {done_count['n']} buckets")
 
     snap = job.run(plan, task, on_partition=on_partition)
     result = {

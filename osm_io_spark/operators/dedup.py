@@ -399,14 +399,16 @@ def repeated_window_spans(docs: DataFrame, k: int = 8, min_docs: int = 2,
     src = widen(docs).select(F.col(id_col), F.col(text_col))
     # odd multipliers => bijective per-step mixing mod 2^64; two
     # independent bases give a 128-bit combined key
-    P1 = np.uint64(0x100000001B3)          # FNV-ish prime
-    P2 = np.uint64(0x9E3779B97F4A7C15)     # golden-ratio odd constant
-    pow1 = np.empty(k, np.uint64)
-    pow2 = np.empty(k, np.uint64)
-    pow1[-1] = pow2[-1] = np.uint64(1)
+    P1 = 0x100000001B3          # FNV-ish prime
+    P2 = 0x9E3779B97F4A7C15     # golden-ratio odd constant
+    # powers in python ints mod 2^64 (numpy scalar uint64 multiply
+    # warns on the intended wraparound; array ops below wrap silently)
+    pw1, pw2 = [1] * k, [1] * k
     for j in range(k - 2, -1, -1):
-        pow1[j] = pow1[j + 1] * P1
-        pow2[j] = pow2[j + 1] * P2
+        pw1[j] = (pw1[j + 1] * P1) & 0xFFFFFFFFFFFFFFFF
+        pw2[j] = (pw2[j + 1] * P2) & 0xFFFFFFFFFFFFFFFF
+    pow1 = np.array(pw1, np.uint64)
+    pow2 = np.array(pw2, np.uint64)
 
     def _windows(batches):
         import hashlib

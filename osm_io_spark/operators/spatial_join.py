@@ -338,7 +338,17 @@ def s2_containment_join(points: DataFrame, covers: DataFrame,
     cover slice only when the WHOLE cover table holds at most
     ``max_broadcast_rows`` rows (counted once on the pinned
     checkpoint); larger covers degrade to a shuffled hash join per
-    level instead of OOMing the driver (ADVICE r4)."""
+    level instead of OOMing the driver (ADVICE r4).
+
+    Skew: on the broadcast path the probe side never shuffles at all,
+    so hot cells (one cover cell over a dense city at 10^12 images)
+    cost nothing beyond their row count — no reducer ever owns a key.
+    On the shuffled path the join keys are level-L ancestors whose
+    fan-in is bounded by cover granularity, and AQE skew-join splits
+    any oversized probe partition (inner join: build rows duplicate
+    across splits), so no explicit salting layer is needed here —
+    unlike the banded self-joins, where a single band key explodes
+    quadratically (salted_self_band_join)."""
     from ..functions import s2 as S2
     # covers fans out: the level collect + one filtered branch per level
     # would re-execute its upstream plan each time (CLAUDE.md fan-out

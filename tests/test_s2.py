@@ -204,6 +204,35 @@ def test_cap_cover_completeness_and_budget():
         assert not np.any((dist <= rad) & ~inside), (lat0, lon0, rad)
 
 
+def test_cover_budget_is_hard_under_tight_limits():
+    """r4 ADVICE: the old post-hoc budget check could overshoot
+    max_cells by 2; the pre-descend gate makes it hard. Completeness
+    must survive (the gate only coarsens, never drops)."""
+    rng = np.random.default_rng(23)
+    for budget in (8, 12, 20, 64):
+        cover = s2.s2_cover_cap_np(43.1, -79.2, 0.05, max_level=12,
+                                   max_cells=budget)
+        assert 0 < len(cover) <= budget
+        pcover = s2.s2_cover_polygon_np(
+            np.array([40.0, 40.0, 44.0, 44.0]),
+            np.array([-80.0, -74.0, -74.0, -80.0]),
+            max_level=12, max_cells=budget)
+        assert 0 < len(pcover) <= budget
+        # completeness spot check on the cap at the tightest budget
+        m = 20000
+        lat = rng.uniform(40.0, 46.0, m)
+        lon = rng.uniform(-82.0, -76.0, m)
+        px, py, pz = s2._latlon_xyz_np(lat, lon)
+        qx, qy, qz = s2._latlon_xyz_np(43.1, -79.2)
+        dist = np.arccos(np.clip(px * qx + py * qy + pz * qz, -1, 1))
+        leaf = s2.s2_from_latlon_np(lat, lon)
+        rn, rx = s2.s2_range_np(cover)
+        covered = np.zeros(m, bool)
+        for a, b in zip(rn, rx):
+            covered |= (leaf >= a) & (leaf <= b)
+        assert not np.any((dist <= 0.05) & ~covered), budget
+
+
 def test_inverse_transforms_roundtrip():
     rng = np.random.default_rng(29)
     n = 5000

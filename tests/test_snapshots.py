@@ -172,6 +172,30 @@ def test_spatial_join_job_crash_and_resume(tmp_path):
     assert result["total_rows"] == control["total_rows"]
 
 
+def test_spatial_join_job_s2_index_crash_and_resume(tmp_path):
+    """--index s2 (round 5): the TRUE-S2 spine under the same
+    resumable-bucket contract — crash mid-run, resume, identical totals
+    to an uninterrupted run, and rows > 0 so the spherical path
+    actually matched."""
+    cat_dir = str(tmp_path / "cat_s2")
+    argv = ["--sf-dir", "/root/testdata/sf0.01", "--catalog", cat_dir,
+            "--index", "s2", "--n-buckets", "4", "--commit-every", "1",
+            "--master", "local[4]"]
+    with pytest.raises(spatial_join_job.InjectedFailure):
+        spatial_join_job.run(argv + ["--fail-after", "1"])
+    cat = SnapshotCatalog(cat_dir)
+    t = cat.table("image_polygon_matches")
+    assert 0 < len(t.completed_partitions()) < 4
+
+    result = spatial_join_job.run(argv)
+    assert result["n_partitions"] == 4
+    control = spatial_join_job.run(
+        ["--sf-dir", "/root/testdata/sf0.01",
+         "--catalog", str(tmp_path / "cat_s2b"), "--index", "s2",
+         "--n-buckets", "4", "--master", "local[4]"])
+    assert result["total_rows"] == control["total_rows"] > 0
+
+
 def test_spatial_join_job_bbox_flag(tmp_path):
     """C9 wiring: --bbox filters the probe side (strictly fewer matches
     for a half-world box than unfiltered) and malformed boxes are
