@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "s2_containment_join",
     "s2_cap_cover_join",
     "s2_polygon_cover_join",
+    "s2_knn_join",
 ]
 
 
@@ -142,9 +143,10 @@ def main() -> None:
         # the S2 joins collect the distinct index levels eagerly,
         # which materializes the checkpointed 30-level encode — the
         # dominant cost must land inside the timer (same rule); the
-        # polygon join also computes its covers driver-side
+        # polygon join also computes its covers driver-side; the S2
+        # kNN runs its whole expansion loop eagerly
         "s2_containment_join", "s2_cap_cover_join",
-        "s2_polygon_cover_join",
+        "s2_polygon_cover_join", "s2_knn_join",
     }
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])

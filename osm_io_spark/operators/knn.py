@@ -140,3 +140,144 @@ def knn_join(probe: DataFrame, build: DataFrame, k: int, res: int,
             .select(F.col("_pid").alias(probe_id), "rank",
                     F.col("_bid").alias(build_id),
                     F.col("_dist_sq").alias("dist_sq")))
+
+
+def _s2_boundary_chord2_np(px, py, pz, cells):
+    """Exact lower bound (squared CHORD distance) from each point to
+    everything OUTSIDE its own S2 cell. Cell edges lie on great
+    circles; for an interior point, distance-to-boundary = min over
+    the 4 edge arcs ≥ min over the 4 full circles = min over edges of
+    asin(|p · n̂|) with n̂ the edge plane normal (cross product of the
+    edge's two corners). Chord = 2·sin(angle/2) is monotone in angle,
+    so the bound converts exactly."""
+    import numpy as np
+
+    from ..functions import s2 as S2
+    _, _, _, corners = S2.s2_cell_corners_np(np.asarray(cells, np.int64))
+    p = np.stack([np.asarray(px), np.asarray(py), np.asarray(pz)], axis=1)
+    best = np.full(len(p), np.inf)
+    for e in range(4):
+        a = corners[:, e, :]
+        b = corners[:, (e + 1) % 4, :]
+        n = np.cross(a, b)
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        ang = np.arcsin(np.clip(np.abs((p * n).sum(axis=1)), 0.0, 1.0))
+        best = np.minimum(best, ang)
+    half = 2.0 * np.sin(best / 2.0)
+    return half * half
+
+
+def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
+                start_level: int = 12,
+                probe_id: str = "img_id", build_id: str = "polygon_id",
+                probe_lat: str = "lat", probe_lon: str = "lon",
+                build_lat: str = "clat", build_lon: str = "clon") -> DataFrame:
+    """Exact spherical kNN on the TRUE S2 index — the hierarchical
+    sibling of :func:`knn_join` (J9's planar ring expansion): instead
+    of i/j ring offsets (which would need cross-face wrap math), each
+    round searches the probe's level-ℓ ANCESTOR cell minus the already-
+    searched level-(ℓ+1) cell — a pure hash equi-join on ancestor keys,
+    disjoint across rounds by construction. Exactness: after round ℓ
+    every unseen build point lies outside the probe's level-ℓ cell, so
+    its squared-chord distance is ≥ the probe's exact distance to the
+    cell's 4 edge great-circles (_s2_boundary_chord2_np); a probe with
+    ≥ k candidates within that bound is settled. Unsettled probes
+    coarsen (4x area per round, ≤ start_level+1 rounds); the residue
+    still unsettled after its own FACE is exhausted (points near face
+    boundaries) is finished by a broadcast join against the other
+    faces' points — a set that shrinks with the k-th distance, never a
+    full cross join of the whole probe side.
+
+    Metric: squared chord (3-D euclidean on unit vectors), monotone in
+    angular distance; ties broken by build id. Returns
+    (probe_id, rank, build_id, chord_sq)."""
+    import pandas as pd
+
+    from ..functions import s2 as S2
+
+    def unit(lat, lon):
+        return S2.latlon_xyz_cols(F.col(lat), F.col(lon))
+
+    bx, by, bz = unit(build_lat, build_lon)
+    build_k = S2.with_s2_cell(
+        build.select(F.col(build_id).alias("_bid"),
+                     bx.alias("_bx"), by.alias("_by"), bz.alias("_bz")),
+        F.col("_bx"), F.col("_by"), F.col("_bz"), out="_bcell"
+    ).localCheckpoint(eager=False)
+
+    px_, py_, pz_ = unit(probe_lat, probe_lon)
+    unsettled = S2.with_s2_cell(
+        probe.select(F.col(probe_id).alias("_pid"),
+                     px_.alias("_px"), py_.alias("_py"), pz_.alias("_pz")),
+        F.col("_px"), F.col("_py"), F.col("_pz"), out="_pcell"
+    ).localCheckpoint(eager=True)
+
+    chord_sq = ((F.col("_px") - F.col("_bx")) * (F.col("_px") - F.col("_bx"))
+                + (F.col("_py") - F.col("_by")) * (F.col("_py") - F.col("_by"))
+                + (F.col("_pz") - F.col("_bz")) * (F.col("_pz") - F.col("_bz")))
+    wk = Window.partitionBy("_pid").orderBy(F.col("_chord_sq").asc(),
+                                            F.col("_bid").asc())
+    acc: DataFrame | None = None
+
+    def prune_topk(df: DataFrame) -> DataFrame:
+        # base tables carry duplicate keys (see SQL_J9) — dup
+        # (probe, build) rows would occupy ranks and understate the
+        # k-th distance, exactly as in the planar knn_join
+        return (df.dropDuplicates(["_pid", "_bid"])
+                .withColumn("_rn", F.row_number().over(wk))
+                .filter(F.col("_rn") <= k).drop("_rn")
+                .localCheckpoint(eager=True))
+
+    for lvl in range(start_level, -1, -1):
+        pkey = S2.s2_parent_col(F.col("_pcell"), lvl)
+        bkey = S2.s2_parent_col(F.col("_bcell"), lvl)
+        cand = unsettled.join(build_k, pkey == bkey, "inner")
+        if lvl < start_level:
+            # annulus: exclude the level-(lvl+1) cell already searched
+            cand = cand.filter(
+                S2.s2_parent_col(F.col("_pcell"), lvl + 1)
+                != S2.s2_parent_col(F.col("_bcell"), lvl + 1))
+        cand = cand.select("_pid", "_px", "_py", "_pz", "_pcell", "_bid",
+                           chord_sq.alias("_chord_sq"))
+        acc = cand if acc is None else acc.unionByName(cand)
+        acc = prune_topk(acc)
+
+        # settle bound for each still-unsettled probe at this level
+        # (bounded numpy pass over the unsettled set only)
+        def bound(batches, _lvl=lvl):
+            for b in batches:
+                cells = S2.s2_parent_np(b["_pcell"].to_numpy(), _lvl)
+                safe = _s2_boundary_chord2_np(
+                    b["_px"].to_numpy(), b["_py"].to_numpy(),
+                    b["_pz"].to_numpy(), cells)
+                yield pd.DataFrame({"_pid": b["_pid"], "_safe": safe})
+        safe_df = unsettled.mapInPandas(
+            bound, f"_pid {probe.schema[probe_id].dataType.simpleString()}, "
+                   "_safe double")
+        stats = (acc.groupBy("_pid")
+                 .agg(F.count("*").alias("_cnt"),
+                      F.max("_chord_sq").alias("_kth")))
+        settled = (stats.join(safe_df, "_pid")
+                   .filter((F.col("_cnt") >= k)
+                           & (F.col("_kth") <= F.col("_safe")))
+                   .select("_pid"))
+        unsettled = (unsettled.join(settled, "_pid", "left_anti")
+                     .localCheckpoint(eager=True))
+        if unsettled.isEmpty():
+            break
+    else:
+        # face exhausted for the residue: finish against OTHER faces
+        # (the own face was fully searched at lvl=0). The residue is
+        # driver-small by construction — broadcast it.
+        rest = (F.broadcast(unsettled).crossJoin(build_k)
+                .filter(F.shiftrightunsigned(F.col("_pcell"), 61)
+                        != F.shiftrightunsigned(F.col("_bcell"), 61))
+                .select("_pid", "_px", "_py", "_pz", "_pcell", "_bid",
+                        chord_sq.alias("_chord_sq")))
+        acc = prune_topk(acc.unionByName(rest))
+
+    return (acc.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select(F.col("_pid").alias(probe_id), "rank",
+                    F.col("_bid").alias(build_id),
+                    F.col("_chord_sq").alias("chord_sq")))

@@ -2182,6 +2182,25 @@ def q_s2_polygon_cover_join(spark, sf_dir):
             .orderBy("poly_id"))
 
 
+def q_s2_knn_join(spark, sf_dir):
+    """J9 on the TRUE S2 index (round 5): exact spherical kNN via
+    hierarchical ancestor-annulus expansion — per round one hash
+    equi-join on level-ℓ ancestor keys (annulus-disjoint by
+    construction), settled when the k-th squared-chord distance beats
+    the probe's exact distance to its ancestor cell's edge
+    great-circles; face-boundary residue finished by a broadcast
+    cross-face pass. Same probe/build tables and k as
+    j9_knn_ring_expansion, metric = squared chord (monotone in
+    angle). Engine-native rows-only (trig); all-pairs brute-force
+    parity incl. face-edge probes in tests/test_s2_knn.py."""
+    from .operators import knn as KNN
+    probe = images_probe(spark, sf_dir).filter(F.expr("img_id % 1000 < 15"))
+    build = rect_polygons(spark, sf_dir).select("polygon_id", "clat", "clon")
+    out = KNN.s2_knn_join(probe, build, k=K_NN, start_level=8)
+    return out.select("img_id", F.col("rank").cast("long").alias("rank"),
+                      "polygon_id", "chord_sq")
+
+
 def q_s2_osm_polygon_join(spark, sf_dir):
     """The north-star sentence end-to-end ON THE SPHERE (round-5
     verdict task #3): PBF fixture → way/relation polygon assembly
@@ -2335,6 +2354,9 @@ QUERIES = {
     # round-5: OSM-assembled polygons through the S2 spine (distributed
     # covers + holes; brute-force-verified in tests/test_s2_osm_join.py)
     "s2_osm_polygon_join": q_s2_osm_polygon_join,
+    # round-5: exact spherical kNN on the S2 index (brute-force parity
+    # in tests/test_s2_knn.py)
+    "s2_knn_join": q_s2_knn_join,
 }
 
 ORACLES = {
