@@ -380,6 +380,35 @@ def _poly_key_cols(polygons: DataFrame,
     return [c for c in poly_cols if c in polygons.columns]
 
 
+def s2_read_region_pruned(table, spark, cover_cells,
+                          cell_col: str = "s2_cell"):
+    """Read ONLY the data of an S2 region from a cell-keyed snapshot
+    table: manifest min/max skipping over the cover's descendant-id
+    ranges (one manifest pass, SnapshotTable.read_pruned_multi), then
+    the exact containment filter as one ``parent(cell).isin(...)``
+    predicate per distinct cover level (hash-set lookups — never a
+    256-branch BETWEEN chain, which would push the fused filter past
+    the JIT's huge-method limit; see CLAUDE.md). This is the read-path
+    payoff of the Hilbert id: 2-D locality == 1-D id locality, so a
+    table range-partitioned by ``cell_col`` serves a city-sized region
+    from a handful of files out of a 100 TB table — no filesystem
+    listing, no full scan. Returns (DataFrame, kept partition names)."""
+    import numpy as np
+
+    from ..functions import s2 as S2
+    cells = np.asarray(cover_cells, np.int64)
+    rn, rx = S2.s2_range_np(cells)
+    df, kept = table.read_pruned_multi(
+        spark, cell_col, list(zip(rn.tolist(), rx.tolist())))
+    levels = S2.s2_level_np(cells)
+    cond = None
+    for lvl in sorted(set(levels.tolist())):
+        ids = [int(c) for c, l in zip(cells, levels) if l == lvl]
+        pred = S2.s2_parent_col(F.col(cell_col), int(lvl)).isin(ids)
+        cond = pred if cond is None else (cond | pred)
+    return df.filter(cond), kept
+
+
 def s2_cover_polygons(polygons: DataFrame, max_level: int = 12,
                       max_cells: int = 64,
                       poly_cols: tuple[str, ...] = ("polygon_id", "source"),

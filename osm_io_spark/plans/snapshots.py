@@ -520,6 +520,32 @@ class SnapshotTable:
         paths = [os.path.join(self.data_dir, p) for p in keep_paths]
         return spark.read.parquet(*paths), keep
 
+    def read_pruned_multi(self, spark: SparkSession, column: str,
+                          ranges: list[tuple], version: int | None = None
+                          ) -> tuple[DataFrame, list[str]]:
+        """Manifest-level data skipping for a SET of [lo, hi] ranges in
+        one manifest pass and one read — the shape an S2 region cover
+        produces (each cover cell = one descendant-id range; Hilbert
+        locality makes the ranges compact, so a cell-sorted table
+        skips almost every partition). Partitions without stats are
+        conservatively kept; the caller applies the exact row filter."""
+        snap = self.snapshot(version)
+        if snap is None or not snap.partitions:
+            raise FileNotFoundError(
+                f"table {self.name} has no committed snapshot")
+        keep: list[str] = []
+        keep_paths: list[str] = []
+        for name, entry in sorted(snap.partitions.items()):
+            st = entry.get("column_stats", {}).get(column)
+            if st is None or any(not (st["max"] < lo or st["min"] > hi)
+                                 for lo, hi in ranges):
+                keep.append(name)
+                keep_paths.append(entry.get("path", name))
+        if not keep:
+            return self.read(spark, version).limit(0), []
+        paths = [os.path.join(self.data_dir, p) for p in keep_paths]
+        return spark.read.parquet(*paths), keep
+
     def completed_partitions(self) -> set[str]:
         snap = self.snapshot()
         return set(snap.partitions) if snap else set()
