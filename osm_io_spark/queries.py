@@ -1626,6 +1626,39 @@ def q_stream_cell_enrich(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_s2_enrich(spark, sf_dir):
+    """§2.9 × C11 (round 5): the stream_cell_enrich shape on the TRUE
+    S2 index — streamed events geotagged, leaf-S2-encoded by the
+    stateless Column chain, hierarchically containment-joined against
+    a static mixed-level cap-cover table (stream-static broadcast
+    equi-join per cover level). Engine-native rows-only; the caps are
+    sized so the deterministic feed always matches."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"osm_io_stream_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_s2_enrich_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    cover_rows = [
+        (rid, int(cell))
+        for rid, la, lo, r in ((0, 0.0, 0.0, 0.5), (1, 40.0, -100.0, 0.4))
+        for cell in S2.s2_cover_cap_np(la, lo, r, max_level=8,
+                                       max_cells=128)]
+    covers = spark.createDataFrame(cover_rows, "region_id INT, cover_id LONG")
+    enriched = SE.stream_s2_enrich(SE.stream_events(spark, src), covers)
+    SE.run_available_now(enriched.select("event_id", "user_id", "s2_cell",
+                                         "region_id", "cover_id"),
+                         ckpt, name)
+    return spark.table(name)
+
+
 def q_stream_image_dedup(spark, sf_dir):
     """Streaming perceptual image dedup (streaming/events.py
     image_dedup_stream): an upload feed of 240 unique images, each
@@ -2357,6 +2390,9 @@ QUERIES = {
     # round-5: exact spherical kNN on the S2 index (brute-force parity
     # in tests/test_s2_knn.py)
     "s2_knn_join": q_s2_knn_join,
+    # round-5: streaming enrichment on the S2 index (stateless encode +
+    # stream-static hierarchical containment join)
+    "stream_s2_enrich": q_stream_s2_enrich,
 }
 
 ORACLES = {

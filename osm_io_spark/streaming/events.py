@@ -238,6 +238,28 @@ def stream_cell_enrich(events: DataFrame, polygons_cells: DataFrame,
     return tagged.join(F.broadcast(polygons_cells), on="cell", how="inner")
 
 
+def stream_s2_enrich(events: DataFrame, covers: DataFrame) -> DataFrame:
+    """Stateless streaming enrichment on the TRUE S2 index (round 5):
+    geotag from user_id (same deterministic feed as
+    stream_cell_enrich), leaf S2 cell via the pure-Column LOOKUP4
+    encode — a stateless projection chain, so it runs unchanged under
+    Structured Streaming — then the hierarchical containment join
+    against a STATIC cover table (one stream-static broadcast
+    equi-join per distinct cover level; the level collect and the
+    broadcast-gate count run on the static side before the stream is
+    wired)."""
+    from ..functions import s2 as S2
+    from ..operators.spatial_join import s2_containment_join
+    lat = (F.col("user_id") * 2654435761 % 120000000) / 1e6 - 60.0
+    lon = (F.col("user_id") * 2971215073 % 360000000) / 1e6 - 180.0
+    x, y, z = S2.latlon_xyz_cols(F.col("lat"), F.col("lon"))
+    tagged = S2.with_s2_cell(
+        events.withColumn("lat", lat).withColumn("lon", lon)
+        .withColumn("_x", x).withColumn("_y", y).withColumn("_z", z),
+        F.col("_x"), F.col("_y"), F.col("_z"))
+    return s2_containment_join(tagged.drop("_x", "_y", "_z"), covers)
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str,
                       out_table: str) -> None:
     """Drain all currently-available input into an in-memory sink and

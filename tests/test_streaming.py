@@ -109,6 +109,40 @@ def test_stream_static_cell_join(spark, events_dir, tmp_path):
     assert got.count() == batch.count() > 0
 
 
+def test_stream_static_s2_containment_join(spark, events_dir, tmp_path):
+    """Round 5: the same stream-static shape on the TRUE S2 index —
+    stateless leaf encode inside the stream, hierarchical containment
+    join vs a static mixed-level cap cover; batch-equivalent."""
+    import numpy as np
+
+    from osm_io_spark.functions import s2 as S2
+
+    # cap centered on one user's derived geotag → guaranteed hits
+    u = spark.read.parquet(events_dir).select("user_id").first()[0]
+    la = (u * 2654435761 % 120000000) / 1e6 - 60.0
+    lo = (u * 2971215073 % 360000000) / 1e6 - 180.0
+    cover = S2.s2_cover_cap_np(la, lo, 0.3, max_level=7, max_cells=64)
+    covers = spark.createDataFrame(
+        [(0, int(c)) for c in cover], "region_id int, cover_id long")
+
+    stream = SE.stream_events(spark, events_dir)
+    joined = SE.stream_s2_enrich(stream, covers)
+    SE.run_available_now(joined.select("event_id", "s2_cell", "cover_id"),
+                         str(tmp_path / "ckpt_s2"), "s2_enriched")
+    got = spark.table("s2_enriched")
+
+    batch = SE.stream_s2_enrich(spark.read.parquet(events_dir), covers)
+    n_got, n_batch = got.count(), batch.count()
+    assert n_got == n_batch > 0
+    # every emitted leaf really is inside a cover range (exactness)
+    leafs = np.array([r["s2_cell"] for r in got.collect()], np.int64)
+    rn, rx = S2.s2_range_np(np.asarray(cover, np.int64))
+    inside = np.zeros(len(leafs), bool)
+    for a, b in zip(rn, rx):
+        inside |= (leafs >= a) & (leafs <= b)
+    assert inside.all()
+
+
 def test_stream_to_snapshot_sink_incremental(spark, events_dir, tmp_path):
     """foreachBatch → snapshot commits: each epoch is one atomic
     partition with lineage; changes() exposes incremental epochs; a
