@@ -167,11 +167,58 @@ def _s2_boundary_chord2_np(px, py, pz, cells):
     return half * half
 
 
+def _chord_topk_np(P, B, bids, k):
+    """Exact per-probe (chord_sq ASC, build_id ASC) top-k of the probe
+    matrix ``P`` (m×3 unit vectors) against the build matrix ``B``
+    (n×3) with build ids ``bids`` (n,). Returns (probe_idx, build_idx,
+    chord_sq) index arrays, ≤ m·min(k,n) rows.
+
+    The squared chord is accumulated in the SAME order as the Column
+    expression in :func:`s2_knn_join` (((dx²+dy²)+dz²)) so a pair
+    computed on both paths is bit-identical — prune_topk's
+    dropDuplicates may keep either copy. Ties at the k-th boundary are
+    resolved exactly: np.partition finds the k-th value, every
+    candidate ≤ it is kept, and the (tiny) candidate set is sorted by
+    (chord, bid) in Python — argpartition alone would split ties
+    arbitrarily and could keep the larger bid."""
+    import numpy as np
+    m, n = len(P), len(B)
+    kk = min(k, n)
+    out_p: list[int] = []
+    out_b: list[int] = []
+    out_d: list[float] = []
+    if m == 0 or n == 0:
+        return (np.array(out_p, np.int64), np.array(out_b, np.int64),
+                np.array(out_d, np.float64))
+    # block probes so the (blk, n) distance matrix stays ~32 MB
+    blk = max(1, (1 << 22) // n)
+    for s in range(0, m, blk):
+        Pb = P[s:s + blk]
+        d = (Pb[:, 0:1] - B[None, :, 0]) ** 2
+        d += (Pb[:, 1:2] - B[None, :, 1]) ** 2
+        d += (Pb[:, 2:3] - B[None, :, 2]) ** 2
+        if kk < n:
+            kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+        else:
+            kth = d.max(axis=1)
+        for i in range(len(Pb)):
+            cand = np.flatnonzero(d[i] <= kth[i]).tolist()
+            cand.sort(key=lambda j: (d[i, j], bids[j]))
+            for j in cand[:kk]:
+                out_p.append(s + i)
+                out_b.append(j)
+                out_d.append(float(d[i, j]))
+    return (np.array(out_p, np.int64), np.array(out_b, np.int64),
+            np.array(out_d, np.float64))
+
+
 def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
                 start_level: int = 12,
                 probe_id: str = "img_id", build_id: str = "polygon_id",
                 probe_lat: str = "lat", probe_lon: str = "lon",
-                build_lat: str = "clat", build_lon: str = "clon") -> DataFrame:
+                build_lat: str = "clat", build_lon: str = "clon",
+                small_build: int = 4096,
+                finish_threshold: int = 1024) -> DataFrame:
     """Exact spherical kNN on the TRUE S2 index — the hierarchical
     sibling of :func:`knn_join` (J9's planar ring expansion): instead
     of i/j ring offsets (which would need cross-face wrap math), each
@@ -188,9 +235,31 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
     faces' points — a set that shrinks with the k-th distance, never a
     full cross join of the whole probe side.
 
+    Two size-gated exact short-circuits (round 5; the ngram
+    ``method='auto'`` router precedent) — the rounds are the right
+    plan only when BOTH sides are big:
+
+    * ``small_build``: if the build side has ≤ this many rows, skip
+      the rounds entirely — broadcast the (deduped) build matrix into
+      one numpy top-k pass over the probe side (mapInPandas). Ranks
+      are emitted inside the kernel, so after the one pid-dedup
+      shuffle the plan has NO further shuffle and touches each probe
+      row once — linear in probes at ANY probe scale. Cost per probe
+      row is ~9·n_build flops vs ~rounds·(hash probe + prune shuffle)
+      for the hierarchical path; the default 4096 sits above the
+      measured crossover. 0 disables.
+    * ``finish_threshold``: inside the rounds, once the unsettled set
+      is ≤ this many probes, finish it with ONE partial-top-k pass
+      over the full build table (probe matrix in the task closure,
+      per-Arrow-batch numpy top-k, global window merge) instead of up
+      to ``lvl`` more full build-side joins. Exact: per-batch
+      (chord, bid) top-k retains every globally rankable candidate.
+      0 disables.
+
     Metric: squared chord (3-D euclidean on unit vectors), monotone in
     angular distance; ties broken by build id. Returns
     (probe_id, rank, build_id, chord_sq)."""
+    import numpy as np
     import pandas as pd
 
     from ..functions import s2 as S2
@@ -198,7 +267,51 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
     def unit(lat, lon):
         return S2.latlon_xyz_cols(F.col(lat), F.col(lon))
 
+    pid_dt = probe.schema[probe_id].dataType.simpleString()
+    bid_dt = build.schema[build_id].dataType.simpleString()
     bx, by, bz = unit(build_lat, build_lon)
+
+    if small_build and build.count() <= small_build:
+        # Build side is driver-small: the hierarchical rounds would pay
+        # up to start_level+1 full joins against a table that fits in
+        # every task's memory. One numpy top-k pass over the probe side
+        # instead; ranks come out of the kernel, so the only shuffle in
+        # the whole plan is the pid dedup.
+        bpdf = (build.select(F.col(build_id).alias("_bid"),
+                             bx.alias("_bx"), by.alias("_by"),
+                             bz.alias("_bz"))
+                .dropDuplicates(["_bid"]).toPandas())
+        B = bpdf[["_bx", "_by", "_bz"]].to_numpy(np.float64)
+        bids = bpdf["_bid"].to_numpy()
+        px0, py0, pz0 = unit(probe_lat, probe_lon)
+        probes = (probe.select(F.col(probe_id).alias("_pid"),
+                               px0.alias("_px"), py0.alias("_py"),
+                               pz0.alias("_pz"))
+                  .dropDuplicates(["_pid"]))
+
+        def bcast_topk(batches):
+            for b in batches:
+                P = np.stack([b["_px"].to_numpy(np.float64),
+                              b["_py"].to_numpy(np.float64),
+                              b["_pz"].to_numpy(np.float64)], axis=1)
+                pi, bi, dd = _chord_topk_np(P, B, bids, k)
+                if not len(pi):
+                    continue
+                # kernel emits each probe's candidates contiguously in
+                # rank order — rank = offset from the group's first row
+                first = np.searchsorted(pi, pi, side="left")
+                yield pd.DataFrame({
+                    probe_id: b["_pid"].to_numpy()[pi],
+                    "rank": (np.arange(len(pi)) - first + 1)
+                    .astype(np.int32),
+                    build_id: bids[bi],
+                    "chord_sq": dd})
+
+        return probes.mapInPandas(
+            bcast_topk,
+            f"{probe_id} {pid_dt}, rank int, {build_id} {bid_dt}, "
+            "chord_sq double")
+
     build_k = S2.with_s2_cell(
         build.select(F.col(build_id).alias("_bid"),
                      bx.alias("_bx"), by.alias("_by"), bz.alias("_bz")),
@@ -263,7 +376,47 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
                    .select("_pid"))
         unsettled = (unsettled.join(settled, "_pid", "left_anti")
                      .localCheckpoint(eager=True))
-        if unsettled.isEmpty():
+        n_left = unsettled.count()
+        if n_left == 0:
+            break
+        if finish_threshold and n_left <= finish_threshold:
+            # residue finish: the unsettled set is driver-small — one
+            # partial-top-k pass over the FULL build table (probe
+            # matrix rides in the task closure, ≤ threshold·3 doubles)
+            # beats up to lvl more full build-side joins. Per-batch
+            # (chord, bid) top-k is merge-safe: a candidate excluded
+            # by k batch-mates is dominated globally under the same
+            # ordering. Within-batch dup bids are collapsed first —
+            # they'd otherwise occupy top-k slots and could evict a
+            # distinct bid that the global dedup can't restore.
+            res = unsettled.toPandas()
+            P = res[["_px", "_py", "_pz"]].to_numpy(np.float64)
+            pids = res["_pid"].to_numpy()
+            pcells = res["_pcell"].to_numpy()
+
+            def residue_topk(batches):
+                for b in batches:
+                    bb = b["_bid"].to_numpy()
+                    _, first_idx = np.unique(bb, return_index=True)
+                    Bm = np.stack([b["_bx"].to_numpy(np.float64),
+                                   b["_by"].to_numpy(np.float64),
+                                   b["_bz"].to_numpy(np.float64)],
+                                  axis=1)[first_idx]
+                    bb = bb[first_idx]
+                    pi, bi, dd = _chord_topk_np(P, Bm, bb, k)
+                    if not len(pi):
+                        continue
+                    yield pd.DataFrame({
+                        "_pid": pids[pi],
+                        "_px": P[pi, 0], "_py": P[pi, 1],
+                        "_pz": P[pi, 2], "_pcell": pcells[pi],
+                        "_bid": bb[bi], "_chord_sq": dd})
+
+            rest = build_k.mapInPandas(
+                residue_topk,
+                f"_pid {pid_dt}, _px double, _py double, _pz double, "
+                f"_pcell long, _bid {bid_dt}, _chord_sq double")
+            acc = prune_topk(acc.unionByName(rest))
             break
     else:
         # face exhausted for the residue: finish against OTHER faces

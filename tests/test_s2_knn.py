@@ -67,10 +67,23 @@ def tables(spark):
     return probe_rows, build_rows, probe.cache(), build.cache()
 
 
-@pytest.mark.parametrize("k,start_level", [(4, 5), (1, 3)])
-def test_s2_knn_matches_brute_force(spark, tables, k, start_level):
+@pytest.mark.parametrize("k,start_level,mode", [
+    # thresholds zeroed: the pure hierarchical rounds (incl. the
+    # cross-face for-else residue) stay covered even though the test
+    # tables are small enough to route
+    (4, 5, "rounds"), (1, 3, "rounds"),
+    # defaults: the 315-row build routes to the broadcast-kernel branch
+    (4, 5, "auto"),
+    # rounds + driver-small residue finish (small_build off, residue
+    # threshold huge so the first unsettled check fires the finish)
+    (4, 5, "finish"), (1, 3, "finish"),
+])
+def test_s2_knn_matches_brute_force(spark, tables, k, start_level, mode):
     probe_rows, build_rows, probe, build = tables
-    out = KNN.s2_knn_join(probe, build, k=k, start_level=start_level)
+    kw = {"rounds": dict(small_build=0, finish_threshold=0),
+          "auto": {},
+          "finish": dict(small_build=0, finish_threshold=10_000)}[mode]
+    out = KNN.s2_knn_join(probe, build, k=k, start_level=start_level, **kw)
     got = {}
     for r in out.collect():
         got.setdefault(r["img_id"], []).append(
@@ -89,12 +102,16 @@ def test_s2_knn_matches_brute_force(spark, tables, k, start_level):
             assert abs(ch - dd) < 1e-9
 
 
-def test_s2_knn_k_exceeds_build_count(spark):
+@pytest.mark.parametrize("kw", [
+    {},                                          # broadcast-kernel route
+    dict(small_build=0, finish_threshold=0),     # pure rounds
+])
+def test_s2_knn_k_exceeds_build_count(spark, kw):
     probe = spark.createDataFrame([(1, 10.0, 10.0)],
                                   "img_id long, lat double, lon double")
     build = spark.createDataFrame(
         [(1, 11.0, 11.0), (2, -40.0, 170.0)],
         "polygon_id long, clat double, clon double")
-    out = KNN.s2_knn_join(probe, build, k=5, start_level=3).collect()
+    out = KNN.s2_knn_join(probe, build, k=5, start_level=3, **kw).collect()
     assert [(r["rank"], r["polygon_id"]) for r in
             sorted(out, key=lambda r: r["rank"])] == [(1, 1), (2, 2)]
