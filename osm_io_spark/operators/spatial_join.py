@@ -536,3 +536,70 @@ def s2_spatial_join_polygons(images: DataFrame, polygons: DataFrame,
     cand = cand.join(F.broadcast(dim), keep)
     refined = s2_refine_rings(cand)
     return refined.select(*images.columns, "s2_cell", *keep)
+
+
+def s2_multires_rollup(df: DataFrame, levels, aggs,
+                       cell: str = "s2_cell") -> DataFrame:
+    """Cascaded multi-resolution aggregation on the S2 hierarchy — the
+    spherical sibling of the planar ROLLUP (q_rollup_multires /
+    raster.py parent-tile arithmetic), built the way a hypertable
+    rollup has to be built at 10^12 leaf rows: the leaf table is
+    aggregated ONCE (at ``levels[0]``, the finest), and every coarser
+    level re-aggregates the PREVIOUS level's partial table via the
+    parent bit-math (``s2_parent_col`` — mask + lsb, no geometry
+    recompute). Each cascade step shrinks the input ~4^Δlevel, so the
+    total work past the first groupBy is a vanishing fraction of the
+    leaf pass — vs one-pass ROLLUP, which shuffles the full leaf table
+    once per grouping set.
+
+    ``levels``: strictly decreasing S2 levels, e.g. ``(10, 6, 4)``.
+    ``aggs``: mapping ``alias -> (kind, col)`` with kind in
+    ``count | sum | min | max`` (col ignored for count; may be a str or
+    Column). Only re-aggregable kinds are accepted: count cascades as
+    sum-of-counts, sum as sum-of-sums, min/max as themselves. Float
+    sums are NOT cascade-exact (fp addition is non-associative) — pass
+    an integral column/cast for ``sum`` when bit-exact parity matters
+    (the registry oracle proves the cascade == direct-from-leaves on
+    integer sums).
+
+    Each level's partial fans out (output union + next cascade step) —
+    pinned with a lazy localCheckpoint per the fan-out rule, which also
+    caps the cascade's lineage depth.
+
+    Returns ``(level int, cell long, *aliases)``, all levels unioned.
+    """
+    from ..functions import s2 as S2
+
+    levels = list(levels)
+    if len(levels) < 1 or len(set(levels)) != len(levels) or \
+            levels != sorted(levels, reverse=True):
+        raise ValueError("levels must be strictly decreasing S2 levels")
+    leaf_aggs, re_aggs = [], []
+    for alias, (kind, col) in aggs.items():
+        col = F.col(col) if isinstance(col, str) else col
+        if kind == "count":
+            leaf_aggs.append(F.count(F.lit(1)).alias(alias))
+            re_aggs.append(F.sum(alias).alias(alias))
+        elif kind == "sum":
+            leaf_aggs.append(F.sum(col).alias(alias))
+            re_aggs.append(F.sum(alias).alias(alias))
+        elif kind in ("min", "max"):
+            fn = getattr(F, kind)
+            leaf_aggs.append(fn(col).alias(alias))
+            re_aggs.append(fn(alias).alias(alias))
+        else:
+            raise ValueError(f"non-re-aggregable agg kind: {kind!r}")
+    cur = (df.groupBy(S2.s2_parent_col(F.col(cell), levels[0])
+                      .alias("cell"))
+           .agg(*leaf_aggs)
+           .select(F.lit(levels[0]).alias("level"), "*")
+           .localCheckpoint(eager=False))
+    out = cur
+    for lv in levels[1:]:
+        cur = (cur.groupBy(S2.s2_parent_col(F.col("cell"), lv)
+                           .alias("cell"))
+               .agg(*re_aggs)
+               .select(F.lit(lv).alias("level"), "*")
+               .localCheckpoint(eager=False))
+        out = out.unionByName(cur)
+    return out

@@ -2105,6 +2105,39 @@ GROUP BY cover_id
 """
 
 
+def q_s2_multires_rollup(spark, sf_dir):
+    """Cascaded multi-resolution rollup on the S2 hierarchy (round 5):
+    leaves aggregated ONCE at level 10, levels 6 and 4 re-aggregated
+    from the previous level's partials via parent bit-math — the
+    hypertable shape that touches a 10^12-row leaf table exactly once
+    (operators/spatial_join.s2_multires_rollup). The DuckDB oracle
+    aggregates every level DIRECTLY from the leaves; hash equality
+    proves the cascade exact (count→sum, sum→sum, max→max; l_quantity
+    is integer-valued so double sums are order-exact)."""
+    pts = _s2_points(spark, sf_dir, ("l_quantity",))
+    return SJ.s2_multires_rollup(
+        pts, (10, 6, 4),
+        {"n_points": ("count", None),
+         "qty_sum": ("sum", "l_quantity"),
+         "qty_max": ("max", "l_quantity")})
+
+
+_S2_MRR_LEVEL_SQL = """
+SELECT CAST({lv} AS INT) AS level, {parent} AS cell,
+       COUNT(*) AS n_points, SUM(l_quantity) AS qty_sum,
+       MAX(l_quantity) AS qty_max
+FROM pts GROUP BY 2"""
+
+SQL_S2_MRR = ("WITH pts AS (\n  SELECT l_quantity, s2_cell\n  FROM "
+              + S2.s2_chain_sql('lineitem', _S2_X_SQL, _S2_Y_SQL,
+                                _S2_Z_SQL, keep=('l_quantity',))
+              + "\n)\n"
+              + "\nUNION ALL\n".join(
+                  _S2_MRR_LEVEL_SQL.format(
+                      lv=lv, parent=S2.s2_parent_sql('s2_cell', lv))
+                  for lv in (10, 6, 4)))
+
+
 # deterministic query caps for the cover join: spread across faces,
 # one straddling a cube-face corner (41N 45E) and one the antimeridian
 _S2_CAPS = ((0, 43.1, -79.2, 0.05), (1, 41.0, 45.0, 0.12),
@@ -2354,6 +2387,9 @@ QUERIES = {
     # oracled-but-rotated-out (pytest parity; past the driver window)
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    # round-5: cascaded S2 multires rollup — oracled (cascade proven ==
+    # direct-from-leaves), parity-gated in pytest past the window
+    "s2_multires_rollup": q_s2_multires_rollup,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -2429,6 +2465,7 @@ ORACLES = {
     "text_language_id": SQL_LANG,
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
+    "s2_multires_rollup": SQL_S2_MRR,
     "text_repetition": SQL_TEXT_REP,
     "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,
