@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "s2_cap_cover_join",
     "s2_polygon_cover_join",
     "s2_knn_join",
+    "s2_multires_rollup",
 ]
 
 
@@ -147,6 +148,10 @@ def main() -> None:
         # kNN runs its whole expansion loop eagerly
         "s2_containment_join", "s2_cap_cover_join",
         "s2_polygon_cover_join", "s2_knn_join",
+        # the rollup cascade pins each level's partial with a lazy
+        # localCheckpoint — a reused object would count from the
+        # checkpointed RDDs and time only the final union
+        "s2_multires_rollup",
     }
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])
