@@ -170,6 +170,48 @@ def test_containment_join_plan_is_equi_broadcast(spark):
     assert got.equals(want)
 
 
+def test_containment_join_shuffled_path_degrades_not_fails(spark):
+    """The ADVICE-r4 scale guard: covers past ``max_broadcast_rows``
+    must degrade to shuffled hash joins (per-level equi keys, AQE
+    skew-splittable) — same rows as the broadcast plan, no broadcast
+    of the cover side, still never a nested loop."""
+    from osm_io_spark.operators.spatial_join import s2_containment_join
+    x, y, z = _random_dirs(n=1500, seed=11)
+    df = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(len(x)), "x": x, "y": y, "z": z}))
+    pts = (s2.with_s2_cell(df, F.col("x"), F.col("y"), F.col("z"))
+           .localCheckpoint(eager=False))
+    covers = (pts.filter(F.col("pid") % 37 == 0)
+              .select(s2.s2_parent_col(F.col("s2_cell"), 7).alias("cover_id"))
+              .distinct())
+    want = sorted(map(tuple, s2_containment_join(pts, covers)
+                      .select("pid", "cover_id").collect()))
+    # without the operator's explicit hint, Catalyst still auto-
+    # broadcasts a side this small — disable the threshold so the test
+    # sees the physical plan a genuinely large cover table would get
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for kw in (dict(broadcast_covers=False),
+                   dict(broadcast_covers="auto", max_broadcast_rows=0)):
+            joined = s2_containment_join(pts, covers, **kw)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, kw
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan), kw
+            assert ("NestedLoop" not in plan
+                    and "CartesianProduct" not in plan)
+            got = sorted(map(tuple,
+                             joined.select("pid", "cover_id").collect()))
+            assert got == want, kw
+        # the operator's own hint must still win over the threshold
+        forced = s2_containment_join(pts, covers, broadcast_covers=True)
+        assert "BroadcastHashJoin" in (forced._jdf.queryExecution()
+                                       .executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_cap_cover_completeness_and_budget():
     """No point inside the cap may be missed by the cover (the descent
     only prunes on the provable disjointness bound), covers never
