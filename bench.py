@@ -76,22 +76,10 @@ BENCH_QUERIES = [
 ]
 
 
-# Timing overrides where the registry function bundles a correctness
-# artifact the bench should not charge to the operator: q_knn_graph_ivf
-# also computes the EXACT graph for its recall column, so timing the
-# registry fn makes the IVF scale path look slower than the exact
-# `knn_graph` row it exists to beat. Bench the scale path alone — same
-# parameters as the registry query, matching sf1_evidence's
-# knn_graph_ivf_20k row.
-def _bench_knn_graph_ivf(spark, sf_dir):
-    from osm_io_spark.operators import ann as ANN
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ANN.knn_graph_ivf(emb, k=5, n_centroids=16, n_probe=8)
-
-
-BENCH_OVERRIDES = {
-    "knn_graph_ivf": _bench_knn_graph_ivf,
-}
+# Timing methodology (construct-in-timer set + per-entry overrides)
+# lives in osm_io_spark.benchdefs so the remeasure tool times EXACTLY
+# what this harness times — see that module's docstring.
+from osm_io_spark.benchdefs import BENCH_OVERRIDES, CONSTRUCT_IN_TIMER
 
 
 def main() -> None:
@@ -123,36 +111,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # queries whose driver function itself runs jobs (dedup_clusters'
-    # label-propagation rounds; the IVF queries' index build, which
-    # executes toPandas() passes before any count) must construct
-    # INSIDE the timer or the timing only covers the final cached
-    # count; everything else keeps the round-1 methodology
-    # (construction excluded — comparable across rounds, and plan
-    # building is a once-per-query driver cost)
-    construct_in_timer = {
-        "dedup_clusters", "corpus_curation",
-        "dedup_embedding_ivf", "ann_ivf_topk",
-        # image_curation runs clustering rounds, mm_embed_near_dup
-        # builds its IVF index, and knn_graph sizes its block grid
-        # with an eager count — same rule
-        "image_curation", "mm_embed_near_dup", "knn_graph",
-        "knn_graph_ivf",
-        # pack_sequences collects per-partition offsets eagerly;
-        # mm_caption_audit runs its caption-group guard aggregation
-        "pack_sequences", "mm_caption_audit",
-        # the S2 joins collect the distinct index levels eagerly,
-        # which materializes the checkpointed 30-level encode — the
-        # dominant cost must land inside the timer (same rule); the
-        # polygon join also computes its covers driver-side; the S2
-        # kNN runs its whole expansion loop eagerly
-        "s2_containment_join", "s2_cap_cover_join",
-        "s2_polygon_cover_join", "s2_knn_join",
-        # the rollup cascade pins each level's partial with a lazy
-        # localCheckpoint — a reused object would count from the
-        # checkpointed RDDs and time only the final union
-        "s2_multires_rollup",
-    }
+    construct_in_timer = CONSTRUCT_IN_TIMER
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])
         df = None if name in construct_in_timer else fn(spark, sf_dir)

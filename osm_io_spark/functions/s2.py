@@ -581,7 +581,16 @@ def s2_cover_rings_np(rings_latlon, max_level: int = 10,
     duplicate-free when one ring's fine cells nest inside another's
     coarse cell. ``rings_latlon`` is a sequence of (lats, lons) pairs;
     duplicated closing vertices (OSM closed-way convention) are
-    stripped."""
+    stripped.
+
+    The ``max_cells`` budget is TOTAL, not per ring: per-ring covers
+    are unioned, then the finest-level cells are lifted to their
+    parents (and re-normalized) until the union fits. Lifting only
+    loosens a cover, so completeness survives; downstream sizing
+    (containment-join fan-out, cover-table broadcast gate) can rely on
+    ≤ max_cells rows per polygon regardless of ring count — an OSM
+    coastline multipolygon with hundreds of rings would otherwise emit
+    hundreds × max_cells candidates."""
     per_ring = []
     for lats, lons in rings_latlon:
         lats = np.asarray(lats, np.float64)
@@ -590,7 +599,17 @@ def s2_cover_rings_np(rings_latlon, max_level: int = 10,
             lats, lons = lats[:-1], lons[:-1]
         per_ring.append(s2_cover_polygon_np(lats, lons, max_level=max_level,
                                             max_cells=max_cells))
-    return s2_cell_union_normalize_np(np.unique(np.concatenate(per_ring)))
+    cover = s2_cell_union_normalize_np(np.unique(np.concatenate(per_ring)))
+    while len(cover) > max_cells:
+        levels = s2_level_np(cover)
+        fin = int(levels.max())
+        if fin == 0:
+            break  # ≤ 6 face cells — can't coarsen further
+        mask = levels == fin
+        lifted = s2_parent_np(cover[mask], fin - 1)
+        cover = s2_cell_union_normalize_np(
+            np.unique(np.concatenate([cover[~mask], lifted])))
+    return cover
 
 
 # ---------------------------------------------------------------------------
@@ -647,6 +666,14 @@ def with_s2_cell(df: DataFrame, x: Column, y: Column, z: Column,
         raise ValueError(
             f"with_s2_cell scratch columns collide with input columns "
             f"{sorted(clash)}; rename them first")
+    if out in df.columns:
+        # appending (not replacing) — a pre-existing `out` would yield
+        # two same-named columns and AMBIGUOUS_REFERENCE far downstream
+        # (e.g. re-encoding rows read back from an s2_cell-keyed
+        # snapshot table); fail here with the fix instead
+        raise ValueError(
+            f"with_s2_cell output column {out!r} already exists on the "
+            f"input frame; drop it first or pass a different `out`")
     cols = [F.col(c) for c in df.columns]
     face, u, v = face_uv_col(x, y, z)
     base = df.select(*cols, face.alias("_s2f"),

@@ -20,15 +20,8 @@ import json
 import os
 import time
 
+from ..benchdefs import BENCH_OVERRIDES, CONSTRUCT_IN_TIMER
 from ..session import get_spark
-
-# mirror bench.py: these query functions run jobs during construction
-CONSTRUCT_IN_TIMER = {
-    "dedup_clusters", "corpus_curation", "dedup_embedding_ivf",
-    "ann_ivf_topk", "image_curation", "mm_embed_near_dup", "knn_graph",
-    "knn_graph_ivf", "pack_sequences", "mm_caption_audit",
-    "s2_containment_join", "s2_cap_cover_join", "s2_polygon_cover_join",
-}
 
 
 def run(argv: list[str] | None = None) -> dict:
@@ -54,7 +47,7 @@ def run(argv: list[str] | None = None) -> dict:
 
     results = {}
     for name in args.queries.split(","):
-        fn = Q.QUERIES[name]
+        fn = BENCH_OVERRIDES.get(name, Q.QUERIES[name])
         df = None if name in CONSTRUCT_IN_TIMER else fn(spark, args.sf_dir)
         samples = []
         for _ in range(args.repeats):

@@ -126,7 +126,10 @@ def knn_join(probe: DataFrame, build: DataFrame, k: int, res: int,
                  .filter(F.col("_rn") <= k)
                  .groupBy("_pid")
                  .agg(F.count("*").alias("_cnt"), F.max("_dist_sq").alias("_kth")))
-        settled_ids = stats.filter((F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe)))
+        # STRICT <: an unseen point exactly ON the annulus boundary
+        # gridline can tie _kth and win the (dist, bid) tie-break —
+        # same exactness rule as s2_knn_join's settle
+        settled_ids = stats.filter((F.col("_cnt") >= k) & (F.col("_kth") < F.lit(safe)))
         unsettled = (unsettled.join(settled_ids.select("_pid"), on="_pid", how="left_anti")
                      .localCheckpoint(eager=True))
         if r_hi >= n or unsettled.isEmpty():
@@ -228,7 +231,9 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
     every unseen build point lies outside the probe's level-ℓ cell, so
     its squared-chord distance is ≥ the probe's exact distance to the
     cell's 4 edge great-circles (_s2_boundary_chord2_np); a probe with
-    ≥ k candidates within that bound is settled. Unsettled probes
+    ≥ k candidates STRICTLY within that bound is settled (strict so an
+    unseen point at exactly the bound can never be beaten out of a
+    tie-break it would win). Unsettled probes
     coarsen (4x area per round, ≤ start_level+1 rounds); the residue
     still unsettled after its own FACE is exhausted (points near face
     boundaries) is finished by a broadcast join against the other
@@ -371,8 +376,12 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
                  .agg(F.count("*").alias("_cnt"),
                       F.max("_chord_sq").alias("_kth")))
         settled = (stats.join(safe_df, "_pid")
+                   # STRICT <: at _kth == _safe an unseen boundary
+                   # point could tie the k-th distance and win the
+                   # (chord, bid) tie-break — one more round (or the
+                   # residue/face finish) resolves it exactly
                    .filter((F.col("_cnt") >= k)
-                           & (F.col("_kth") <= F.col("_safe")))
+                           & (F.col("_kth") < F.col("_safe")))
                    .select("_pid"))
         unsettled = (unsettled.join(settled, "_pid", "left_anti")
                      .localCheckpoint(eager=True))

@@ -400,6 +400,9 @@ def s2_read_region_pruned(table, spark, cover_cells,
     rn, rx = S2.s2_range_np(cells)
     df, kept = table.read_pruned_multi(
         spark, cell_col, list(zip(rn.tolist(), rx.tolist())))
+    if len(cells) == 0:
+        # empty region ⇒ empty result (not df.filter(None) / TypeError)
+        return df.filter(F.lit(False)), kept
     levels = S2.s2_level_np(cells)
     cond = None
     for lvl in sorted(set(levels.tolist())):
@@ -423,7 +426,10 @@ def s2_cover_polygons(polygons: DataFrame, max_level: int = 12,
     array<array<struct>> rule, see _RINGS_TYPE above); the cover is
     the normalized union over ALL rings (multipolygons may carry
     several outer rings; holes never make a cover incomplete —
-    functions/s2.s2_cover_rings_np)."""
+    functions/s2.s2_cover_rings_np). The ≤max_cells budget is TOTAL
+    across a polygon's rings (parent-lifting in s2_cover_rings_np),
+    so per-polygon candidate fan-out stays capped even for a
+    hundreds-of-rings coastline multipolygon."""
     from ..functions import s2 as S2
     keep = _poly_key_cols(polygons, poly_cols)
     src = polygons.select(*keep, F.to_json("rings").alias("_rings_json"))
@@ -495,7 +501,10 @@ def s2_refine_rings(cand: DataFrame, px: str = "px", py: str = "py",
 def s2_spatial_join_polygons(images: DataFrame, polygons: DataFrame,
                              lat: str = "lat", lon: str = "lon",
                              max_level: int = 12, max_cells: int = 64,
-                             broadcast_covers: bool | str = "auto") -> DataFrame:
+                             broadcast_covers: bool | str = "auto",
+                             broadcast_dim: bool | str = "auto",
+                             max_broadcast_dim_rows: int = 500_000,
+                             ) -> DataFrame:
     """The north-star spine on the SPHERE: OSM-assembled polygons ⋈
     image points on the true S2 index — the spherical sibling of
     :func:`spatial_join_polygons` (planar Morton path, J7/J8).
@@ -513,8 +522,15 @@ def s2_spatial_join_polygons(images: DataFrame, polygons: DataFrame,
                  at most once — no post-join dedup shuffle.
       refine   → exact even-odd winding PIP incl. inner-ring holes
                  (s2_refine_rings, batched numpy), ring geometry joined
-                 back as a broadcast dim so the cover explode never
-                 duplicates ring JSON per cell.
+                 back as a dim so the cover explode never duplicates
+                 ring JSON per cell. ``broadcast_dim='auto'`` (default)
+                 broadcasts the rings dim only when the polygon table
+                 is ≤ ``max_broadcast_dim_rows`` rows — the threshold
+                 is deliberately lower than the cover gate because a
+                 dim row carries full ring JSON (KBs, not a long). Past
+                 the gate the dim joins as a shuffled hash join on the
+                 polygon key (Catalyst may still broadcast if it fits
+                 its byte threshold — size-aware, so safe).
 
     Returns matched rows: every image column, plus ``s2_cell`` (the
     per-image tile assignment) and the polygon identity columns
@@ -533,7 +549,9 @@ def s2_spatial_join_polygons(images: DataFrame, polygons: DataFrame,
     cand = s2_containment_join(pts, covers,
                                broadcast_covers=broadcast_covers)
     dim = polygons.select(*keep, F.to_json("rings").alias("_rings_json"))
-    cand = cand.join(F.broadcast(dim), keep)
+    if broadcast_dim == "auto":
+        broadcast_dim = polygons.count() <= max_broadcast_dim_rows
+    cand = cand.join(F.broadcast(dim) if broadcast_dim else dim, keep)
     refined = s2_refine_rings(cand)
     return refined.select(*images.columns, "s2_cell", *keep)
 

@@ -71,3 +71,21 @@ def test_bench_json_line_fits_driver_capture():
     # swaps in the fallback — but warn-by-failure if it ever grows so
     # large that even the per-query diagnostics are unprintable
     assert len(full) < 4 * 1900, len(full)
+
+
+def test_bench_methodology_is_shared_and_valid():
+    """r5 review: remeasure once carried a stale hand-copy of the
+    construct-in-timer set and ignored BENCH_OVERRIDES, so a targeted
+    're-measurement' could time a different computation than the bench
+    row it claimed to re-check. Both harnesses must consume the SAME
+    objects from osm_io_spark.benchdefs, and every name must resolve."""
+    import bench
+    from osm_io_spark import benchdefs
+    from osm_io_spark.jobs import remeasure
+
+    assert bench.CONSTRUCT_IN_TIMER is benchdefs.CONSTRUCT_IN_TIMER
+    assert bench.BENCH_OVERRIDES is benchdefs.BENCH_OVERRIDES
+    assert remeasure.CONSTRUCT_IN_TIMER is benchdefs.CONSTRUCT_IN_TIMER
+    assert remeasure.BENCH_OVERRIDES is benchdefs.BENCH_OVERRIDES
+    assert benchdefs.CONSTRUCT_IN_TIMER <= set(bench.BENCH_QUERIES)
+    assert set(benchdefs.BENCH_OVERRIDES) <= set(Q.QUERIES)

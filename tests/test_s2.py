@@ -426,3 +426,51 @@ def test_polygon_cover_join_query_matches_brute_force(spark):
             # a polygon may legitimately have no candidates at this sf,
             # but completeness forbids it having any true hits
             assert want == 0, (pid, want)
+
+
+def test_rings_cover_budget_is_total_not_per_ring():
+    """r5 review: per-ring budgets let a multi-ring polygon emit up to
+    n_rings*max_cells cells, unbounding the containment-join fan-out a
+    coastline multipolygon relies on being capped. The budget is now
+    TOTAL (parent-lifting after the union), and lifting only loosens —
+    completeness must survive."""
+    rng = np.random.default_rng(41)
+    # three disjoint outer rings far apart (the reviewer's repro shape)
+    rings = [
+        (np.array([10.0, 10.0, 12.0, 12.0]),
+         np.array([10.0, 12.0, 12.0, 10.0])),
+        (np.array([40.0, 40.0, 42.0, 42.0]),
+         np.array([-80.0, -78.0, -78.0, -80.0])),
+        (np.array([-30.0, -30.0, -28.0, -28.0]),
+         np.array([140.0, 142.0, 142.0, 140.0])),
+    ]
+    for budget in (8, 16, 64):
+        cover = s2.s2_cover_rings_np(rings, max_level=10, max_cells=budget)
+        assert 0 < len(cover) <= budget, (budget, len(cover))
+        # completeness: dense samples inside each ring stay covered
+        rn, rx = s2.s2_range_np(cover)
+        for (la0, la1), (lo0, lo1) in (((10, 12), (10, 12)),
+                                       ((40, 42), (-80, -78)),
+                                       ((-30, -28), (140, 142))):
+            lat = rng.uniform(la0 + 0.01, la1 - 0.01, 4000)
+            lon = rng.uniform(lo0 + 0.01, lo1 - 0.01, 4000)
+            leaf = s2.s2_from_latlon_np(lat, lon)
+            covered = ((leaf[:, None] >= rn[None, :])
+                       & (leaf[:, None] <= rx[None, :])).any(axis=1)
+            assert covered.all(), (budget, (~covered).sum())
+
+
+def test_with_s2_cell_rejects_existing_out_column(spark):
+    """r5 review: appending over a pre-existing `out` column yields two
+    same-named columns and AMBIGUOUS_REFERENCE far downstream (e.g.
+    re-encoding rows read back from an s2_cell-keyed snapshot); the
+    guard must fail fast at entry instead."""
+    df = (spark.range(4)
+          .select(F.lit(0.5).alias("x"), F.lit(0.5).alias("y"),
+                  F.lit(0.5).alias("z"), F.lit(1).alias("s2_cell")))
+    with pytest.raises(ValueError, match="already exists"):
+        s2.with_s2_cell(df, F.col("x"), F.col("y"), F.col("z"))
+    # a different out name passes
+    out = s2.with_s2_cell(df, F.col("x"), F.col("y"), F.col("z"),
+                          out="cell2")
+    assert out.columns.count("cell2") == 1

@@ -155,6 +155,24 @@ def test_s2_spine_matches_brute_force(spark, assembled, probe):
     assert len(want) > 0  # the fixture must actually exercise the join
 
 
+def test_s2_spine_shuffled_dim_matches_broadcast(spark, assembled, probe):
+    """r5 review: the rings dim was force-broadcast unconditionally —
+    at planet scale (~10^8 polygons × KBs of ring JSON each) that OOMs
+    one stage after the covers were distributed for exactly that
+    reason. Past the row gate the dim joins shuffled; results must be
+    identical either way."""
+    def key(r):
+        return (r["img_id"], r["polygon_id"], r["source"])
+    base = SJ.s2_spatial_join_polygons(probe, assembled)
+    shuffled = SJ.s2_spatial_join_polygons(probe, assembled,
+                                           broadcast_dim=False)
+    auto_off = SJ.s2_spatial_join_polygons(probe, assembled,
+                                           max_broadcast_dim_rows=0)
+    want = sorted(map(key, base.collect()))
+    assert sorted(map(key, shuffled.collect())) == want
+    assert sorted(map(key, auto_off.collect())) == want
+
+
 def test_s2_spine_multipolygon_holes(spark):
     """A relation polygon with an inner ring: probe points in the hole
     must NOT match; points in the ring area must."""

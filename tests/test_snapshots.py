@@ -338,6 +338,11 @@ def test_s2_region_read_prunes_manifest(spark, tmp_path):
     want = set(full["img_id"].to_numpy()[inside].tolist())
     assert got == want and len(want) > 0
 
+    # r5 review: an EMPTY cover (a region the caller computed to be
+    # void) must return an empty frame, not df.filter(None)/TypeError
+    df_empty, _ = s2_read_region_pruned(t, spark, [])
+    assert df_empty.count() == 0
+
 
 def test_curate_job_runs_and_resumes(spark, tmp_path):
     """The curation pipeline commits per-bucket partitions with metrics
