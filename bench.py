@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "s2_polygon_cover_join",
     "s2_knn_join",
     "s2_multires_rollup",
+    "tile_point_assign",
+    "tile_cover_assign",
+    "vector_tiles",
 ]
 
 

@@ -57,6 +57,33 @@ def _bench_knn_graph_ivf(spark, sf_dir):
     return ANN.knn_graph_ivf(emb, k=5, n_centroids=16, n_probe=8)
 
 
+# The registry's vector_tiles entry runs over the small PBF fixture
+# (so its brute-force parity suite stays cheap); the bench times the
+# same pipeline at SF scale instead — every part-table rect+triangle
+# polygon clipped/simplified/quantized into z=12 slippy tiles — so the
+# row reflects kernel + fan-out throughput, not fixture decode.
+def _bench_vector_tiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm_io_spark import queries as Q
+    from osm_io_spark.operators import tiles as TL
+
+    rects = Q.rect_polygons(spark, sf_dir)
+    ring = F.array(
+        F.struct(F.col("left").alias("lon"), F.col("bottom").alias("lat")),
+        F.struct(F.col("right").alias("lon"), F.col("bottom").alias("lat")),
+        F.struct(F.col("right").alias("lon"), F.col("top").alias("lat")),
+        F.struct(F.col("left").alias("lon"), F.col("top").alias("lat")))
+    rr = rects.select("polygon_id", F.array(ring).alias("rings"),
+                      "left", "bottom", "right", "top")
+    tr = Q.tri_polygons_ringed(spark, sf_dir).select(
+        "polygon_id", "rings", "left", "bottom", "right", "top")
+    polys = rr.unionByName(tr)
+    feats = TL.build_vector_tiles(polys, zoom=12)
+    return TL.tile_layer_stats(feats)
+
+
 BENCH_OVERRIDES = {
     "knn_graph_ivf": _bench_knn_graph_ivf,
+    "vector_tiles": _bench_vector_tiles,
 }

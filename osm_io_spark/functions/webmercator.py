@@ -1,0 +1,104 @@
+"""Web-Mercator XYZ ("slippy map") tile math — numpy / Column / SQL.
+
+The reference's tiling surface is the planar Morton tile of
+/root/reference/src/osm/apidb_dump/sql.rs:50-61 (exposed here as
+``functions.cells``); real map-tile delivery, however, is keyed by the
+published OSM slippy-map scheme (zoom/x/y on the spherical-Mercator
+projection).  This module adds that scheme as a first-class cell
+family, with the repo's usual three bit-identical implementations:
+
+- numpy kernels (``tile_xy_np``) for mapInPandas operators,
+- pure-Column expressions (``tile_x_col`` / ``tile_y_col``) that stay
+  inside whole-stage codegen for the hot encode path,
+- SQL text (``tile_x_sql`` / ``tile_y_sql``) for the DuckDB oracles.
+
+Published formula (OSM wiki, "Slippy map tilenames"):
+
+    n = 2^zoom
+    x = floor((lon + 180) / 360 * n)
+    y = floor((1 - asinh(tan(lat_rad)) / pi) / 2 * n)
+
+DuckDB has no ``asinh``, so all three implementations spell it as
+``ln(tan(r) + 1/cos(r))`` — algebraically identical for the clamped
+latitude domain (tan + sec > 0) and therefore the same double result
+in IEEE arithmetic on every engine that computes ``tan``/``cos``/``ln``
+to <1 ulp.  Latitudes are clamped to the Mercator singularity bound
+±85.05112878° and outputs to [0, n-1] (poles land in the edge rows,
+matching the published scheme's domain).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mercator latitude bound: atan(sinh(pi)) in degrees (published constant).
+MAX_LAT = 85.05112878
+
+
+def tile_xy_np(lat, lon, zoom: int):
+    """(x, y) tile indices at ``zoom`` for arrays of degrees."""
+    n = float(1 << zoom)
+    la = np.clip(np.asarray(lat, np.float64), -MAX_LAT, MAX_LAT)
+    lo = np.asarray(lon, np.float64)
+    r = np.radians(la)
+    x = np.floor((lo + 180.0) / 360.0 * n).astype(np.int64)
+    y = np.floor((1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / math.pi)
+                 / 2.0 * n).astype(np.int64)
+    hi = np.int64((1 << zoom) - 1)
+    return np.clip(x, 0, hi), np.clip(y, 0, hi)
+
+
+def tile_bounds_np(x, y, zoom: int):
+    """(left, bottom, right, top) degree bounds of tiles (y grows
+    southward per the slippy scheme, so ``top`` comes from ``y`` and
+    ``bottom`` from ``y + 1``)."""
+    n = float(1 << zoom)
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    left = x / n * 360.0 - 180.0
+    right = (x + 1.0) / n * 360.0 - 180.0
+
+    def _lat(yy):
+        return np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * yy / n))))
+
+    top = _lat(y)
+    bottom = _lat(y + 1.0)
+    return left, bottom, right, top
+
+
+def _clamp_col(v: Column, lo: float, hi: float) -> Column:
+    return F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+
+
+def tile_x_col(lon: Column, zoom: int) -> Column:
+    n = float(1 << zoom)
+    raw = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    return _clamp_col(raw, 0.0, float((1 << zoom) - 1)).cast("long")
+
+
+def tile_y_col(lat: Column, zoom: int) -> Column:
+    n = float(1 << zoom)
+    r = F.radians(_clamp_col(lat, -MAX_LAT, MAX_LAT))
+    merc = F.log(F.tan(r) + F.lit(1.0) / F.cos(r))
+    raw = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n))
+    return _clamp_col(raw, 0.0, float((1 << zoom) - 1)).cast("long")
+
+
+def tile_x_sql(lon: str, zoom: int) -> str:
+    n = float(1 << zoom)
+    hi = float((1 << zoom) - 1)
+    return (f"CAST(least(greatest(floor(({lon} + 180.0) / 360.0 * {n}), "
+            f"0.0), {hi}) AS BIGINT)")
+
+
+def tile_y_sql(lat: str, zoom: int) -> str:
+    n = float(1 << zoom)
+    hi = float((1 << zoom) - 1)
+    r = f"radians(least(greatest({lat}, {-MAX_LAT}), {MAX_LAT}))"
+    merc = f"ln(tan({r}) + 1.0 / cos({r}))"
+    return (f"CAST(least(greatest(floor((1.0 - {merc} / pi()) / 2.0 * {n}), "
+            f"0.0), {hi}) AS BIGINT)")

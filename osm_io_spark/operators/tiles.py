@@ -1,0 +1,339 @@
+"""Vector-tile building: cover → clip → simplify → quantize.
+
+The reference stops at assigning elements to its planar Morton tile
+(/root/reference/src/osm/apidb_dump/sql.rs:50-61); an actual tiling
+engine must also CUT geometry into per-tile pieces the way map servers
+emit Mapbox-Vector-Tile layers: for every Web-Mercator tile a polygon
+overlaps, clip the rings to the (buffered) tile rectangle, simplify at
+the tile's pixel resolution, and quantize to integer tile-local
+coordinates on a fixed extent grid (4096 is the published MVT default).
+
+Spark-first layout — the whole pipeline is ONE shuffle (the final
+per-tile aggregation, when the caller asks for it):
+
+  polygons ──(Column math: bbox → tile range)──► explode x ──►
+  explode y ──(mapInPandas numpy kernel: clip+simplify+quantize)──►
+  per-(tile, polygon) features
+
+The fan-out explode and the kernel pipeline in the SAME stage (no
+exchange in between — pinned in tests/test_plan_audit.py), so a
+polygon overlapping many tiles is cut by however many tasks its fan-out
+rows land in: hot coastline polygons parallelize by construction
+instead of hot-spotting one task.
+
+Scale guard: a polygon whose bbox at the requested zoom overlaps more
+than ``max_tiles_per_polygon`` tiles (a continent outline at z=15)
+fans out quadratically in zoom; the default raises with guidance to
+tile it at a coarser zoom first (same raise-and-route convention as
+dedup.ngram router / multimodal.max_caption_group).
+
+Clipping is exact in lon/lat space: Web-Mercator tile edges are
+meridians and parallels, i.e. axis-aligned lines in degree space, so a
+Sutherland–Hodgman clip of degree-space rings against the degree-space
+tile rectangle is geometrically exact for polygons whose edges are
+straight in lon/lat (the OSM convention).  The nonlinear Mercator y
+stretch is applied AFTER clipping, when vertices are projected to
+continuous tile-pixel coordinates for simplification + quantization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import webmercator as WM
+
+# ---------------------------------------------------------------------------
+# numpy geometry kernels
+# ---------------------------------------------------------------------------
+
+
+def _clip_half(pts: np.ndarray, keep: np.ndarray, axis: int,
+               value: float) -> np.ndarray:
+    """One Sutherland–Hodgman half-plane pass over an open ring.
+
+    ``keep`` is the inside mask for the current vertices; crossing
+    edges contribute the intersection with the axis-aligned boundary
+    line first, then the inside endpoint.  Fully vectorized: emitted
+    counts per vertex are 0/1/2, assembled with a cumsum offset table.
+    """
+    n = len(pts)
+    if n == 0 or keep.all():
+        return pts if keep.all() else pts[:0]
+    prev = np.roll(pts, 1, axis=0)
+    prev_keep = np.roll(keep, 1)
+    cross = keep != prev_keep
+    counts = cross.astype(np.int64) + keep.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.empty((int(counts.sum()), 2), np.float64)
+    if cross.any():
+        p, c = prev[cross], pts[cross]
+        other = 1 - axis
+        tt = (value - p[:, axis]) / (c[:, axis] - p[:, axis])
+        ipts = np.empty((len(p), 2), np.float64)
+        ipts[:, axis] = value
+        ipts[:, other] = p[:, other] + tt * (c[:, other] - p[:, other])
+        out[offs[cross]] = ipts
+    idx_cur = offs + cross.astype(np.int64)
+    out[idx_cur[keep]] = pts[keep]
+    return out
+
+
+def clip_ring_rect_np(pts: np.ndarray, left: float, bottom: float,
+                      right: float, top: float) -> np.ndarray:
+    """Clip an OPEN ring (no repeated closing vertex) to an axis-aligned
+    rectangle; returns an open ring (possibly empty)."""
+    pts = np.asarray(pts, np.float64).reshape(-1, 2)
+    pts = _clip_half(pts, pts[:, 0] >= left, 0, left)
+    if len(pts):
+        pts = _clip_half(pts, pts[:, 0] <= right, 0, right)
+    if len(pts):
+        pts = _clip_half(pts, pts[:, 1] >= bottom, 1, bottom)
+    if len(pts):
+        pts = _clip_half(pts, pts[:, 1] <= top, 1, top)
+    return pts
+
+
+def simplify_ring_np(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on an open ring (iterative, numpy per-chord
+    distance sweep).  The first vertex is the fixed anchor; the chord
+    for the initial span is first→last, falling back to
+    distance-to-point when a chord degenerates.  tol <= 0 keeps every
+    vertex (identity) so callers can disable simplification without a
+    code path change."""
+    pts = np.asarray(pts, np.float64).reshape(-1, 2)
+    n = len(pts)
+    if tol <= 0.0 or n <= 2:
+        return pts
+    keep = np.zeros(n, bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[i + 1:j]
+        dx = pts[j, 0] - pts[i, 0]
+        dy = pts[j, 1] - pts[i, 1]
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            d = np.hypot(seg[:, 0] - pts[i, 0], seg[:, 1] - pts[i, 1])
+        else:
+            d = np.abs((seg[:, 0] - pts[i, 0]) * dy
+                       - (seg[:, 1] - pts[i, 1]) * dx) / math.sqrt(l2)
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return pts[keep]
+
+
+def ring_area2_np(pts: np.ndarray) -> float:
+    """Twice the signed shoelace area of an open ring."""
+    pts = np.asarray(pts, np.float64).reshape(-1, 2)
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * yn - xn * y))
+
+
+def _dedupe_consecutive(q: np.ndarray) -> np.ndarray:
+    """Drop consecutive duplicate integer vertices, then any trailing
+    vertices equal to the first (open-ring wraparound)."""
+    if len(q) == 0:
+        return q
+    diff = np.any(q != np.roll(q, 1, axis=0), axis=1)
+    diff[0] = True
+    if not diff.all():
+        q = q[diff]
+    while len(q) > 1 and (q[-1] == q[0]).all():
+        q = q[:-1]
+    return q
+
+
+# Mercator continuous tile-coordinate helpers (degree → [0, 2^z) floats).
+
+def _merc_xy_np(lon: np.ndarray, lat: np.ndarray, zoom: int):
+    n = float(1 << zoom)
+    la = np.clip(lat, -WM.MAX_LAT, WM.MAX_LAT)
+    r = np.radians(la)
+    X = (lon + 180.0) / 360.0 * n
+    Y = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / math.pi) / 2.0 * n
+    return X, Y
+
+
+def _inv_merc_lat(Y: float, zoom: int) -> float:
+    n = float(1 << zoom)
+    return math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * Y / n))))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("polygon_id", T.LongType()),
+    T.StructField("rings_q", T.ArrayType(T.ArrayType(T.StructType([
+        T.StructField("px", T.IntegerType()),
+        T.StructField("py", T.IntegerType()),
+    ])))),
+    T.StructField("n_pts", T.IntegerType()),
+    T.StructField("area_px2", T.DoubleType()),
+])
+
+
+def tile_cover(polys: DataFrame, zoom: int,
+               max_tiles_per_polygon: int = 4096) -> DataFrame:
+    """Fan a polygon frame (… left/bottom/right/top bbox cols) out to
+    one row per overlapped Web-Mercator tile at ``zoom``.
+
+    Pure Column math + two explodes — stays in the scan's stage, no
+    shuffle, no driver collect.  Tile range per polygon is the bbox's
+    tile-index range (slippy y grows southward: y range comes from
+    top→bottom).  The guard raises in-task (raise_error folded into the
+    fan-out column, so Catalyst cannot prune it) when a polygon's
+    fan-out exceeds ``max_tiles_per_polygon``; pass None to disable
+    (e.g. after pre-splitting giant polygons at a coarser zoom)."""
+    d = (polys.withColumn("_x0", WM.tile_x_col(F.col("left"), zoom))
+              .withColumn("_x1", WM.tile_x_col(F.col("right"), zoom))
+              .withColumn("_y0", WM.tile_y_col(F.col("top"), zoom))
+              .withColumn("_y1", WM.tile_y_col(F.col("bottom"), zoom)))
+    if max_tiles_per_polygon is not None:
+        n_tiles = (F.col("_x1") - F.col("_x0") + 1) * \
+                  (F.col("_y1") - F.col("_y0") + 1)
+        msg = F.concat(
+            F.lit("tile_cover: polygon "), F.col("polygon_id").cast("string"),
+            F.lit(f" overlaps > {max_tiles_per_polygon} tiles at zoom "
+                  f"{zoom}; tile at a coarser zoom or raise "
+                  f"max_tiles_per_polygon"))
+        d = d.withColumn("_x0", F.when(
+            n_tiles <= F.lit(int(max_tiles_per_polygon)), F.col("_x0")
+        ).otherwise(F.raise_error(msg).cast("long")))
+    return (d.withColumn("x", F.explode(F.sequence("_x0", "_x1")))
+             .withColumn("y", F.explode(F.sequence("_y0", "_y1")))
+             .withColumn("z", F.lit(zoom).cast("int"))
+             .drop("_x0", "_x1", "_y0", "_y1"))
+
+
+def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
+                  buffer_px: int, tol_px: float):
+    """Kernel: one (polygon, tile) row → 0 or 1 clipped feature row.
+
+    Ring geometry arrives FLATTENED (ring_len + parallel lons/lats
+    primitive arrays): Arrow moves primitive arrays zero-copy into
+    numpy, where ragged array<array<struct>> cells both fail pandas
+    conversion and would cost a dict per vertex."""
+    out = {k: [] for k in
+           ("z", "x", "y", "polygon_id", "rings_q", "n_pts", "area_px2")}
+    n = float(1 << zoom)
+    for row in pdf.itertuples(index=False):
+        x, y = int(row.x), int(row.y)
+        # buffered tile rect in degree space (lon linear, lat via the
+        # inverse Mercator of the buffered continuous tile coords)
+        fb = buffer_px / float(extent)
+        lon_l = (x - fb) / n * 360.0 - 180.0
+        lon_r = (x + 1 + fb) / n * 360.0 - 180.0
+        lat_t = _inv_merc_lat(y - fb, zoom)
+        lat_b = _inv_merc_lat(y + 1 + fb, zoom)
+        rings_q = []
+        tot_pts = 0
+        area2 = 0.0
+        lens = np.asarray(row.ring_len, np.int64)
+        lons = np.asarray(row.lons, np.float64)
+        lats = np.asarray(row.lats, np.float64)
+        bounds = np.cumsum(lens)[:-1]
+        for rl, rlat in zip(np.split(lons, bounds), np.split(lats, bounds)):
+            pts = np.column_stack([rl, rlat])
+            if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+                pts = pts[:-1]  # open the ring for clipping
+            cl = clip_ring_rect_np(pts, lon_l, lat_b, lon_r, lat_t)
+            if len(cl) < 3:
+                continue
+            # project to continuous tile-pixel coords
+            X, Y = _merc_xy_np(cl[:, 0], cl[:, 1], zoom)
+            px = (X - x) * float(extent)
+            py = (Y - y) * float(extent)
+            pix = np.column_stack([px, py])
+            pix = simplify_ring_np(pix, tol_px)
+            if len(pix) < 3:
+                continue
+            q = np.floor(pix + 0.5).astype(np.int64)
+            q = _dedupe_consecutive(q)
+            if len(q) < 3 or ring_area2_np(q) == 0.0:
+                continue
+            rings_q.append([{"px": int(a), "py": int(b)} for a, b in q])
+            tot_pts += len(q)
+            area2 += ring_area2_np(q)
+        # net signed area 0 ⇒ the rings cancel under the even-odd rule
+        # (e.g. a tile wholly inside a multipolygon hole clips to two
+        # coincident opposite-wound squares) — nothing to render, drop
+        # the feature.  Per published MVT practice, winding is the
+        # data's responsibility: same-wound coincident rings would slip
+        # past this check, matching how real encoders treat them.
+        if not rings_q or area2 == 0.0:
+            continue
+        out["z"].append(zoom)
+        out["x"].append(x)
+        out["y"].append(y)
+        out["polygon_id"].append(int(row.polygon_id))
+        out["rings_q"].append(rings_q)
+        out["n_pts"].append(tot_pts)
+        # abs: outer CCW / inner CW cancel, matching even-odd fill area
+        out["area_px2"].append(abs(area2) / 2.0)
+    return pd.DataFrame(out)
+
+
+def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
+                       buffer_px: int = 16, tol_px: float = 1.0,
+                       max_tiles_per_polygon: int = 4096) -> DataFrame:
+    """Polygons (polygon_id, rings, left/bottom/right/top) → per-tile
+    clipped + simplified + quantized features (FEATURE_SCHEMA).
+
+    One stage end-to-end: scan → tile fan-out (Column explode) →
+    mapInPandas kernel; no shuffle until the caller aggregates.
+    ``buffer_px`` is the published MVT overzoom margin (vertices up to
+    that many pixels outside the tile are kept so adjacent tiles render
+    seamless borders); ``tol_px`` the Douglas–Peucker tolerance in
+    pixel units (0 disables)."""
+    # Flatten rings to primitive arrays BEFORE the tile fan-out: the
+    # higher-order transform/flatten Columns are interpreted (CLAUDE.md
+    # rule), so they must run once per polygon, not once per
+    # (polygon, tile) row — and ragged array<array<struct>> cells can't
+    # cross the Arrow boundary into the kernel anyway.
+    flat = polys.select(
+        "polygon_id", "left", "bottom", "right", "top",
+        F.transform("rings", F.size).alias("ring_len"),
+        F.flatten(F.transform(
+            "rings", lambda r: F.transform(r, lambda p: p["lon"])))
+        .alias("lons"),
+        F.flatten(F.transform(
+            "rings", lambda r: F.transform(r, lambda p: p["lat"])))
+        .alias("lats"))
+    cov = tile_cover(flat, zoom, max_tiles_per_polygon)
+    cov = cov.select("polygon_id", "x", "y", "ring_len", "lons", "lats")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _feature_rows(pdf, zoom, extent, buffer_px, tol_px)
+
+    return cov.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def tile_layer_stats(features: DataFrame) -> DataFrame:
+    """Per-tile layer statistics — the one shuffle of the pipeline."""
+    return (features.groupBy("z", "x", "y")
+            .agg(F.count("*").alias("n_features"),
+                 F.sum("n_pts").alias("n_pts"),
+                 F.sum("area_px2").alias("area_px2")))

@@ -2298,6 +2298,98 @@ def q_s2_osm_polygon_join(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Web-Mercator (slippy) tiling — round 5
+# ---------------------------------------------------------------------------
+
+TILE_Z_PT = 7      # point→tile assignment zoom (the 10^12-image path)
+TILE_Z_COVER = 9   # polygon bbox→tile fan-out zoom
+
+from .functions import webmercator as _WM  # noqa: E402  (SQL text + Columns)
+
+
+def q_tile_point_assign(spark, sf_dir):
+    """Every image → its Web-Mercator slippy tile (published OSM
+    zoom/x/y scheme, functions/webmercator.py) at z=7, aggregated per
+    tile — the delivery-keyed sibling of c1_zorder_tile's reference
+    Morton tile (/root/reference/src/osm/apidb_dump/sql.rs:50-61).
+    Pure Column math (radians/tan/log stay in codegen); one shuffle
+    (the tile groupBy)."""
+    from .functions import webmercator as WM
+
+    img = images_probe(spark, sf_dir)
+    d = img.select(
+        "img_id",
+        WM.tile_x_col(F.col("lon"), TILE_Z_PT).alias("tx"),
+        WM.tile_y_col(F.col("lat"), TILE_Z_PT).alias("ty"))
+    return (d.groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.min("img_id").alias("min_img"))
+            .withColumn("z", F.lit(TILE_Z_PT).cast("int")))
+
+
+SQL_TILE_PT = f"""
+WITH images AS ({IMAGES_SQL}),
+t AS (
+  SELECT img_id,
+         {_WM.tile_x_sql('lon', TILE_Z_PT)} AS tx,
+         {_WM.tile_y_sql('lat', TILE_Z_PT)} AS ty
+  FROM images)
+SELECT tx, ty, count(*) AS n_images, min(img_id) AS min_img,
+       CAST({TILE_Z_PT} AS INTEGER) AS z
+FROM t GROUP BY tx, ty
+"""
+
+
+def q_tile_cover_assign(spark, sf_dir):
+    """Polygon bbox → every overlapped slippy tile at z=9 via the
+    zero-shuffle Column fan-out (operators/tiles.tile_cover: tile-range
+    math + two explodes, scale-guarded). The oracle reproduces the
+    fan-out with DuckDB's two-stage unnest(generate_series(...))."""
+    from .operators import tiles as TL
+
+    rects = rect_polygons(spark, sf_dir)
+    cov = TL.tile_cover(rects, TILE_Z_COVER)
+    return cov.select("polygon_id", "z", "x", "y")
+
+
+SQL_TILE_COVER = f"""
+WITH rects AS ({RECTS_SQL}),
+rg AS (
+  SELECT polygon_id,
+         {_WM.tile_x_sql('"left"', TILE_Z_COVER)} AS x0,
+         {_WM.tile_x_sql('"right"', TILE_Z_COVER)} AS x1,
+         {_WM.tile_y_sql('"top"', TILE_Z_COVER)} AS y0,
+         {_WM.tile_y_sql('"bottom"', TILE_Z_COVER)} AS y1
+  FROM rects),
+fx AS (
+  SELECT polygon_id, unnest(generate_series(x0, x1)) AS x, y0, y1
+  FROM rg)
+SELECT polygon_id, CAST({TILE_Z_COVER} AS INTEGER) AS z, x,
+       unnest(generate_series(y0, y1)) AS y
+FROM fx
+"""
+
+
+def q_vector_tiles(spark, sf_dir):
+    """The tiling engine end-to-end: PBF fixture → polygon assembly →
+    Web-Mercator tile fan-out → Sutherland–Hodgman clip to the buffered
+    tile rect → Douglas–Peucker simplify at pixel tolerance → integer
+    quantization on the MVT 4096 extent → per-tile layer stats.
+    Single-stage scan→explode→mapInPandas plan (pinned in
+    tests/test_plan_audit.py); engine-native rows-only (recursive
+    clip/simplify has no SQL equivalent), features brute-force-verified
+    against a pure-Python reference in tests/test_tiles.py."""
+    from .operators import assemble as ASM
+    from .operators import tiles as TL
+    from .sources.pbf import decode as PD
+
+    path = _fixture_pbf_path(spark)
+    polys = ASM.assemble_polygons(PD.read_pbf(spark, path))
+    feats = TL.build_vector_tiles(polys, zoom=13)
+    return TL.tile_layer_stats(feats).orderBy("z", "x", "y")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2313,6 +2405,12 @@ QUERIES = {
     # swap policy note above the rows-only tail)
     "s2_cellid": q_s2_cellid,
     "s2_containment_join": q_s2_containment_join,
+    # Web-Mercator slippy tiling — rotated INTO the window in round 5
+    # (swap policy below: text_repetition / text_vocab moved out; the
+    # tile fan-out has explode/partition failure modes the driver can
+    # actually catch, the two text Columns don't)
+    "tile_point_assign": q_tile_point_assign,
+    "tile_cover_assign": q_tile_cover_assign,
     "agg_cell_rollup": q_agg_cell_rollup,
     "a2_bounding_box": q_a2_bounding_box,
     # relational / reference operator analogues
@@ -2341,8 +2439,6 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "text_chunks": q_text_chunks,
     "text_language_id": q_text_language_id,
-    "text_repetition": q_text_repetition,
-    "text_vocab": q_text_vocab,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2387,6 +2483,11 @@ QUERIES = {
     # oracled-but-rotated-out (pytest parity; past the driver window)
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    # rotated out in round 5b for the slippy-tile pair (same policy:
+    # pure Column text transforms, zero join/partition risk, oracles
+    # kept so pytest still hash-checks them)
+    "text_repetition": q_text_repetition,
+    "text_vocab": q_text_vocab,
     # round-5: cascaded S2 multires rollup — oracled (cascade proven ==
     # direct-from-leaves), parity-gated in pytest past the window
     "s2_multires_rollup": q_s2_multires_rollup,
@@ -2429,6 +2530,10 @@ QUERIES = {
     # round-5: streaming enrichment on the S2 index (stateless encode +
     # stream-static hierarchical containment join)
     "stream_s2_enrich": q_stream_s2_enrich,
+    # round-5: vector-tile building (clip+simplify+quantize kernels are
+    # recursive numpy — no SQL equivalent; brute-force parity vs a
+    # pure-Python reference in tests/test_tiles.py)
+    "vector_tiles": q_vector_tiles,
 }
 
 ORACLES = {
@@ -2466,6 +2571,8 @@ ORACLES = {
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
     "s2_multires_rollup": SQL_S2_MRR,
+    "tile_point_assign": SQL_TILE_PT,
+    "tile_cover_assign": SQL_TILE_COVER,
     "text_repetition": SQL_TEXT_REP,
     "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,

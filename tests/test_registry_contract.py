@@ -46,6 +46,19 @@ def test_round5_window_rotation():
         assert rotated in Q.ORACLES and rotated not in window, rotated
 
 
+def test_round5b_window_rotation():
+    """Round-5b swap: the slippy-tile pair (fan-out/partition failure
+    modes the driver can catch) sits inside the window; the two
+    rotated-out text Column transforms keep their oracles outside it.
+    The mm invariant pair must never be displaced (north-rule row)."""
+    names = list(Q.QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    assert {"tile_point_assign", "tile_cover_assign"} <= window
+    assert {"mm_row_invariants", "mm_decode_stats"} <= window
+    for rotated in ("text_repetition", "text_vocab"):
+        assert rotated in Q.ORACLES and rotated not in window, rotated
+
+
 def test_every_oracle_key_is_a_registry_key():
     missing = set(Q.ORACLES) - set(Q.QUERIES)
     assert not missing, f"ORACLES keys without a queries() entry: {missing}"
