@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import webmercator as WM
+from .util import widen
 
 # ---------------------------------------------------------------------------
 # numpy geometry kernels
@@ -65,8 +66,12 @@ def _clip_half(pts: np.ndarray, keep: np.ndarray, axis: int,
     n = len(pts)
     if n == 0 or keep.all():
         return pts if keep.all() else pts[:0]
-    prev = np.roll(pts, 1, axis=0)
-    prev_keep = np.roll(keep, 1)
+    prev = np.empty_like(pts)
+    prev[0] = pts[-1]
+    prev[1:] = pts[:-1]
+    prev_keep = np.empty_like(keep)
+    prev_keep[0] = keep[-1]
+    prev_keep[1:] = keep[:-1]
     cross = keep != prev_keep
     counts = cross.astype(np.int64) + keep.astype(np.int64)
     offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -141,8 +146,8 @@ def ring_area2_np(pts: np.ndarray) -> float:
     if len(pts) < 3:
         return 0.0
     x, y = pts[:, 0], pts[:, 1]
-    xn, yn = np.roll(x, -1), np.roll(y, -1)
-    return float(np.sum(x * yn - xn * y))
+    s = float(x[:-1] @ y[1:] - x[1:] @ y[:-1])
+    return s + float(x[-1] * y[0] - x[0] * y[-1])
 
 
 def _dedupe_consecutive(q: np.ndarray) -> np.ndarray:
@@ -150,8 +155,9 @@ def _dedupe_consecutive(q: np.ndarray) -> np.ndarray:
     vertices equal to the first (open-ring wraparound)."""
     if len(q) == 0:
         return q
-    diff = np.any(q != np.roll(q, 1, axis=0), axis=1)
+    diff = np.empty(len(q), bool)
     diff[0] = True
+    np.any(q[1:] != q[:-1], axis=1, out=diff[1:])
     if not diff.all():
         q = q[diff]
     while len(q) > 1 and (q[-1] == q[0]).all():
@@ -179,15 +185,20 @@ def _inv_merc_lat(Y: float, zoom: int) -> float:
 # DataFrame operators
 # ---------------------------------------------------------------------------
 
+# Quantized rings are emitted FLAT (ring_lens + parallel pxs/pys), the
+# same primitive-array layout the kernel consumes: Arrow moves these
+# zero-copy, where an array<array<struct<px,py>>> column costs a Python
+# dict per vertex on the way out (measured ~2x on the sf0.1 bench) and
+# ragged nesting breaks toPandas. An MVT encoder slices ring i as
+# pxs[sum(lens[:i]) : sum(lens[:i+1])].
 FEATURE_SCHEMA = T.StructType([
     T.StructField("z", T.IntegerType()),
     T.StructField("x", T.LongType()),
     T.StructField("y", T.LongType()),
     T.StructField("polygon_id", T.LongType()),
-    T.StructField("rings_q", T.ArrayType(T.ArrayType(T.StructType([
-        T.StructField("px", T.IntegerType()),
-        T.StructField("py", T.IntegerType()),
-    ])))),
+    T.StructField("ring_lens", T.ArrayType(T.IntegerType())),
+    T.StructField("pxs", T.ArrayType(T.IntegerType())),
+    T.StructField("pys", T.ArrayType(T.IntegerType())),
     T.StructField("n_pts", T.IntegerType()),
     T.StructField("area_px2", T.DoubleType()),
 ])
@@ -234,8 +245,8 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
     primitive arrays): Arrow moves primitive arrays zero-copy into
     numpy, where ragged array<array<struct>> cells both fail pandas
     conversion and would cost a dict per vertex."""
-    out = {k: [] for k in
-           ("z", "x", "y", "polygon_id", "rings_q", "n_pts", "area_px2")}
+    out = {k: [] for k in ("z", "x", "y", "polygon_id", "ring_lens",
+                           "pxs", "pys", "n_pts", "area_px2")}
     n = float(1 << zoom)
     for row in pdf.itertuples(index=False):
         x, y = int(row.x), int(row.y)
@@ -270,11 +281,14 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
                 continue
             q = np.floor(pix + 0.5).astype(np.int64)
             q = _dedupe_consecutive(q)
-            if len(q) < 3 or ring_area2_np(q) == 0.0:
+            if len(q) < 3:
                 continue
-            rings_q.append([{"px": int(a), "py": int(b)} for a, b in q])
+            a2 = ring_area2_np(q)
+            if a2 == 0.0:
+                continue
+            rings_q.append(q)
             tot_pts += len(q)
-            area2 += ring_area2_np(q)
+            area2 += a2
         # net signed area 0 ⇒ the rings cancel under the even-odd rule
         # (e.g. a tile wholly inside a multipolygon hole clips to two
         # coincident opposite-wound squares) — nothing to render, drop
@@ -283,11 +297,15 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
         # past this check, matching how real encoders treat them.
         if not rings_q or area2 == 0.0:
             continue
+        allq = np.concatenate(rings_q)
         out["z"].append(zoom)
         out["x"].append(x)
         out["y"].append(y)
         out["polygon_id"].append(int(row.polygon_id))
-        out["rings_q"].append(rings_q)
+        out["ring_lens"].append(np.array([len(r) for r in rings_q],
+                                         np.int32))
+        out["pxs"].append(allq[:, 0].astype(np.int32))
+        out["pys"].append(allq[:, 1].astype(np.int32))
         out["n_pts"].append(tot_pts)
         # abs: outer CCW / inner CW cancel, matching even-odd fill area
         out["area_px2"].append(abs(area2) / 2.0)
@@ -322,6 +340,13 @@ def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
         .alias("lats"))
     cov = tile_cover(flat, zoom, max_tiles_per_polygon)
     cov = cov.select("polygon_id", "x", "y", "ring_len", "lons", "lats")
+    # The (polygon, tile) fan-out inherits the SOURCE's partitioning —
+    # 1-2 parquet splits at bench scale would pin the Python kernel to
+    # 1-2 cores (CLAUDE.md widen rule; measured 55s → ~4s at sf0.1).
+    # widen() is a no-op at production split counts, so the extra
+    # shuffle is only paid when it is trivially cheap; it also spreads
+    # a hot giant polygon's tiles across the cluster.
+    cov = widen(cov)
 
     def run(batches):
         for pdf in batches:

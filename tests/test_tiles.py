@@ -318,7 +318,8 @@ def test_vector_tiles_end_to_end(spark):
         pix = _dp_scalar(pix, tol)
         q = np.floor(pix + 0.5).astype(np.int64)
         q = TL._dedupe_consecutive(q)
-        got = np.array([[p["px"], p["py"]] for p in row.rings_q[0]])
+        assert list(row.ring_lens) == [len(q)]
+        got = np.column_stack([np.asarray(row.pxs), np.asarray(row.pys)])
         assert (got == q).all(), (row.x, row.y)
         # quantized coords stay within the buffered extent
         assert got.min() >= -buf - 1 and got.max() <= extent + buf + 1
@@ -335,18 +336,31 @@ def test_vector_tiles_quantized_bounds_on_fixture(spark):
     feats = TL.build_vector_tiles(polys, zoom=13).collect()
     assert len(feats) > 50
     for row in feats:
-        for ring in row.rings_q:
-            arr = np.array([[p["px"], p["py"]] for p in ring])
-            assert len(arr) >= 3
-            assert arr.min() >= -17 and arr.max() <= 4096 + 17
+        lens = list(row.ring_lens)
+        assert sum(lens) == len(row.pxs) == len(row.pys) == row.n_pts
+        assert min(lens) >= 3
+        arr = np.concatenate([np.asarray(row.pxs), np.asarray(row.pys)])
+        assert arr.min() >= -17 and arr.max() <= 4096 + 17
         assert row.area_px2 > 0
 
 
-def test_vector_tiles_single_stage_plan(spark):
-    """Scan → fan-out explode → mapInPandas must pipeline in one stage:
-    no Exchange anywhere below the kernel (the only shuffle of the
-    full pipeline is tile_layer_stats' aggregation)."""
+def test_vector_tiles_single_widen_plan(spark):
+    """The pipeline's only pre-aggregation exchange is the deliberate
+    round-robin widen() between the fan-out and the Python kernel
+    (CLAUDE.md: 1-2 parquet splits at bench scale would pin the
+    map-heavy stage to 1-2 cores). No hash shuffle of the data, and
+    exactly one exchange below the kernel."""
+    # already-wide input: widen is a no-op, pipeline is exchange-free
     df = _square_poly_df(spark, 13.4, 52.5, 0.6)
-    feats = TL.build_vector_tiles(df, 11)
-    plan = feats._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    plan = TL.build_vector_tiles(df, 11)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    # narrow input (the 1-2-split bench shape): exactly one round-robin
+    # exchange, never a hash shuffle of the ring data
+    # (the repartition(1) that narrows the input is itself the first
+    # exchange; widen's round-robin is the second and last)
+    plan1 = TL.build_vector_tiles(df.repartition(1), 11) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("Exchange") == 2, plan1
+    assert "RoundRobinPartitioning(4)" in plan1, plan1
+    assert "hashpartitioning" not in plan1, plan1
