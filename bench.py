@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "tile_point_assign",
     "tile_cover_assign",
     "vector_tiles",
+    "tile_pyramid",
 ]
 
 

@@ -37,10 +37,10 @@ CONSTRUCT_IN_TIMER = {
     # expansion loop eagerly
     "s2_containment_join", "s2_cap_cover_join",
     "s2_polygon_cover_join", "s2_knn_join",
-    # the rollup cascade pins each level's partial with a lazy
+    # the rollup cascades pin each level's partial with a lazy
     # localCheckpoint — a reused object would count from the
     # checkpointed RDDs and time only the final union
-    "s2_multires_rollup",
+    "s2_multires_rollup", "tile_pyramid",
 }
 
 

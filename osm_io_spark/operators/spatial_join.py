@@ -592,21 +592,8 @@ def s2_multires_rollup(df: DataFrame, levels, aggs,
     if len(levels) < 1 or len(set(levels)) != len(levels) or \
             levels != sorted(levels, reverse=True):
         raise ValueError("levels must be strictly decreasing S2 levels")
-    leaf_aggs, re_aggs = [], []
-    for alias, (kind, col) in aggs.items():
-        col = F.col(col) if isinstance(col, str) else col
-        if kind == "count":
-            leaf_aggs.append(F.count(F.lit(1)).alias(alias))
-            re_aggs.append(F.sum(alias).alias(alias))
-        elif kind == "sum":
-            leaf_aggs.append(F.sum(col).alias(alias))
-            re_aggs.append(F.sum(alias).alias(alias))
-        elif kind in ("min", "max"):
-            fn = getattr(F, kind)
-            leaf_aggs.append(fn(col).alias(alias))
-            re_aggs.append(fn(alias).alias(alias))
-        else:
-            raise ValueError(f"non-re-aggregable agg kind: {kind!r}")
+    from .util import cascade_aggs
+    leaf_aggs, re_aggs = cascade_aggs(aggs)
     cur = (df.groupBy(S2.s2_parent_col(F.col(cell), levels[0])
                       .alias("cell"))
            .agg(*leaf_aggs)

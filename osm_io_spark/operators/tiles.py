@@ -362,3 +362,47 @@ def tile_layer_stats(features: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_features"),
                  F.sum("n_pts").alias("n_pts"),
                  F.sum("area_px2").alias("area_px2")))
+
+
+def tile_pyramid_rollup(df: DataFrame, zooms, aggs,
+                        x: str = "x", y: str = "y") -> DataFrame:
+    """Cascaded zoom pyramid on the slippy hierarchy — the Web-Mercator
+    sibling of spatial_join.s2_multires_rollup (same hypertable-rollup
+    shape, proven 5.7x over per-level leaf aggregation at 100M rows in
+    BENCH/S2.md): aggregate the leaf table ONCE at ``zooms[0]``, then
+    every coarser zoom re-aggregates the previous level's partial via
+    the parent bit-shift (parent of (z, x, y) is (z-1, x>>1, y>>1) —
+    the published slippy scheme's quadtree). Each step shrinks the
+    input ~4^Δz, so a z15→z0 heatmap pyramid over 10^12 images costs
+    one leaf shuffle plus a vanishing tail.
+
+    ``zooms``: strictly decreasing; ``df`` carries tile coords at
+    ``zooms[0]`` in columns ``x``/``y``. ``aggs`` as cascade_aggs.
+    Each partial fans out (output union + next step) — pinned with a
+    lazy localCheckpoint per the fan-out rule.
+
+    Returns ``(z int, x long, y long, *aliases)``, all zooms unioned.
+    """
+    from .util import cascade_aggs
+
+    zooms = list(zooms)
+    if len(zooms) < 1 or len(set(zooms)) != len(zooms) or \
+            zooms != sorted(zooms, reverse=True):
+        raise ValueError("zooms must be strictly decreasing")
+    leaf_aggs, re_aggs = cascade_aggs(aggs)
+    cur = (df.groupBy(F.col(x).alias("x"), F.col(y).alias("y"))
+           .agg(*leaf_aggs)
+           .select(F.lit(zooms[0]).cast("int").alias("z"), "*")
+           .localCheckpoint(eager=False))
+    out = cur
+    prev = zooms[0]
+    for zv in zooms[1:]:
+        dz = prev - zv
+        cur = (cur.groupBy(F.shiftright("x", dz).alias("x"),
+                           F.shiftright("y", dz).alias("y"))
+               .agg(*re_aggs)
+               .select(F.lit(zv).cast("int").alias("z"), "*")
+               .localCheckpoint(eager=False))
+        out = out.unionByName(cur)
+        prev = zv
+    return out

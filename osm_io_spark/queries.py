@@ -2370,6 +2370,47 @@ FROM fx
 """
 
 
+TILE_PYR_ZOOMS = (9, 7, 4)
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Heatmap tile pyramid over the image table: leaf tile assignment
+    at z=9, then cascaded re-aggregation to z=7 and z=4 via the slippy
+    quadtree parent shift (operators/tiles.tile_pyramid_rollup — the
+    Web-Mercator sibling of s2_multires_rollup). The oracle computes
+    EVERY level directly from the leaves, proving the cascade exact
+    (count→sum-of-counts, min→min; same contract as SQL_S2_MRR)."""
+    from .operators import tiles as TL
+
+    img = images_probe(spark, sf_dir)
+    leaf = img.select(
+        "img_id",
+        _WM.tile_x_col(F.col("lon"), TILE_PYR_ZOOMS[0]).alias("x"),
+        _WM.tile_y_col(F.col("lat"), TILE_PYR_ZOOMS[0]).alias("y"))
+    return TL.tile_pyramid_rollup(
+        leaf, TILE_PYR_ZOOMS,
+        {"n_images": ("count", "img_id"), "min_img": ("min", "img_id")})
+
+
+def _pyr_level_sql(zv: int) -> str:
+    dz = TILE_PYR_ZOOMS[0] - zv
+    return (f"SELECT CAST({zv} AS INTEGER) AS z, tx >> {dz} AS x, "
+            f"ty >> {dz} AS y, count(*) AS n_images, "
+            f"min(img_id) AS min_img FROM t "
+            f"GROUP BY tx >> {dz}, ty >> {dz}")
+
+
+SQL_TILE_PYR = f"""
+WITH images AS ({IMAGES_SQL}),
+t AS (
+  SELECT img_id,
+         {_WM.tile_x_sql('lon', TILE_PYR_ZOOMS[0])} AS tx,
+         {_WM.tile_y_sql('lat', TILE_PYR_ZOOMS[0])} AS ty
+  FROM images)
+{' UNION ALL '.join(_pyr_level_sql(zv) for zv in TILE_PYR_ZOOMS)}
+"""
+
+
 def q_vector_tiles(spark, sf_dir):
     """The tiling engine end-to-end: PBF fixture → polygon assembly →
     Web-Mercator tile fan-out → Sutherland–Hodgman clip to the buffered
@@ -2534,6 +2575,9 @@ QUERIES = {
     # recursive numpy — no SQL equivalent; brute-force parity vs a
     # pure-Python reference in tests/test_tiles.py)
     "vector_tiles": q_vector_tiles,
+    # round-5: slippy heatmap pyramid (oracled: cascade proven ==
+    # direct-from-leaves per level; pytest parity past the window)
+    "tile_pyramid": q_tile_pyramid,
 }
 
 ORACLES = {
@@ -2573,6 +2617,7 @@ ORACLES = {
     "s2_multires_rollup": SQL_S2_MRR,
     "tile_point_assign": SQL_TILE_PT,
     "tile_cover_assign": SQL_TILE_COVER,
+    "tile_pyramid": SQL_TILE_PYR,
     "text_repetition": SQL_TEXT_REP,
     "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -364,3 +364,40 @@ def test_vector_tiles_single_widen_plan(spark):
     assert plan1.count("Exchange") == 2, plan1
     assert "RoundRobinPartitioning(4)" in plan1, plan1
     assert "hashpartitioning" not in plan1, plan1
+
+
+# ---------------------------------------------------------------------------
+# tile pyramid
+# ---------------------------------------------------------------------------
+
+def test_tile_pyramid_rollup_cascade_consistency(spark):
+    """Every coarser level's totals re-aggregate exactly from its
+    children (quadtree parent shift), and zoom validation rejects
+    non-decreasing sequences."""
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "x": rng.integers(0, 1 << 8, 2000), "y": rng.integers(0, 1 << 8, 2000),
+        "v": rng.integers(0, 100, 2000)})
+    df = spark.createDataFrame(pdf)
+    out = TL.tile_pyramid_rollup(
+        df, (8, 6, 5), {"n": ("count", "v"), "s": ("sum", "v"),
+                        "mx": ("max", "v")}).toPandas()
+    for z in (8, 6, 5):
+        lvl = out[out.z == z]
+        dz = 8 - z
+        want = (pdf.assign(px=pdf.x.values >> dz, py=pdf.y.values >> dz)
+                .groupby(["px", "py"])
+                .agg(n=("v", "size"), s=("v", "sum"), mx=("v", "max"))
+                .reset_index())
+        got = lvl.sort_values(["x", "y"]).reset_index(drop=True)
+        want = want.sort_values(["px", "py"]).reset_index(drop=True)
+        assert (got.x.values == want.px.values).all() and \
+               (got.y.values == want.py.values).all(), z
+        assert (got.n.values == want.n.values).all()
+        assert (got.s.values == want.s.values).all()
+        assert (got.mx.values == want.mx.values).all()
+    with pytest.raises(ValueError):
+        TL.tile_pyramid_rollup(df, (5, 6), {"n": ("count", "v")})
+    with pytest.raises(ValueError):
+        TL.tile_pyramid_rollup(df, (8, 6), {"a": ("avg", "v")})
