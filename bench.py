@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "tile_cover_assign",
     "vector_tiles",
     "tile_pyramid",
+    "mvt_tiles",
 ]
 
 

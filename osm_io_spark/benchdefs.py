@@ -61,8 +61,10 @@ def _bench_knn_graph_ivf(spark, sf_dir):
 # (so its brute-force parity suite stays cheap); the bench times the
 # same pipeline at SF scale instead — every part-table rect+triangle
 # polygon clipped/simplified/quantized into z=12 slippy tiles — so the
-# row reflects kernel + fan-out throughput, not fixture decode.
-def _bench_vector_tiles(spark, sf_dir):
+# row reflects kernel + fan-out throughput, not fixture decode. The
+# mvt_tiles row encodes the same feature frame into per-tile MVT blobs
+# (what it adds over the vector_tiles row is the encode stage).
+def _bench_tile_features(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from osm_io_spark import queries as Q
@@ -78,12 +80,26 @@ def _bench_vector_tiles(spark, sf_dir):
                       "left", "bottom", "right", "top")
     tr = Q.tri_polygons_ringed(spark, sf_dir).select(
         "polygon_id", "rings", "left", "bottom", "right", "top")
-    polys = rr.unionByName(tr)
-    feats = TL.build_vector_tiles(polys, zoom=12)
-    return TL.tile_layer_stats(feats)
+    return TL.build_vector_tiles(rr.unionByName(tr), zoom=12)
+
+
+def _bench_vector_tiles(spark, sf_dir):
+    from osm_io_spark.operators import tiles as TL
+
+    return TL.tile_layer_stats(_bench_tile_features(spark, sf_dir))
+
+
+def _bench_mvt_tiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm_io_spark.operators import tiles as TL
+
+    return TL.encode_mvt_tiles(_bench_tile_features(spark, sf_dir)).select(
+        "z", "x", "y", "n_features", F.length("mvt").alias("mvt_bytes"))
 
 
 BENCH_OVERRIDES = {
     "knn_graph_ivf": _bench_knn_graph_ivf,
     "vector_tiles": _bench_vector_tiles,
+    "mvt_tiles": _bench_mvt_tiles,
 }

@@ -2430,6 +2430,26 @@ def q_vector_tiles(spark, sf_dir):
     return TL.tile_layer_stats(feats).orderBy("z", "x", "y")
 
 
+def q_mvt_tiles(spark, sf_dir):
+    """The tile SINK: fixture polygons → vector-tile features → one
+    Mapbox-Vector-Tile 2.1 binary blob per tile (functions/mvt.py
+    hand-encodes the published protobuf wire format; blobs are
+    byte-deterministic via the in-tile feature sort). Engine-native
+    rows-only; blob↔feature roundtrip + hand-assembled golden wire
+    bytes proven in tests/test_tiles.py."""
+    from .operators import assemble as ASM
+    from .operators import tiles as TL
+    from .sources.pbf import decode as PD
+
+    path = _fixture_pbf_path(spark)
+    polys = ASM.assemble_polygons(PD.read_pbf(spark, path))
+    feats = TL.build_vector_tiles(polys, zoom=13)
+    out = TL.encode_mvt_tiles(feats)
+    return (out.select("z", "x", "y", "n_features",
+                       F.length("mvt").alias("mvt_bytes"))
+            .orderBy("z", "x", "y"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2578,6 +2598,9 @@ QUERIES = {
     # round-5: slippy heatmap pyramid (oracled: cascade proven ==
     # direct-from-leaves per level; pytest parity past the window)
     "tile_pyramid": q_tile_pyramid,
+    # round-5: MVT binary tile sink (rows-only; golden wire bytes +
+    # roundtrip decode in tests/test_tiles.py)
+    "mvt_tiles": q_mvt_tiles,
 }
 
 ORACLES = {

@@ -401,3 +401,107 @@ def test_tile_pyramid_rollup_cascade_consistency(spark):
         TL.tile_pyramid_rollup(df, (5, 6), {"n": ("count", "v")})
     with pytest.raises(ValueError):
         TL.tile_pyramid_rollup(df, (8, 6), {"a": ("avg", "v")})
+
+
+# ---------------------------------------------------------------------------
+# MVT codec
+# ---------------------------------------------------------------------------
+
+def test_mvt_golden_bytes_unit_square():
+    """Hand-assembled wire bytes for a single unit-square feature —
+    every varint below is computed from the published spec by hand, so
+    this is an external anchor, not codec self-parity."""
+    from osm_io_spark.functions import mvt as MVT
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]])
+    # geometry: MoveTo(1)+(0,0); LineTo(3)+(10,0),(0,10),(-10,0); Close
+    # cmd ints: 9, 26, 15 ; zigzag deltas: 0,0, 20,0, 0,20, 19,0
+    want_geom = bytes([9, 0, 0, 26, 20, 0, 0, 20, 19, 0, 15])
+    got_cmds = MVT.geometry_commands([sq])
+    assert b"".join(MVT._varint(c) for c in got_cmds) == want_geom
+    blob = MVT.encode_mvt([(7, [sq])], name="t", extent=512)
+    # feature msg: id(field1)=7, type(field3)=3, geom(field4)
+    feat = bytes([0x08, 7, 0x18, 3, 0x22, len(want_geom)]) + want_geom
+    # layer: version(15)=2, name(1)="t", features(2), extent(5)=512
+    layer = (bytes([0x78, 2]) + bytes([0x0A, 1]) + b"t"
+             + bytes([0x12, len(feat)]) + feat
+             + bytes([0x28]) + MVT._varint(512))
+    want = bytes([0x1A, len(layer)]) + layer
+    assert blob == want
+
+
+def test_mvt_roundtrip_random_rings():
+    from osm_io_spark.functions import mvt as MVT
+    rng = np.random.default_rng(41)
+    feats = []
+    for fid in range(30):
+        rings = []
+        for _ in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(3, 12))
+            rings.append(rng.integers(-20, 4116, (n, 2)).astype(np.int64))
+        feats.append((fid, rings))
+    dec = MVT.decode_mvt(MVT.encode_mvt(feats, name="osm", extent=4096))
+    assert dec["version"] == 2 and dec["name"] == "osm"
+    assert dec["extent"] == 4096
+    assert len(dec["features"]) == len(feats)
+    for (fid, rings), (gid, grings) in zip(feats, dec["features"]):
+        assert gid == fid and len(grings) == len(rings)
+        for r, g in zip(rings, grings):
+            assert (np.asarray(g) == np.asarray(r)).all()
+
+
+def test_encode_mvt_tiles_deterministic_and_decodable(spark):
+    """The Spark sink: per-tile blobs decode back to the exact
+    quantized rings of the features frame, independent of input
+    partitioning (byte-determinism via the in-tile sort)."""
+    from osm_io_spark.functions import mvt as MVT
+    df = _square_poly_df(spark, -169.9, -19.1, 0.07, pid=5).unionByName(
+        _square_poly_df(spark, -169.93, -19.13, 0.05, pid=9))
+    feats = TL.build_vector_tiles(df, 13)
+    tiles1 = {(r.z, r.x, r.y): r for r in TL.encode_mvt_tiles(feats).collect()}
+    tiles2 = {(r.z, r.x, r.y): r
+              for r in TL.encode_mvt_tiles(feats.repartition(7)).collect()}
+    assert tiles1.keys() == tiles2.keys() and len(tiles1) >= 4
+    by_tile = {}
+    for r in feats.collect():
+        lens = np.asarray(r.ring_lens)
+        q = np.column_stack([np.asarray(r.pxs), np.asarray(r.pys)])
+        by_tile.setdefault((r.z, r.x, r.y), {})[r.polygon_id] = \
+            np.split(q, np.cumsum(lens)[:-1])
+    for key, row in tiles1.items():
+        assert bytes(row.mvt) == bytes(tiles2[key].mvt)
+        dec = MVT.decode_mvt(bytes(row.mvt))
+        want = by_tile[key]
+        assert row.n_features == len(want) == len(dec["features"])
+        for fid, rings in dec["features"]:
+            assert fid in want
+            for r, g in zip(want[fid], rings):
+                assert (np.asarray(g) == np.asarray(r)).all()
+
+
+def test_encode_mvt_tiles_batch_straddle(spark):
+    """Force 3-row Arrow batches so multi-feature tiles straddle batch
+    boundaries — the kernel's carry-over must still emit exactly one
+    blob per tile with all its features."""
+    from osm_io_spark.functions import mvt as MVT
+    df = None
+    # 9 overlapping squares share tiles at z11
+    for pid in range(9):
+        d = _square_poly_df(spark, 13.40 + pid * 1e-4, 52.50, 0.05,
+                            pid=pid)
+        df = d if df is None else df.unionByName(d)
+    feats = TL.build_vector_tiles(df, 11)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        rows = TL.encode_mvt_tiles(feats.coalesce(1)).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    baseline = TL.encode_mvt_tiles(feats).collect()
+    got = {(r.z, r.x, r.y): (r.n_features, bytes(r.mvt)) for r in rows}
+    want = {(r.z, r.x, r.y): (r.n_features, bytes(r.mvt)) for r in baseline}
+    assert len(rows) == len(got), "duplicate tile emitted"
+    assert got == want
+    total = sum(r.n_features for r in rows)
+    assert total == feats.count()
+    for r in rows:
+        assert len(MVT.decode_mvt(bytes(r.mvt))["features"]) == r.n_features
