@@ -64,6 +64,25 @@ REPORT_QUERIES = [
      "spine (r5): DISTRIBUTED per-polygon covers (mapInPandas — no "
      "driver-side planning), per-level equi-join candidates, "
      "broadcast rings dim, even-odd winding refine with holes"),
+    ("tile_cover_assign", "slippy tile fan-out (r5): bbox→tile-range "
+     "Column math + two explodes in the scan's stage — zero shuffle, "
+     "no driver collect, scale-guarded per polygon"),
+    ("vector_tiles", "vector-tile build (r5): fan-out pipelined into "
+     "the clip/simplify/quantize mapInPandas kernel. The registry "
+     "entry's exchanges/SMJs all belong to the upstream PBF fixture "
+     "POLYGON ASSEMBLY (way/relation joins); the tiling stage itself "
+     "adds only the deliberate round-robin widen before the kernel — "
+     "pinned in tests/test_tiles.py::test_vector_tiles_single_widen_"
+     "plan"),
+    ("mvt_tiles", "MVT sink (r5): one hash repartition on the tile "
+     "key + in-partition sort + single mapInPandas encode pass — "
+     "never a tiny-group applyInPandas. As with vector_tiles, the "
+     "fixture assembly owns every other exchange in this plan"),
+    ("tile_pyramid", "slippy heatmap pyramid (r5) — NOTE the plan "
+     "below shows only the final cascade step: each level's partial "
+     "is pinned by a lazy localCheckpoint (fan-out rule), which "
+     "truncates the printed lineage exactly as s2_multires_rollup's "
+     "does; the cascade's exactness is oracled (tile_pyramid)"),
 ]
 
 
