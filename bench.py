@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "vector_tiles",
     "tile_pyramid",
     "mvt_tiles",
+    "heatmap_tiles",
+    "tile_retile",
 ]
 
 

@@ -41,6 +41,9 @@ CONSTRUCT_IN_TIMER = {
     # localCheckpoint — a reused object would count from the
     # checkpointed RDDs and time only the final union
     "s2_multires_rollup", "tile_pyramid",
+    # tile_retile pins its dirty-tile set with a lazy localCheckpoint
+    # and runs an eager broadcast-gate count — same rule
+    "tile_retile",
 }
 
 

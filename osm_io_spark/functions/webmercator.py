@@ -102,3 +102,19 @@ def tile_y_sql(lat: str, zoom: int) -> str:
     merc = f"ln(tan({r}) + 1.0 / cos({r}))"
     return (f"CAST(least(greatest(floor((1.0 - {merc} / pi()) / 2.0 * {n}), "
             f"0.0), {hi}) AS BIGINT)")
+
+
+def tile_xc_col(lon: Column, zoom: int) -> Column:
+    """CONTINUOUS tile x coordinate (double in [0, 2^zoom)) — floor is
+    the tile index, fraction the in-tile position."""
+    n = float(1 << zoom)
+    raw = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+    return _clamp_col(raw, 0.0, math.nextafter(n, 0.0))
+
+
+def tile_yc_col(lat: Column, zoom: int) -> Column:
+    n = float(1 << zoom)
+    r = F.radians(_clamp_col(lat, -MAX_LAT, MAX_LAT))
+    merc = F.log(F.tan(r) + F.lit(1.0) / F.cos(r))
+    raw = (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
+    return _clamp_col(raw, 0.0, math.nextafter(n, 0.0))

@@ -314,7 +314,9 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
 
 def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
                        buffer_px: int = 16, tol_px: float = 1.0,
-                       max_tiles_per_polygon: int = 4096) -> DataFrame:
+                       max_tiles_per_polygon: int = 4096,
+                       only_tiles: DataFrame | None = None,
+                       broadcast_tiles: bool | None = None) -> DataFrame:
     """Polygons (polygon_id, rings, left/bottom/right/top) → per-tile
     clipped + simplified + quantized features (FEATURE_SCHEMA).
 
@@ -340,6 +342,18 @@ def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
         .alias("lats"))
     cov = tile_cover(flat, zoom, max_tiles_per_polygon)
     cov = cov.select("polygon_id", "x", "y", "ring_len", "lons", "lats")
+    if only_tiles is not None:
+        # Incremental re-tile: keep only (polygon, tile) pairs whose
+        # tile is dirty, BEFORE the expensive kernel. A left-semi join
+        # against the (small) dirty set; broadcast by default when the
+        # set is driver-sized (auto count gate — same convention as the
+        # S2 containment join's broadcast gate), shuffled otherwise.
+        keys = only_tiles.select("x", "y").distinct()
+        if broadcast_tiles is None:
+            broadcast_tiles = keys.count() <= 1_000_000
+        if broadcast_tiles:
+            keys = F.broadcast(keys)
+        cov = cov.join(keys, ["x", "y"], "left_semi")
     # The (polygon, tile) fan-out inherits the SOURCE's partitioning —
     # 1-2 parquet splits at bench scale would pin the Python kernel to
     # 1-2 cores (CLAUDE.md widen rule; measured 55s → ~4s at sf0.1).
@@ -449,6 +463,129 @@ def encode_mvt_tiles(features: DataFrame, name: str = "osm",
             yield _emit(carry)
 
     return src.mapInPandas(run, MVT_SCHEMA)
+
+
+def dirty_tiles(changed_polys: DataFrame, zoom: int,
+                max_tiles_per_polygon: int | None = None) -> DataFrame:
+    """Distinct (z, x, y) tiles touched by a set of changed polygons
+    (pass bboxes covering BOTH the old and new geometry of each edit —
+    a moved polygon dirties where it was and where it is)."""
+    cov = tile_cover(
+        changed_polys.select("polygon_id", "left", "bottom", "right",
+                             "top"),
+        zoom, max_tiles_per_polygon)
+    return cov.select("z", "x", "y").distinct()
+
+
+def retile(polys: DataFrame, changed_polys: DataFrame, zoom: int,
+           **kwargs) -> tuple[DataFrame, DataFrame]:
+    """Incremental tile maintenance: (dirty_tiles, rebuilt_features).
+
+    A tile's content depends on EVERY polygon overlapping it, not just
+    the changed ones — so the rebuild runs the full polygon table
+    through the (cheap, Column-only) fan-out and semi-joins it down to
+    the dirty tile set BEFORE the clip kernel: kernel work is
+    proportional to the dirty area, the full-table pass is a
+    scan+explode with no shuffle. The caller overwrites exactly the
+    returned tiles in its tile store (blobs are deterministic, so an
+    unchanged tile rewrites byte-identically)."""
+    dirty = dirty_tiles(changed_polys, zoom).localCheckpoint(eager=False)
+    feats = build_vector_tiles(polys, zoom, only_tiles=dirty, **kwargs)
+    return dirty, feats
+
+
+HEATMAP_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("n_points", T.LongType()),
+    T.StructField("max_count", T.LongType()),
+    T.StructField("png", T.BinaryType()),
+])
+
+
+def render_heatmap_tiles(points: DataFrame, zoom: int, size: int = 256,
+                         lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Geotagged points → one grayscale PNG heatmap tile per slippy
+    tile — the raster-tile sink next to the MVT vector sink (the
+    10^12-image rendering path: density tiles of the image corpus).
+
+    Two stages, both scale-safe:
+    1. Column math assigns every point its (tile, pixel) bin at
+       ``zoom`` (continuous Mercator coords, floor/fraction split) and
+       a groupBy reduces 10^12 points to ≤ size² counted bins per tile
+       — the ONLY pass over the full table, with map-side partial
+       aggregation.
+    2. The binned counts (bounded: tiles × size²) take the MVT sink's
+       repartition + sortWithinPartitions + single-mapInPandas path
+       (never tiny-group applyInPandas) to paint each tile's uint8
+       image — log-scaled per tile, 255 = the tile's max bin — and
+       encode it with the hand-rolled PNG codec (functions/png.py).
+
+    PNG bytes are deterministic: bin counts are exact integers and the
+    per-tile normalization uses only the tile's own data."""
+    from ..functions import png as PNG
+    from ..functions import webmercator as WM2
+
+    xc = WM2.tile_xc_col(F.col(lon), zoom)
+    yc = WM2.tile_yc_col(F.col(lat), zoom)
+    d = (points.select(xc.alias("_xc"), yc.alias("_yc"))
+         .select(F.floor("_xc").cast("long").alias("x"),
+                 F.floor("_yc").cast("long").alias("y"),
+                 F.least(F.floor((F.col("_xc") % 1.0) * size),
+                         F.lit(size - 1)).cast("int").alias("px"),
+                 F.least(F.floor((F.col("_yc") % 1.0) * size),
+                         F.lit(size - 1)).cast("int").alias("py"))
+         .groupBy("x", "y", "px", "py").agg(F.count(F.lit(1)).alias("n")))
+    src = (d.repartition("x", "y")
+           .sortWithinPartitions("x", "y", "py", "px"))
+
+    def _paint(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        change = np.empty(len(pdf), bool)
+        change[0] = True
+        change[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        px = pdf["px"].to_numpy()
+        py = pdf["py"].to_numpy()
+        n = pdf["n"].to_numpy()
+        out = {"z": [], "x": [], "y": [], "n_points": [], "max_count": [],
+               "png": []}
+        for s, e in zip(starts, ends):
+            img = np.zeros((size, size), np.float64)
+            img[py[s:e], px[s:e]] = n[s:e]
+            mx = int(n[s:e].max())
+            scaled = np.round(
+                255.0 * np.log1p(img) / math.log1p(mx)).astype(np.uint8) \
+                if mx > 0 else img.astype(np.uint8)
+            out["z"].append(zoom)
+            out["x"].append(int(x[s]))
+            out["y"].append(int(y[s]))
+            out["n_points"].append(int(n[s:e].sum()))
+            out["max_count"].append(mx)
+            out["png"].append(PNG.encode_gray(scaled))
+        return pd.DataFrame(out)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            lx, ly = pdf["x"].iat[-1], pdf["y"].iat[-1]
+            tail = ((pdf["x"] == lx) & (pdf["y"] == ly)).to_numpy()
+            ntail = int(tail.sum())
+            carry = pdf.iloc[len(pdf) - ntail:]
+            body = pdf.iloc[:len(pdf) - ntail]
+            if len(body):
+                yield _paint(body)
+        if carry is not None and len(carry):
+            yield _paint(carry)
+
+    return src.mapInPandas(run, HEATMAP_SCHEMA)
 
 
 def tile_pyramid_rollup(df: DataFrame, zooms, aggs,

@@ -2430,6 +2430,77 @@ def q_vector_tiles(spark, sf_dir):
     return TL.tile_layer_stats(feats).orderBy("z", "x", "y")
 
 
+HEAT_Z, HEAT_SIZE = 4, 256
+
+
+def q_heatmap_tiles(spark, sf_dir):
+    """Raster-tile sink: every image binned into (tile, pixel) at z=4 /
+    256px, painted as a per-tile log-scaled grayscale PNG
+    (operators/tiles.render_heatmap_tiles + the hand-rolled PNG codec).
+    The oracle reproduces the full binning + per-tile stats in SQL
+    (n_points / max_count); pixel-exact PNG parity vs an independent
+    numpy binning is pytest-proven (test_tiles.py)."""
+    from .operators import tiles as TL
+
+    img = images_probe(spark, sf_dir)
+    out = TL.render_heatmap_tiles(img, HEAT_Z, HEAT_SIZE)
+    return out.select("z", "x", "y", "n_points", "max_count")
+
+
+def _heat_sql():
+    n = float(1 << HEAT_Z)
+    import math as _m
+    hi = repr(_m.nextafter(n, 0.0))
+    xc = f"least(greatest((lon + 180.0) / 360.0 * {n}, 0.0), {hi})"
+    r = f"radians(least(greatest(lat, {-_WM.MAX_LAT}), {_WM.MAX_LAT}))"
+    merc = f"ln(tan({r}) + 1.0 / cos({r}))"
+    yc = (f"least(greatest((1.0 - {merc} / pi()) / 2.0 * {n}, 0.0), "
+          f"{hi})")
+    return f"""
+WITH images AS ({IMAGES_SQL}),
+c AS (SELECT {xc} AS xc, {yc} AS yc FROM images),
+b AS (
+  SELECT CAST(floor(xc) AS BIGINT) AS x, CAST(floor(yc) AS BIGINT) AS y,
+         least(CAST(floor((xc - floor(xc)) * {HEAT_SIZE}) AS BIGINT),
+               {HEAT_SIZE - 1}) AS px,
+         least(CAST(floor((yc - floor(yc)) * {HEAT_SIZE}) AS BIGINT),
+               {HEAT_SIZE - 1}) AS py,
+         count(*) AS n
+  FROM c GROUP BY 1, 2, 3, 4)
+SELECT CAST({HEAT_Z} AS INTEGER) AS z, x, y,
+       CAST(sum(n) AS BIGINT) AS n_points,
+       CAST(max(n) AS BIGINT) AS max_count
+FROM b GROUP BY x, y
+"""
+
+
+SQL_HEATMAP = _heat_sql()
+
+
+def q_tile_retile(spark, sf_dir):
+    """Incremental tile maintenance (operators/tiles.retile): every
+    10th bench rect 'changes'; only the dirty tiles are rebuilt — the
+    kernel's work is proportional to the dirty area while the full
+    polygon table passes only through the Column fan-out. Rows-only;
+    incremental == full-rebuild-restricted proven in test_tiles.py."""
+    from .operators import tiles as TL
+
+    rects = rect_polygons(spark, sf_dir)
+    ring = F.array(
+        F.struct(F.col("left").alias("lon"), F.col("bottom").alias("lat")),
+        F.struct(F.col("right").alias("lon"), F.col("bottom").alias("lat")),
+        F.struct(F.col("right").alias("lon"), F.col("top").alias("lat")),
+        F.struct(F.col("left").alias("lon"), F.col("top").alias("lat")))
+    polys = rects.select("polygon_id", F.array(ring).alias("rings"),
+                         "left", "bottom", "right", "top")
+    changed = polys.filter(F.expr("polygon_id % 100 = 0"))
+    dirty, feats = TL.retile(polys, changed, TILE_Z_COVER + 2)
+    return (feats.groupBy("z", "x", "y")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum("n_pts").alias("n_pts"))
+            .orderBy("z", "x", "y"))
+
+
 def q_mvt_tiles(spark, sf_dir):
     """The tile SINK: fixture polygons → vector-tile features → one
     Mapbox-Vector-Tile 2.1 binary blob per tile (functions/mvt.py
@@ -2601,6 +2672,10 @@ QUERIES = {
     # round-5: MVT binary tile sink (rows-only; golden wire bytes +
     # roundtrip decode in tests/test_tiles.py)
     "mvt_tiles": q_mvt_tiles,
+    # round-5: PNG heatmap raster sink (oracled on the binning stats;
+    # pixel parity pytest-proven) + incremental re-tile (rows-only)
+    "heatmap_tiles": q_heatmap_tiles,
+    "tile_retile": q_tile_retile,
 }
 
 ORACLES = {
@@ -2641,6 +2716,7 @@ ORACLES = {
     "tile_point_assign": SQL_TILE_PT,
     "tile_cover_assign": SQL_TILE_COVER,
     "tile_pyramid": SQL_TILE_PYR,
+    "heatmap_tiles": SQL_HEATMAP,
     "text_repetition": SQL_TEXT_REP,
     "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -505,3 +505,101 @@ def test_encode_mvt_tiles_batch_straddle(spark):
     assert total == feats.count()
     for r in rows:
         assert len(MVT.decode_mvt(bytes(r.mvt))["features"]) == r.n_features
+
+
+# ---------------------------------------------------------------------------
+# PNG heatmap sink
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_and_structure():
+    from osm_io_spark.functions import png as PNG
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (64, 48)).astype(np.uint8)
+    buf = PNG.encode_gray(img)
+    # signature + IHDR golden prefix (published spec): w=48, h=64,
+    # depth 8, color type 0
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    assert buf[8:16] == bytes([0, 0, 0, 13]) + b"IHDR"
+    import struct
+    w, h, depth, ctype = struct.unpack(">IIBB", buf[16:26])
+    assert (w, h, depth, ctype) == (48, 64, 8, 0)
+    assert buf.endswith(bytes([0, 0, 0, 0]) + b"IEND"
+                        + struct.pack(">I", 0xAE426082))
+    assert (PNG.decode_gray(buf) == img).all()
+
+
+def test_render_heatmap_tiles_matches_numpy(spark):
+    """Decoded PNG pixels reproduce an independent numpy binning +
+    log scaling of the same points."""
+    import math as _m
+
+    from osm_io_spark.functions import png as PNG
+    rng = np.random.default_rng(59)
+    lat = rng.uniform(-50, 50, 20000)
+    lon = rng.uniform(-170, 170, 20000)
+    import pandas as pd
+    sdf = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    zoom, size = 3, 64
+    rows = TL.render_heatmap_tiles(sdf, zoom, size).collect()
+    # independent reference
+    X, Y = TL._merc_xy_np(lon, lat, zoom)
+    tx, ty = np.floor(X).astype(int), np.floor(Y).astype(int)
+    px = np.minimum((np.floor((X - tx) * size)).astype(int), size - 1)
+    py = np.minimum((np.floor((Y - ty) * size)).astype(int), size - 1)
+    seen = set()
+    for r in rows:
+        key = (r.x, r.y)
+        assert key not in seen, "duplicate tile"
+        seen.add(key)
+        m = (tx == r.x) & (ty == r.y)
+        assert r.n_points == int(m.sum())
+        img = np.zeros((size, size), np.int64)
+        np.add.at(img, (py[m], px[m]), 1)
+        assert r.max_count == img.max()
+        want = np.round(255.0 * np.log1p(img)
+                        / _m.log1p(img.max())).astype(np.uint8)
+        got = PNG.decode_gray(bytes(r.png))
+        assert (got == want).all(), key
+    # every non-empty tile is present
+    assert seen == set(zip(tx.tolist(), ty.tolist())) or \
+        seen == {(int(a), int(b)) for a, b in zip(tx, ty)}
+
+
+# ---------------------------------------------------------------------------
+# incremental re-tiling
+# ---------------------------------------------------------------------------
+
+def test_retile_incremental_equals_full_rebuild(spark):
+    """Rebuilding only the dirty tiles reproduces exactly the full
+    rebuild's output restricted to those tiles — and nothing else."""
+    polys = None
+    for pid in range(12):
+        d = _square_poly_df(spark, 13.0 + 0.11 * pid, 52.0 + 0.07 * (pid % 4),
+                            0.08, pid=pid)
+        polys = d if polys is None else polys.unionByName(d)
+    zoom = 12
+    # polygons 3 and 7 changed; their old+new bboxes
+    changed = _square_poly_df(spark, 13.0 + 0.33, 52.0 + 0.21, 0.08, pid=3) \
+        .unionByName(_square_poly_df(spark, 13.0 + 0.77, 52.21, 0.12, pid=7))
+    dirty, feats = TL.retile(polys, changed, zoom)
+    dirty_keys = {(r.z, r.x, r.y) for r in dirty.collect()}
+    assert dirty_keys, "no dirty tiles"
+    inc = {(r.z, r.x, r.y, r.polygon_id):
+           (list(r.ring_lens), list(r.pxs), list(r.pys))
+           for r in feats.collect()}
+    full = {(r.z, r.x, r.y, r.polygon_id):
+            (list(r.ring_lens), list(r.pxs), list(r.pys))
+            for r in TL.build_vector_tiles(polys, zoom).collect()
+            if (r.z, r.x, r.y) in dirty_keys}
+    assert inc == full
+    assert all((z, x, y) in dirty_keys for z, x, y, _ in inc)
+
+
+def test_retile_semi_join_is_broadcast(spark):
+    """The dirty-tile restriction must hit the plan as a broadcast
+    left-semi join BEFORE the kernel when the set is small."""
+    df = _square_poly_df(spark, 13.4, 52.5, 0.6)
+    dirty = TL.dirty_tiles(df, 11)
+    feats = TL.build_vector_tiles(df, 11, only_tiles=dirty)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
