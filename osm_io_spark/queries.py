@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from .functions import cells as C
 from .functions import s2 as S2
+from .functions import webmercator as _WM
 from .functions.hashing import hash64_sql
 from .operators import ann as ANN
 from .operators import dedup as DD
@@ -40,6 +41,8 @@ from .operators import textops as TX
 
 RES_JOIN = 10     # spatial join cover resolution
 RES_TILE = 7      # raster tile resolution
+TILE_Z_PT = 7     # slippy point→tile assignment zoom (10^12-image path)
+TILE_Z_COVER = 9  # slippy polygon bbox→tile fan-out zoom
 RES_KNN = 4       # kNN grid resolution
 K_NN = 3
 
@@ -1525,6 +1528,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_tile_heatmap(spark, sf_dir):
+    """§2.9 × C20: the heatmap binning as a STREAMING spatio-temporal
+    density — stateless slippy encode + watermarked windowed counts
+    per (hour, tile), drained with availableNow; result must equal the
+    batch/SQL aggregation (oracled)."""
+    import os
+    import tempfile
+
+    from .streaming import events as SE
+    ensure_shipped(spark)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src = os.path.join(tempfile.gettempdir(), f"osm_io_stream_src_{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+    _STREAM_RUN_N[0] += 1
+    name = f"stream_tileheat_{tag}_{_STREAM_RUN_N[0]}"
+    ckpt = tempfile.mkdtemp(prefix="osm_io_stream_ckpt_")
+    agg = SE.tile_density_stream(SE.stream_events(spark, src),
+                                 zoom=TILE_Z_PT, window="1 hour",
+                                 watermark="30 minutes")
+    agg = agg.select(F.unix_timestamp("win_start").alias("hour_epoch"),
+                     "tx", "ty", "n")
+    SE.run_available_now_complete(agg, ckpt, name)
+    return spark.table(name)
+
+
+_STREAM_GEO_SQL = """
+  SELECT ts,
+         (CAST((user_id * 2654435761) % 120000000 AS DOUBLE) / 1e6 - 60.0) AS lat,
+         (CAST((user_id * 2971215073) % 360000000 AS DOUBLE) / 1e6 - 180.0) AS lon
+  FROM events
+"""
+
+SQL_STREAM_TILEHEAT = f"""
+WITH g AS ({_STREAM_GEO_SQL}),
+t AS (
+  SELECT ts,
+         {_WM.tile_x_sql('lon', TILE_Z_PT)} AS tx,
+         {_WM.tile_y_sql('lat', TILE_Z_PT)} AS ty
+  FROM g)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       tx, ty, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2, 3
+"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (bounded state via event-time watermark;
     streaming/events.py dedup_stream): the doubled source stream drains
@@ -2301,12 +2351,6 @@ def q_s2_osm_polygon_join(spark, sf_dir):
 # Web-Mercator (slippy) tiling — round 5
 # ---------------------------------------------------------------------------
 
-TILE_Z_PT = 7      # point→tile assignment zoom (the 10^12-image path)
-TILE_Z_COVER = 9   # polygon bbox→tile fan-out zoom
-
-from .functions import webmercator as _WM  # noqa: E402  (SQL text + Columns)
-
-
 def q_tile_point_assign(spark, sf_dir):
     """Every image → its Web-Mercator slippy tile (published OSM
     zoom/x/y scheme, functions/webmercator.py) at z=7, aggregated per
@@ -2676,6 +2720,9 @@ QUERIES = {
     # pixel parity pytest-proven) + incremental re-tile (rows-only)
     "heatmap_tiles": q_heatmap_tiles,
     "tile_retile": q_tile_retile,
+    # round-5: streaming spatio-temporal tile density (oracled:
+    # watermarked windowed counts == batch SQL; pytest parity)
+    "stream_tile_heatmap": q_stream_tile_heatmap,
 }
 
 ORACLES = {
@@ -2717,6 +2764,7 @@ ORACLES = {
     "tile_cover_assign": SQL_TILE_COVER,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
+    "stream_tile_heatmap": SQL_STREAM_TILEHEAT,
     "text_repetition": SQL_TEXT_REP,
     "text_vocab": SQL_TEXT_VOCAB,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -300,3 +300,27 @@ def run_available_now_complete(stream_df: DataFrame, checkpoint: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def tile_density_stream(events: DataFrame, zoom: int = 7,
+                        window: str = "1 hour",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Streaming spatio-temporal density: the heatmap sink's binning
+    under Structured Streaming — stateless slippy tile assign (pure
+    Column, runs unchanged in a stream) + WATERMARKED tumbling-window
+    counts per (window, tile). State is bounded by watermark × live
+    tiles; at 10^12-image feed scale the map-side partial aggregation
+    reduces each microbatch to ≤ live-tile cardinality before the
+    stateful shuffle (same shape as windowed_counts, keyed spatially).
+    """
+    from ..functions import webmercator as WM
+    lat = (F.col("user_id") * 2654435761 % 120000000) / 1e6 - 60.0
+    lon = (F.col("user_id") * 2971215073 % 360000000) / 1e6 - 180.0
+    d = (events.withColumn("lat", lat).withColumn("lon", lon)
+         .withColumn("tx", WM.tile_x_col(F.col("lon"), zoom))
+         .withColumn("ty", WM.tile_y_col(F.col("lat"), zoom)))
+    return (d.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("win_start"),
+                    "tx", "ty", "n"))
