@@ -176,9 +176,58 @@ def _merc_xy_np(lon: np.ndarray, lat: np.ndarray, zoom: int):
     return X, Y
 
 
-def _inv_merc_lat(Y: float, zoom: int) -> float:
+def _inv_merc_lat_np(Y, zoom: int):
     n = float(1 << zoom)
-    return math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * Y / n))))
+    Y = np.asarray(Y, np.float64)
+    return np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * Y / n))))
+
+
+def _inv_merc_lat(Y: float, zoom: int) -> float:
+    # delegates to the array kernel so scalar callers (tests) and the
+    # batched kernel share one set of libm calls bit-for-bit
+    return float(_inv_merc_lat_np(np.float64(Y), zoom))
+
+
+def _clip_half_batch(pts: np.ndarray, seg: np.ndarray,
+                     seg_vals: np.ndarray, axis: int, keep_ge: bool):
+    """One Sutherland–Hodgman half-plane pass over MANY open rings at
+    once: ``pts`` (N,2) flat vertices, ``seg`` (N,) contiguous ascending
+    ring ids, ``seg_vals`` the per-RING boundary value (each (polygon,
+    tile) row clips against its own tile rect). Identical arithmetic to
+    ``_clip_half`` — the scalar-reference parity tests referee both."""
+    n = len(pts)
+    if n == 0:
+        return pts, seg
+    v = seg_vals[seg]
+    keep = pts[:, axis] >= v if keep_ge else pts[:, axis] <= v
+    starts = np.empty(n, bool)
+    starts[0] = True
+    np.not_equal(seg[1:], seg[:-1], out=starts[1:])
+    sidx = np.flatnonzero(starts)
+    ends = np.append(sidx[1:], n) - 1
+    prev_idx = np.arange(n) - 1
+    prev_idx[sidx] = ends
+    prev_keep = keep[prev_idx]
+    cross = keep != prev_keep
+    counts = cross.astype(np.int64) + keep.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.empty((int(counts.sum()), 2), np.float64)
+    oseg = np.empty(len(out), seg.dtype)
+    if cross.any():
+        p = pts[prev_idx[cross]]
+        c = pts[cross]
+        vv = v[cross]
+        other = 1 - axis
+        tt = (vv - p[:, axis]) / (c[:, axis] - p[:, axis])
+        ipts = np.empty((len(p), 2), np.float64)
+        ipts[:, axis] = vv
+        ipts[:, other] = p[:, other] + tt * (c[:, other] - p[:, other])
+        out[offs[cross]] = ipts
+        oseg[offs[cross]] = seg[cross]
+    idx_cur = offs + cross.astype(np.int64)
+    out[idx_cur[keep]] = pts[keep]
+    oseg[idx_cur[keep]] = seg[keep]
+    return out, oseg
 
 
 # ---------------------------------------------------------------------------
@@ -247,35 +296,70 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
     conversion and would cost a dict per vertex."""
     out = {k: [] for k in ("z", "x", "y", "polygon_id", "ring_lens",
                            "pxs", "pys", "n_pts", "area_px2")}
+    nrows = len(pdf)
+    if nrows == 0:
+        return pd.DataFrame(out)
     n = float(1 << zoom)
-    for row in pdf.itertuples(index=False):
-        x, y = int(row.x), int(row.y)
-        # buffered tile rect in degree space (lon linear, lat via the
-        # inverse Mercator of the buffered continuous tile coords)
-        fb = buffer_px / float(extent)
-        lon_l = (x - fb) / n * 360.0 - 180.0
-        lon_r = (x + 1 + fb) / n * 360.0 - 180.0
-        lat_t = _inv_merc_lat(y - fb, zoom)
-        lat_b = _inv_merc_lat(y + 1 + fb, zoom)
+    fb = buffer_px / float(extent)
+    ext = float(extent)
+
+    # ---- flatten the whole batch: all rings of all rows, one array ----
+    xr = pdf["x"].to_numpy().astype(np.float64)
+    yr = pdf["y"].to_numpy().astype(np.float64)
+    lens_col = pdf["ring_len"].to_numpy()
+    rings_per_row = np.array([len(v) for v in lens_col], np.int64)
+    seg_row = np.repeat(np.arange(nrows), rings_per_row)       # ring→row
+    seg_lens = (np.concatenate(lens_col).astype(np.int64)
+                if rings_per_row.sum() else np.empty(0, np.int64))
+    n_seg = len(seg_lens)
+    pts = np.column_stack([np.concatenate(pdf["lons"].to_numpy()),
+                           np.concatenate(pdf["lats"].to_numpy())]) \
+        if n_seg else np.empty((0, 2))
+    seg = np.repeat(np.arange(n_seg), seg_lens)
+    # open closed rings (drop the repeated closing vertex)
+    eidx = np.cumsum(seg_lens) - 1
+    sidx = np.concatenate(([0], eidx[:-1] + 1))
+    closed = (seg_lens >= 2) & (pts[sidx] == pts[eidx]).all(axis=1)
+    if closed.any():
+        drop = np.zeros(len(pts), bool)
+        drop[eidx[closed]] = True
+        pts, seg = pts[~drop], seg[~drop]
+
+    # ---- per-row buffered tile rects in degree space ----
+    lon_l = (xr - fb) / n * 360.0 - 180.0
+    lon_r = (xr + 1 + fb) / n * 360.0 - 180.0
+    lat_t = _inv_merc_lat_np(yr - fb, zoom)
+    lat_b = _inv_merc_lat_np(yr + 1 + fb, zoom)
+
+    # ---- 4 half-plane passes over EVERY ring at once ----
+    rl = lon_l[seg_row]
+    rr = lon_r[seg_row]
+    rb = lat_b[seg_row]
+    rt = lat_t[seg_row]
+    pts, seg = _clip_half_batch(pts, seg, rl, 0, True)
+    pts, seg = _clip_half_batch(pts, seg, rr, 0, False)
+    pts, seg = _clip_half_batch(pts, seg, rb, 1, True)
+    pts, seg = _clip_half_batch(pts, seg, rt, 1, False)
+
+    # ---- batched projection to continuous tile-pixel coords ----
+    X, Y = _merc_xy_np(pts[:, 0], pts[:, 1], zoom)
+    row_of = seg_row[seg] if len(seg) else seg
+    pix_all = np.column_stack([(X - xr[row_of]) * ext,
+                               (Y - yr[row_of]) * ext])
+    counts = np.bincount(seg, minlength=n_seg)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    # ---- per-ring tail (simplify is recursive; rings are tiny) ----
+    ring_cursor = 0
+    for i in range(nrows):
         rings_q = []
         tot_pts = 0
         area2 = 0.0
-        lens = np.asarray(row.ring_len, np.int64)
-        lons = np.asarray(row.lons, np.float64)
-        lats = np.asarray(row.lats, np.float64)
-        bounds = np.cumsum(lens)[:-1]
-        for rl, rlat in zip(np.split(lons, bounds), np.split(lats, bounds)):
-            pts = np.column_stack([rl, rlat])
-            if len(pts) >= 2 and (pts[0] == pts[-1]).all():
-                pts = pts[:-1]  # open the ring for clipping
-            cl = clip_ring_rect_np(pts, lon_l, lat_b, lon_r, lat_t)
-            if len(cl) < 3:
+        for s in range(ring_cursor, ring_cursor + int(rings_per_row[i])):
+            c = int(counts[s])
+            if c < 3:
                 continue
-            # project to continuous tile-pixel coords
-            X, Y = _merc_xy_np(cl[:, 0], cl[:, 1], zoom)
-            px = (X - x) * float(extent)
-            py = (Y - y) * float(extent)
-            pix = np.column_stack([px, py])
+            pix = pix_all[offs[s]:offs[s] + c]
             pix = simplify_ring_np(pix, tol_px)
             if len(pix) < 3:
                 continue
@@ -289,6 +373,7 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
             rings_q.append(q)
             tot_pts += len(q)
             area2 += a2
+        ring_cursor += int(rings_per_row[i])
         # net signed area 0 ⇒ the rings cancel under the even-odd rule
         # (e.g. a tile wholly inside a multipolygon hole clips to two
         # coincident opposite-wound squares) — nothing to render, drop
@@ -299,9 +384,9 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
             continue
         allq = np.concatenate(rings_q)
         out["z"].append(zoom)
-        out["x"].append(x)
-        out["y"].append(y)
-        out["polygon_id"].append(int(row.polygon_id))
+        out["x"].append(int(xr[i]))
+        out["y"].append(int(yr[i]))
+        out["polygon_id"].append(int(pdf["polygon_id"].iat[i]))
         out["ring_lens"].append(np.array([len(r) for r in rings_q],
                                          np.int32))
         out["pxs"].append(allq[:, 0].astype(np.int32))
