@@ -66,7 +66,7 @@ def geometry_commands(rings) -> np.ndarray:
     """uint32 command stream for a polygon's rings (list of (n,2) int
     arrays, open — no repeated closing vertex). The delta cursor runs
     across rings per the spec."""
-    cmds: list[int] = []
+    parts = []
     cx = cy = 0
     for q in rings:
         q = np.asarray(q, np.int64).reshape(-1, 2)
@@ -74,17 +74,129 @@ def geometry_commands(rings) -> np.ndarray:
         dx = np.diff(q[:, 0], prepend=cx)
         dy = np.diff(q[:, 1], prepend=cy)
         zx, zy = zigzag_np(dx), zigzag_np(dy)
-        cmds.append((MOVE_TO & 0x7) | (1 << 3))
-        cmds.extend((int(zx[0]), int(zy[0])))
-        cmds.append((LINE_TO & 0x7) | ((n - 1) << 3))
-        cmds.extend(int(v) for pair in zip(zx[1:], zy[1:]) for v in pair)
-        cmds.append(CLOSE_PATH & 0x7 | (1 << 3))
+        arr = np.empty(2 * n + 3, np.uint64)
+        arr[0] = (MOVE_TO & 0x7) | (1 << 3)
+        arr[1], arr[2] = zx[0], zy[0]
+        arr[3] = (LINE_TO & 0x7) | ((n - 1) << 3)
+        arr[4:2 * n + 2:2] = zx[1:]
+        arr[5:2 * n + 2:2] = zy[1:]
+        arr[2 * n + 2] = (CLOSE_PATH & 0x7) | (1 << 3)
+        parts.append(arr)
         cx, cy = int(q[-1, 0]), int(q[-1, 1])
-    return np.asarray(cmds, np.uint64)
+    return (np.concatenate(parts) if parts
+            else np.empty(0, np.uint64))
+
+
+def varints_np(vals: np.ndarray, return_lens: bool = False):
+    """Vectorized varint stream for an array of unsigned ints.
+
+    Efficient only at BATCH granularity (thousands of values) — on a
+    single feature's ~20 commands the numpy machinery costs more than
+    scalar ``_varint`` calls (measured 35 µs vs ~2 µs; the same
+    tiny-input lesson as the clip kernel and applyInPandas). Callers
+    concatenate all commands of an Arrow batch first
+    (``encode_features_batch``)."""
+    v = np.asarray(vals, np.uint64)
+    if not len(v):
+        return (b"", np.empty(0, np.int64)) if return_lens else b""
+    nb = np.ones(len(v), np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        nb += x > 0
+        x >>= np.uint64(7)
+    offs = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    out = np.zeros(int(nb.sum()), np.uint8)
+    rem = v.copy()
+    active = np.arange(len(v))
+    k = 0
+    while len(active):
+        b = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = nb[active] > (k + 1)
+        out[offs[active] + k] = b | (more.astype(np.uint8) << 7)
+        rem[active] >>= np.uint64(7)
+        active = active[more]
+        k += 1
+    buf = out.tobytes()
+    return (buf, nb) if return_lens else buf
+
+
+def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
+                          feat_of_ring: np.ndarray,
+                          feat_ids: np.ndarray) -> list[bytes]:
+    """Batched feature encoding: ALL rings of ALL features (typically a
+    whole Arrow batch of tiles) → per-feature protobuf messages, each
+    already wrapped as a layer `features` field (field 2).
+
+    ``q``: (N,2) int64 flat quantized vertices, rings contiguous in
+    feature order; ``ring_lens``: (R,) vertices per ring;
+    ``feat_of_ring``: (R,) ascending feature index per ring;
+    ``feat_ids``: (F,) feature ids. The zigzag deltas, command-integer
+    scatter, and varint encoding each run ONCE over the whole batch —
+    per-feature python is reduced to slicing the shared byte buffer
+    and prepending a ~6-byte header."""
+    ring_lens = np.asarray(ring_lens, np.int64)
+    feat_of_ring = np.asarray(feat_of_ring, np.int64)
+    n_ring = len(ring_lens)
+    n_feat = len(feat_ids)
+    if n_ring == 0:
+        return []
+    npts = int(ring_lens.sum())
+    # point → ring / feature maps and in-ring positions
+    ring_of_pt = np.repeat(np.arange(n_ring), ring_lens)
+    p_off = np.concatenate(([0], np.cumsum(ring_lens)[:-1]))
+    idx_in_ring = np.arange(npts) - p_off[ring_of_pt]
+    # delta cursor: previous vertex within the FEATURE (rings chain,
+    # cursor starts at (0,0) per feature) — spec §4.3
+    feat_of_pt = feat_of_ring[ring_of_pt]
+    prev = np.arange(npts) - 1
+    feat_first_pt = np.empty(npts, bool)
+    feat_first_pt[0] = True
+    np.not_equal(feat_of_pt[1:], feat_of_pt[:-1], out=feat_first_pt[1:])
+    qx = q[:, 0].astype(np.int64)
+    qy = q[:, 1].astype(np.int64)
+    dx = qx - np.where(feat_first_pt, 0, qx[prev])
+    dy = qy - np.where(feat_first_pt, 0, qy[prev])
+    zx, zy = zigzag_np(dx), zigzag_np(dy)
+    # command-integer scatter: per ring [MoveTo(1) zx zy LineTo(n-1)
+    # pairs... ClosePath(1)] = 2n+3 ints
+    cmd_lens = 2 * ring_lens + 3
+    cmd_off = np.concatenate(([0], np.cumsum(cmd_lens)[:-1]))
+    total = int(cmd_lens.sum())
+    cmds = np.empty(total, np.uint64)
+    cmds[cmd_off] = (MOVE_TO & 0x7) | (1 << 3)
+    cmds[cmd_off + 1] = zx[p_off]
+    cmds[cmd_off + 2] = zy[p_off]
+    cmds[cmd_off + 3] = ((LINE_TO & 0x7)
+                         | ((ring_lens - 1).astype(np.uint64) << 3))
+    rest = idx_in_ring > 0
+    pos = cmd_off[ring_of_pt[rest]] + 4 + 2 * (idx_in_ring[rest] - 1)
+    cmds[pos] = zx[rest]
+    cmds[pos + 1] = zy[rest]
+    cmds[cmd_off + cmd_lens - 1] = (CLOSE_PATH & 0x7) | (1 << 3)
+    # one varint pass over the whole batch
+    buf, nb = varints_np(cmds, return_lens=True)
+    byte_off = np.concatenate(([0], np.cumsum(nb)))
+    # per-feature command ranges (rings contiguous per feature)
+    ring_counts = np.bincount(feat_of_ring, minlength=n_feat)
+    f_first_ring = np.concatenate(([0], np.cumsum(ring_counts)[:-1]))
+    f_cmd_start = cmd_off[f_first_ring]
+    f_cmd_end = np.append(f_cmd_start[1:], total)
+    f_b0 = byte_off[f_cmd_start]
+    f_b1 = byte_off[f_cmd_end]
+    head_t = _field(1, 0)
+    head_ty = _field(3, 0) + _varint(POLYGON)
+    head_g = _field(4, 2)
+    out = []
+    for f in range(n_feat):
+        geom = buf[f_b0[f]:f_b1[f]]
+        feat = (head_t + _varint(int(feat_ids[f])) + head_ty
+                + head_g + _varint(len(geom)) + geom)
+        out.append(_len_delim(2, feat))
+    return out
 
 
 def encode_feature(fid: int, rings) -> bytes:
-    geom = b"".join(_varint(c) for c in geometry_commands(rings))
+    geom = varints_np(geometry_commands(rings))
     return (_field(1, 0) + _varint(fid)
             + _field(3, 0) + _varint(POLYGON)
             + _len_delim(4, geom))

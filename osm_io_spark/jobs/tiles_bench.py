@@ -65,6 +65,8 @@ def run_one(argv: list[str] | None = None) -> dict:
     ap.add_argument("--n-images", type=int, default=20_000_000)
     ap.add_argument("--zoom", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "encode", "fanout", "clip", "mvt"])
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -103,8 +105,9 @@ def run_one(argv: list[str] | None = None) -> dict:
                        WM.tile_y_col(F.col("lat"), 12).alias("ty"))
         return d.groupBy("tx", "ty").count().count()
 
-    res["encode_s"], res["encode_tiles"] = best(enc)
-    res["encode_imgs_per_s"] = args.n_images / res["encode_s"]
+    if args.stage in ("all", "encode"):
+        res["encode_s"], res["encode_tiles"] = best(enc)
+        res["encode_imgs_per_s"] = args.n_images / res["encode_s"]
 
     polys = _polys(spark, args.sf_dir, args.copies).localCheckpoint()
     n_polys = polys.count()
@@ -122,19 +125,22 @@ def run_one(argv: list[str] | None = None) -> dict:
             .alias("lats"))
         return TL.tile_cover(flat, args.zoom).count()
 
-    res["fanout_s"], res["fanout_rows"] = best(fanout)
+    if args.stage in ("all", "fanout"):
+        res["fanout_s"], res["fanout_rows"] = best(fanout)
 
     def clip():
         return TL.build_vector_tiles(polys, args.zoom).count()
 
-    res["clip_s"], res["clip_feats"] = best(clip)
-    res["clip_feats_per_s"] = res["clip_feats"] / res["clip_s"]
+    if args.stage in ("all", "clip"):
+        res["clip_s"], res["clip_feats"] = best(clip)
+        res["clip_feats_per_s"] = res["clip_feats"] / res["clip_s"]
 
     def mvt():
         return TL.encode_mvt_tiles(
             TL.build_vector_tiles(polys, args.zoom)).count()
 
-    res["mvt_s"], res["mvt_tiles"] = best(mvt)
+    if args.stage in ("all", "mvt"):
+        res["mvt_s"], res["mvt_tiles"] = best(mvt)
     print(json.dumps(res))
     return res
 
@@ -152,14 +158,22 @@ def main(argv: list[str] | None = None) -> None:
 
     loads = []
     results = {}
+    # one subprocess/JVM per (stage, parallelism) cell: measuring the
+    # clip stage in the same JVM that just aggregated a 20M-row encode
+    # pass contaminated it with heap/GC state (observed mvt < clip at
+    # 4 threads — an impossible ordering, since mvt INCLUDES clip)
     for cpus in args.cpus:
         loads.append(os.getloadavg())
-        p = subprocess.run(
-            [sys.executable, "-m", "osm_io_spark.jobs.tiles_bench",
-             "--run-one", "--cpus", str(cpus), "--sf-dir", args.sf_dir,
-             "--copies", str(args.copies), "--repeats", str(args.repeats)],
-            capture_output=True, text=True, check=True)
-        results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        merged = {"cpus": cpus}
+        for stage in ("encode", "fanout", "clip", "mvt"):
+            p = subprocess.run(
+                [sys.executable, "-m", "osm_io_spark.jobs.tiles_bench",
+                 "--run-one", "--stage", stage, "--cpus", str(cpus),
+                 "--sf-dir", args.sf_dir, "--copies", str(args.copies),
+                 "--repeats", str(args.repeats)],
+                capture_output=True, text=True, check=True)
+            merged.update(json.loads(p.stdout.strip().splitlines()[-1]))
+        results[cpus] = merged
 
     lo, hi = args.cpus
     r8, r32 = results[lo], results[hi]

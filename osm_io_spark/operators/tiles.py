@@ -500,9 +500,20 @@ def encode_mvt_tiles(features: DataFrame, name: str = "osm",
         x = pdf["x"].to_numpy()
         y = pdf["y"].to_numpy()
         pid = pdf["polygon_id"].to_numpy()
-        lens = pdf["ring_lens"].to_numpy()
-        pxs = pdf["pxs"].to_numpy()
-        pys = pdf["pys"].to_numpy()
+        # batch-encode EVERY feature message of the Arrow batch at once
+        # (the per-feature numpy path costs more than it saves on ~20
+        # command ints — same tiny-input lesson as the clip kernel)
+        lens_col = pdf["ring_lens"].to_numpy()
+        rpr = np.array([len(v) for v in lens_col], np.int64)
+        feat_of_ring = np.repeat(np.arange(len(pdf)), rpr)
+        ring_lens = (np.concatenate(lens_col).astype(np.int64)
+                     if rpr.sum() else np.empty(0, np.int64))
+        q = np.column_stack([
+            np.concatenate(pdf["pxs"].to_numpy()).astype(np.int64),
+            np.concatenate(pdf["pys"].to_numpy()).astype(np.int64),
+        ]) if rpr.sum() else np.empty((0, 2), np.int64)
+        feat_msgs = MVT.encode_features_batch(q, ring_lens, feat_of_ring,
+                                              pid)
         change = np.empty(len(pdf), bool)
         change[0] = True
         change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | \
@@ -511,19 +522,13 @@ def encode_mvt_tiles(features: DataFrame, name: str = "osm",
         ends = np.append(starts[1:], len(pdf))
         out = {"z": [], "x": [], "y": [], "n_features": [], "mvt": []}
         for s, e in zip(starts, ends):
-            feats = []
-            for i in range(s, e):
-                ln = np.asarray(lens[i], np.int64)
-                q = np.column_stack([np.asarray(pxs[i], np.int64),
-                                     np.asarray(pys[i], np.int64)])
-                feats.append((int(pid[i]),
-                              np.split(q, np.cumsum(ln)[:-1])))
+            blob = MVT.encode_tile(MVT.encode_layer(
+                name, b"".join(feat_msgs[s:e]), extent))
             out["z"].append(int(z[s]))
             out["x"].append(int(x[s]))
             out["y"].append(int(y[s]))
             out["n_features"].append(e - s)
-            out["mvt"].append(MVT.encode_mvt(feats, name=name,
-                                             extent=extent))
+            out["mvt"].append(blob)
         return pd.DataFrame(out)
 
     def run(batches):

@@ -603,3 +603,39 @@ def test_retile_semi_join_is_broadcast(spark):
     feats = TL.build_vector_tiles(df, 11, only_tiles=dirty)
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_mvt_varints_np_matches_scalar():
+    """Vectorized varint stream == the scalar encoder across 1-5 byte
+    boundary values."""
+    from osm_io_spark.functions import mvt as MVT
+    vals = np.array([0, 1, 127, 128, 300, 16383, 16384, 2097151,
+                     2097152, 2**28 - 1, 2**28, 2**32 - 1], np.uint64)
+    assert MVT.varints_np(vals) == b"".join(
+        MVT._varint(int(v)) for v in vals)
+    rng = np.random.default_rng(61)
+    r = rng.integers(0, 2**20, 5000).astype(np.uint64)
+    assert MVT.varints_np(r) == b"".join(MVT._varint(int(v)) for v in r)
+
+
+def test_mvt_batch_encoder_byte_identical_to_scalar():
+    """encode_features_batch must reproduce the scalar per-feature
+    encoder byte-for-byte (multi-ring features, random geometry)."""
+    from osm_io_spark.functions import mvt as MVT
+    rng = np.random.default_rng(71)
+    feats = []
+    for fid in range(50):
+        rings = [rng.integers(-20, 4116,
+                              (int(rng.integers(3, 12)), 2)).astype(np.int64)
+                 for _ in range(int(rng.integers(1, 4)))]
+        feats.append((fid * 7, rings))
+    want = b"".join(MVT._len_delim(2, MVT.encode_feature(fid, rings))
+                    for fid, rings in feats)
+    ring_lens = np.array([len(r) for _, rs in feats for r in rs])
+    feat_of_ring = np.concatenate(
+        [[i] * len(rs) for i, (_, rs) in enumerate(feats)])
+    q = np.concatenate([r for _, rs in feats for r in rs])
+    ids = np.array([fid for fid, _ in feats])
+    got = b"".join(MVT.encode_features_batch(q, ring_lens,
+                                             feat_of_ring, ids))
+    assert got == want
