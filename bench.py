@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "tile_pyramid",
     "mvt_tiles",
     "heatmap_tiles",
+    "heatmap_pyramid",
     "tile_retile",
 ]
 

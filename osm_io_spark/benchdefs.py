@@ -42,8 +42,9 @@ CONSTRUCT_IN_TIMER = {
     # checkpointed RDDs and time only the final union
     "s2_multires_rollup", "tile_pyramid",
     # tile_retile pins its dirty-tile set with a lazy localCheckpoint
-    # and runs an eager broadcast-gate count — same rule
-    "tile_retile",
+    # and runs an eager broadcast-gate count; heatmap_pyramid pins each
+    # cascade level — same rule
+    "tile_retile", "heatmap_pyramid",
 }
 
 

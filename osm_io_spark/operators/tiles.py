@@ -614,7 +614,6 @@ def render_heatmap_tiles(points: DataFrame, zoom: int, size: int = 256,
 
     PNG bytes are deterministic: bin counts are exact integers and the
     per-tile normalization uses only the tile's own data."""
-    from ..functions import png as PNG
     from ..functions import webmercator as WM2
 
     xc = WM2.tile_xc_col(F.col(lon), zoom)
@@ -627,7 +626,68 @@ def render_heatmap_tiles(points: DataFrame, zoom: int, size: int = 256,
                  F.least(F.floor((F.col("_yc") % 1.0) * size),
                          F.lit(size - 1)).cast("int").alias("py"))
          .groupBy("x", "y", "px", "py").agg(F.count(F.lit(1)).alias("n")))
-    src = (d.repartition("x", "y")
+    return _paint_bins(d, zoom, size)
+
+
+def render_heatmap_pyramid(points: DataFrame, zooms, size: int = 256,
+                           lat: str = "lat",
+                           lon: str = "lon") -> DataFrame:
+    """PNG heatmap tiles for EVERY zoom in ``zooms`` from ONE pass over
+    the point table — the 10^12-image rendering path done right: the
+    per-zoom binning of render_heatmap_tiles repeated for 10 zooms
+    would scan the table 10 times; here the finest zoom's GLOBAL pixel
+    bins (gx = floor(Xc·size) ∈ [0, 2^z·size)) are aggregated once,
+    and every coarser zoom's bins are EXACTLY the parent shift
+    gx>>dz, gy>>dz of the previous level's partials (integer-division
+    identity: floor(floor(v)/2) == floor(v/2)) — the same cascade as
+    tile_pyramid_rollup, then each level is painted independently.
+
+    ``size`` must be a power of two (tile index = gx>>log2(size),
+    pixel = gx & (size-1)). ``zooms`` strictly decreasing. Each
+    level's bins are pinned with a lazy localCheckpoint (fan-out rule:
+    the painter and the next cascade step both consume them)."""
+    from ..functions import webmercator as WM2
+
+    zooms = list(zooms)
+    if len(zooms) < 1 or len(set(zooms)) != len(zooms) or \
+            zooms != sorted(zooms, reverse=True):
+        raise ValueError("zooms must be strictly decreasing")
+    lg = size.bit_length() - 1
+    if size != (1 << lg):
+        raise ValueError("size must be a power of two")
+    z0 = zooms[0]
+    gx = F.floor(WM2.tile_xc_col(F.col(lon), z0) * size).cast("long")
+    gy = F.floor(WM2.tile_yc_col(F.col(lat), z0) * size).cast("long")
+    cur = (points.select(gx.alias("gx"), gy.alias("gy"))
+           .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=False))
+    out = None
+    prev = z0
+    for zv in zooms:
+        if zv != prev:
+            dz = prev - zv
+            cur = (cur.groupBy(F.shiftright("gx", dz).alias("gx"),
+                               F.shiftright("gy", dz).alias("gy"))
+                   .agg(F.sum("n").alias("n"))
+                   .localCheckpoint(eager=False))
+            prev = zv
+        bins = cur.select(
+            F.shiftright("gx", lg).alias("x"),
+            F.shiftright("gy", lg).alias("y"),
+            (F.col("gx") % size).cast("int").alias("px"),
+            (F.col("gy") % size).cast("int").alias("py"),
+            "n")
+        painted = _paint_bins(bins, zv, size)
+        out = painted if out is None else out.unionByName(painted)
+    return out
+
+
+def _paint_bins(bins: DataFrame, zoom: int, size: int) -> DataFrame:
+    """(x, y, px, py, n) counted bins → painted PNG tiles (the shared
+    tail of render_heatmap_tiles and render_heatmap_pyramid)."""
+    from ..functions import png as PNG
+
+    src = (bins.repartition("x", "y")
            .sortWithinPartitions("x", "y", "py", "px"))
 
     def _paint(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -2521,6 +2521,62 @@ FROM b GROUP BY x, y
 SQL_HEATMAP = _heat_sql()
 
 
+HEAT_PYR_ZOOMS = (6, 5, 3)
+
+
+def q_heatmap_pyramid(spark, sf_dir):
+    """Raster pyramid from ONE pass over the image table
+    (operators/tiles.render_heatmap_pyramid): finest-zoom global pixel
+    bins aggregated once, coarser zooms re-aggregated from the
+    previous level's partials via the exact parent shift. The oracle
+    computes EVERY level's per-tile stats directly from the leaf bins,
+    proving the cascade exact (the div-floor identity
+    floor(floor(v)/2) == floor(v/2) makes gx>>dz the true coarse
+    bin)."""
+    from .operators import tiles as TL
+
+    img = images_probe(spark, sf_dir)
+    out = TL.render_heatmap_pyramid(img, HEAT_PYR_ZOOMS, HEAT_SIZE)
+    return out.select("z", "x", "y", "n_points", "max_count")
+
+
+def _heat_pyr_sql():
+    import math as _m
+    z0 = HEAT_PYR_ZOOMS[0]
+    n = float(1 << z0)
+    hi = repr(_m.nextafter(n, 0.0))
+    xc = f"least(greatest((lon + 180.0) / 360.0 * {n}, 0.0), {hi})"
+    r = f"radians(least(greatest(lat, {-_WM.MAX_LAT}), {_WM.MAX_LAT}))"
+    merc = f"ln(tan({r}) + 1.0 / cos({r}))"
+    yc = (f"least(greatest((1.0 - {merc} / pi()) / 2.0 * {n}, 0.0), "
+          f"{hi})")
+    lg = HEAT_SIZE.bit_length() - 1
+    levels = []
+    for zv in HEAT_PYR_ZOOMS:
+        dz = z0 - zv
+        levels.append(f"""
+SELECT CAST({zv} AS INTEGER) AS z, (gx >> {dz}) >> {lg} AS x,
+       (gy >> {dz}) >> {lg} AS y,
+       CAST(sum(n) AS BIGINT) AS n_points,
+       CAST(max(nL) AS BIGINT) AS max_count
+FROM (SELECT gx, gy, n,
+             sum(n) OVER (PARTITION BY gx >> {dz}, gy >> {dz}) AS nL
+      FROM b) _l{zv}
+GROUP BY 1, 2, 3""")
+    return f"""
+WITH images AS ({IMAGES_SQL}),
+c AS (SELECT {xc} AS xc, {yc} AS yc FROM images),
+g AS (SELECT CAST(floor(xc * {HEAT_SIZE}) AS BIGINT) AS gx,
+             CAST(floor(yc * {HEAT_SIZE}) AS BIGINT) AS gy
+      FROM c),
+b AS (SELECT gx, gy, count(*) AS n FROM g GROUP BY 1, 2)
+{' UNION ALL '.join(levels)}
+"""
+
+
+SQL_HEAT_PYR = _heat_pyr_sql()
+
+
 def q_tile_retile(spark, sf_dir):
     """Incremental tile maintenance (operators/tiles.retile): every
     10th bench rect 'changes'; only the dirty tiles are rebuilt — the
@@ -2719,6 +2775,7 @@ QUERIES = {
     # round-5: PNG heatmap raster sink (oracled on the binning stats;
     # pixel parity pytest-proven) + incremental re-tile (rows-only)
     "heatmap_tiles": q_heatmap_tiles,
+    "heatmap_pyramid": q_heatmap_pyramid,
     "tile_retile": q_tile_retile,
     # round-5: streaming spatio-temporal tile density (oracled:
     # watermarked windowed counts == batch SQL; pytest parity)
@@ -2764,6 +2821,7 @@ ORACLES = {
     "tile_cover_assign": SQL_TILE_COVER,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
+    "heatmap_pyramid": SQL_HEAT_PYR,
     "stream_tile_heatmap": SQL_STREAM_TILEHEAT,
     "text_repetition": SQL_TEXT_REP,
     "text_vocab": SQL_TEXT_VOCAB,

@@ -639,3 +639,41 @@ def test_mvt_batch_encoder_byte_identical_to_scalar():
     got = b"".join(MVT.encode_features_batch(q, ring_lens,
                                              feat_of_ring, ids))
     assert got == want
+
+
+def test_render_heatmap_pyramid_levels(spark):
+    """zooms=[z] reproduces render_heatmap_tiles(z) byte-for-byte
+    (×2^k scaling is exact in binary FP, so global-bin>>shift and
+    direct binning agree bit-exactly), and a coarser cascade level
+    matches an independent numpy binning of the raw points."""
+    import math as _m
+
+    from osm_io_spark.functions import png as PNG
+    rng = np.random.default_rng(67)
+    lat = rng.uniform(-55, 55, 15000)
+    lon = rng.uniform(-175, 175, 15000)
+    import pandas as pd
+    sdf = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    size = 64
+    direct = {(r.z, r.x, r.y): bytes(r.png)
+              for r in TL.render_heatmap_tiles(sdf, 4, size).collect()}
+    pyr = TL.render_heatmap_pyramid(sdf, (4, 2), size).collect()
+    got4 = {(r.z, r.x, r.y): bytes(r.png) for r in pyr if r.z == 4}
+    assert got4 == direct
+    # level 2 vs independent binning from raw points
+    X, Y = TL._merc_xy_np(lon, lat, 2)
+    tx, ty = np.floor(X).astype(int), np.floor(Y).astype(int)
+    px = np.minimum((np.floor((X - tx) * size)).astype(int), size - 1)
+    py = np.minimum((np.floor((Y - ty) * size)).astype(int), size - 1)
+    for r in (rr for rr in pyr if rr.z == 2):
+        m = (tx == r.x) & (ty == r.y)
+        assert r.n_points == int(m.sum())
+        img = np.zeros((size, size), np.int64)
+        np.add.at(img, (py[m], px[m]), 1)
+        want = np.round(255.0 * np.log1p(img)
+                        / _m.log1p(img.max())).astype(np.uint8)
+        assert (PNG.decode_gray(bytes(r.png)) == want).all()
+    with pytest.raises(ValueError):
+        TL.render_heatmap_pyramid(sdf, (2, 4), size)
+    with pytest.raises(ValueError):
+        TL.render_heatmap_pyramid(sdf, (4,), size=100)
