@@ -83,6 +83,14 @@ REPORT_QUERIES = [
      "is pinned by a lazy localCheckpoint (fan-out rule), which "
      "truncates the printed lineage exactly as s2_multires_rollup's "
      "does; the cascade's exactness is oracled (tile_pyramid)"),
+    ("heatmap_tiles", "PNG heatmap raster sink (r5): Column binning + "
+     "one groupBy over the full point table (map-side partial agg), "
+     "then the repartition+sort+single-mapInPandas painter — the "
+     "only full-table pass is the first aggregation"),
+    ("heatmap_pyramid", "one-pass heatmap pyramid (r5): same "
+     "checkpoint-truncated cascade shape as tile_pyramid (each "
+     "level's global-pixel bins pinned); per-level exactness vs "
+     "direct-from-leaves is oracled"),
 ]
 
 

@@ -1,4 +1,6 @@
-"""Vector-tile building: cover → clip → simplify → quantize.
+"""Slippy tiling engine: vector tiles (cover → clip → simplify →
+quantize → MVT blobs), raster heatmap tiles (bin → cascade → PNG),
+zoom-pyramid rollups, and incremental dirty-tile maintenance.
 
 The reference stops at assigning elements to its planar Morton tile
 (/root/reference/src/osm/apidb_dump/sql.rs:50-61); an actual tiling
