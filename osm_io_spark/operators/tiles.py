@@ -263,7 +263,14 @@ def tile_cover(polys: DataFrame, zoom: int,
     Pure Column math + two explodes — stays in the scan's stage, no
     shuffle, no driver collect.  Tile range per polygon is the bbox's
     tile-index range (slippy y grows southward: y range comes from
-    top→bottom).  The guard raises in-task (raise_error folded into the
+    top→bottom).
+
+    Antimeridian: like the planar Morton path (and unlike the S2
+    spine), bboxes are min/max lon — a ring crossing ±180° arrives as
+    a near-world-wide bbox and fans out accordingly (the clip kernel
+    then drops the false tiles, and the guard below raises first at
+    reasonable zooms). Crossing geometry belongs on the S2 path
+    (s2_spatial_join_polygons), which handles it natively.  The guard raises in-task (raise_error folded into the
     fan-out column, so Catalyst cannot prune it) when a polygon's
     fan-out exceeds ``max_tiles_per_polygon``; pass None to disable
     (e.g. after pre-splitting giant polygons at a coarser zoom)."""
