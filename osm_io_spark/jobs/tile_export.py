@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--out", required=True)
     ap.add_argument("--zoom", type=int, default=12)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shard-by", default="morton",
+                    choices=["morton", "hash"],
+                    help="morton = contiguous Morton-range shards with "
+                         "per-shard m min/max manifest stats, enabling "
+                         "read_tile_region's data skipping; hash = "
+                         "uniform xxhash shards (no read locality)")
     ap.add_argument("--commit-every", type=int, default=4)
     ap.add_argument("--materialize", default=None,
                     help="also write z/x/y.mvt files (driver-sized sets)")
@@ -77,17 +83,35 @@ def main(argv: list[str] | None = None) -> dict:
 
     polys = source_polygons(spark, args.sf_dir, args.pbf)
     feats = TL.build_vector_tiles(polys, args.zoom)
-    blobs = (TL.encode_mvt_tiles(feats)
-             .withColumn("shard", F.pmod(F.xxhash64("x", "y"),
-                                         F.lit(args.shards)))
-             .localCheckpoint(eager=False))
+    blobs = TL.encode_mvt_tiles(feats).withColumn(
+        "m", TL.tile_morton_col("x", "y"))
+    if args.shard_by == "morton":
+        # contiguous Morton ranges: shard k holds m ∈ [k, k+1)·4^z/N —
+        # 2-D tile locality becomes per-shard m min/max manifest stats,
+        # so read_tile_region serves a bbox from a few shards. Ranges
+        # split the ID space uniformly (deterministic and resumable);
+        # a sparse/clustered tile set (small extracts, ocean-free
+        # planets) leaves some shards empty — harmless: empty shards
+        # carry no stats and the pruned reader skips zero-row
+        # partitions outright. Data-quantile boundaries would balance
+        # bytes better but make the shard of a tile depend on the
+        # WHOLE dataset, breaking per-shard resume.
+        blobs = blobs.withColumn(
+            "shard", F.shiftright(F.col("m") * args.shards,
+                                  2 * args.zoom))
+    else:
+        blobs = blobs.withColumn(
+            "shard", F.pmod(F.xxhash64("x", "y"), F.lit(args.shards)))
+    blobs = blobs.localCheckpoint(eager=False)
 
     catalog = SnapshotCatalog(args.out)
     table = catalog.table(f"tiles_z{args.zoom}")
     job = ResumableJob(table, "tile_export",
                        inputs={"sf_dir": args.sf_dir, "pbf": args.pbf,
-                               "zoom": args.zoom, "shards": args.shards},
-                       commit_every=args.commit_every)
+                               "zoom": args.zoom, "shards": args.shards,
+                               "shard_by": args.shard_by},
+                       commit_every=args.commit_every,
+                       stats_columns=["m"])
     plan = [f"shard={s}" for s in range(args.shards)]
 
     def build(partition: str):

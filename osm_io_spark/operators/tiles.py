@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import webmercator as WM
+from ..functions.cells import morton_np
 from .util import widen
 
 # ---------------------------------------------------------------------------
@@ -562,6 +563,74 @@ def encode_mvt_tiles(features: DataFrame, name: str = "osm",
             yield _emit(carry)
 
     return src.mapInPandas(run, MVT_SCHEMA)
+
+
+def tile_morton_col(x, y) -> "F.Column":
+    """Raw Morton interleave of tile x/y (no lead bit) — the 1-D sort
+    key of the tile store: 2-D tile locality == 1-D id locality, so a
+    morton-RANGE-sharded store serves a bbox region from a handful of
+    shards (same read-path story as the S2 Hilbert id,
+    spatial_join.s2_read_region_pruned). Valid for zoom ≤ 16 (the
+    16-bit interleave of functions/cells.morton_col)."""
+    from ..functions import cells as C
+    return C.morton_col(F.col(x) if isinstance(x, str) else x,
+                        F.col(y) if isinstance(y, str) else y)
+
+
+def morton_ranges_for_rect(x0: int, x1: int, y0: int, y1: int, zoom: int,
+                           max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Decompose an inclusive tile rect into ≤ max_ranges Morton-id
+    ranges (quadtree descent; a quad partially overlapping the rect is
+    emitted WHOLE once the budget is reached — a superset is fine, the
+    caller applies the exact x/y filter after the manifest skip)."""
+    out: list[tuple[int, int]] = []
+    stack = [(0, 0, 0)]  # (prefix cell x, y, level)
+    while stack:
+        cx, cy, lv = stack.pop()
+        span = 1 << (zoom - lv)
+        qx0, qy0 = cx * span, cy * span
+        qx1, qy1 = qx0 + span - 1, qy0 + span - 1
+        if qx1 < x0 or qx0 > x1 or qy1 < y0 or qy0 > y1:
+            continue
+        full = qx0 >= x0 and qx1 <= x1 and qy0 >= y0 and qy1 <= y1
+        if full or lv == zoom or \
+                len(out) + len(stack) + 4 >= max_ranges:
+            m0 = int(morton_np(np.array([qx0], np.uint64),
+                               np.array([qy0], np.uint64))[0])
+            out.append((m0, m0 + span * span - 1))
+            continue
+        for dx in (0, 1):
+            for dy in (0, 1):
+                stack.append((cx * 2 + dx, cy * 2 + dy, lv + 1))
+    out.sort()
+    # merge adjacent ranges
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def read_tile_region(table, spark, zoom: int, left: float, bottom: float,
+                     right: float, top: float):
+    """Region read over a morton-sharded tile snapshot: bbox → tile
+    rect → Morton ranges → manifest min/max skipping
+    (SnapshotTable.read_pruned_multi on the ``m`` column) → exact x/y
+    filter. Returns (DataFrame, kept partition names) — the
+    tile-serving path of a 100 TB tile store: no file listing, no full
+    scan."""
+    from ..functions import webmercator as WM2
+    x0a, y0a = WM2.tile_xy_np(np.array([top]), np.array([left]), zoom)
+    x1a, y1a = WM2.tile_xy_np(np.array([bottom]), np.array([right]), zoom)
+    x0, x1 = int(x0a[0]), int(x1a[0])
+    y0, y1 = int(y0a[0]), int(y1a[0])
+    ranges = morton_ranges_for_rect(x0, x1, y0, y1, zoom)
+    df, kept = table.read_pruned_multi(spark, "m", ranges)
+    return (df.filter((F.col("x") >= x0) & (F.col("x") <= x1)
+                      & (F.col("y") >= y0) & (F.col("y") <= y1)),
+            kept)
 
 
 def dirty_tiles(changed_polys: DataFrame, zoom: int,

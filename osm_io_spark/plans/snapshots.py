@@ -536,6 +536,8 @@ class SnapshotTable:
         keep: list[str] = []
         keep_paths: list[str] = []
         for name, entry in sorted(snap.partitions.items()):
+            if entry.get("rows") == 0:
+                continue  # empty partition: nothing to read, no stats
             st = entry.get("column_stats", {}).get(column)
             if st is None or any(not (st["max"] < lo or st["min"] > hi)
                                  for lo, hi in ranges):

@@ -50,3 +50,41 @@ def test_tile_export_end_to_end(spark, tmp_path):
         "--zoom", "10", "--shards", "4"])
     assert summary2["version"] == v1
     assert summary2["rows"] == summary["rows"]
+
+
+def test_morton_sharded_region_read_prunes(spark, tmp_path):
+    """Morton-range sharding gives the manifest per-shard m min/max
+    stats; a bbox region read must skip shards and return exactly the
+    full-read rows of that region."""
+    from osm_io_spark.operators import tiles as TL
+    out = str(tmp_path / "tiles_m")
+    TE.main(["--sf-dir", "/root/testdata/sf0.001", "--out", out,
+             "--zoom", "10", "--shards", "8", "--shard-by", "morton"])
+    table = SnapshotCatalog(out).table("tiles_z10")
+    snap = table.snapshot()
+    # stats recorded per shard, and morton ranges are disjoint across
+    # shards (contiguity of the range sharding)
+    stats = [(e["column_stats"]["m"]["min"], e["column_stats"]["m"]["max"])
+             for e in snap.partitions.values() if e["rows"] > 0]
+    stats.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(stats, stats[1:]):
+        assert hi1 < lo2
+    # region = a few tiles around an actually-exported tile (sf0.001
+    # has only ~300 tiles worldwide; a fixed bbox can miss them all)
+    import numpy as np
+    from osm_io_spark.functions import webmercator as WM
+    anchor = table.read(spark).orderBy("x", "y").first()
+    x0, x1 = anchor.x - 2, anchor.x + 2
+    y0, y1 = anchor.y - 2, anchor.y + 2
+    l, b, _r, _t = WM.tile_bounds_np(np.array([x0]), np.array([y1]), 10)
+    _l2, _b2, r, t = WM.tile_bounds_np(np.array([x1]), np.array([y0]), 10)
+    eps = 1e-9  # stay strictly inside the corner tiles
+    got, kept = TL.read_tile_region(table, spark, 10, l[0] + eps,
+                                    b[0] + eps, r[0] - eps, t[0] - eps)
+    full = table.read(spark).filter(
+        f"x >= {x0} and x <= {x1} and y >= {y0} and y <= {y1}")
+    got_keys = {(r.x, r.y) for r in got.select("x", "y").collect()}
+    want_keys = {(r.x, r.y) for r in full.select("x", "y").collect()}
+    assert got_keys == want_keys and len(want_keys) > 0
+    n_shards = len([e for e in snap.partitions.values()])
+    assert len(kept) < n_shards, (len(kept), n_shards)
