@@ -103,3 +103,96 @@ def test_pip_matches_matplotlib_free_winding(ring, px, py):
             if px < xint:
                 crossings += 1
     assert got == (crossings % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# round-5 tiling kernels
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.floats(-10, 10), st.floats(-10, 10)),
+                min_size=3, max_size=20),
+       st.floats(-5, 0), st.floats(-5, 0),
+       st.floats(0.1, 5), st.floats(0.1, 5))
+@settings(max_examples=150, deadline=None)
+def test_clip_ring_invariants(pts, l, b, w, h):
+    """Clip output stays inside the (closed) rect; clipping twice is
+    idempotent; a ring fully inside survives unchanged."""
+    import numpy as np
+
+    from osm_io_spark.operators import tiles as TL
+    ring = np.array(pts, float)
+    r, t = l + w, b + h
+    cl = TL.clip_ring_rect_np(ring, l, b, r, t)
+    eps = 1e-9
+    if len(cl):
+        assert (cl[:, 0] >= l - eps).all() and (cl[:, 0] <= r + eps).all()
+        assert (cl[:, 1] >= b - eps).all() and (cl[:, 1] <= t + eps).all()
+    # idempotence on a hair-expanded rect (interpolated coords can
+    # exceed the exact bound by an ulp: p + t*(c-p) at t≈1)
+    cl2 = TL.clip_ring_rect_np(cl, l - 1e-9, b - 1e-9, r + 1e-9, t + 1e-9)
+    assert cl2.shape == cl.shape and (len(cl) == 0 or (cl2 == cl).all())
+    inside = (ring[:, 0] > l) & (ring[:, 0] < r) & \
+             (ring[:, 1] > b) & (ring[:, 1] < t)
+    if inside.all():
+        assert (cl == ring).all()
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100), st.floats(-100, 100)),
+                min_size=2, max_size=40),
+       st.floats(0.0, 10.0))
+@settings(max_examples=150, deadline=None)
+def test_simplify_invariants(pts, tol):
+    """Endpoints always kept; output is a subsequence of the input;
+    simplifying an already-simplified ring with the same tolerance is
+    idempotent."""
+    import numpy as np
+
+    from osm_io_spark.operators import tiles as TL
+    ring = np.array(pts, float)
+    simp = TL.simplify_ring_np(ring, tol)
+    assert (simp[0] == ring[0]).all() and (simp[-1] == ring[-1]).all()
+    # subsequence check
+    i = 0
+    for p in simp:
+        while i < len(ring) and not (ring[i] == p).all():
+            i += 1
+        assert i < len(ring), "output vertex not from input"
+        i += 1
+    simp2 = TL.simplify_ring_np(simp, tol)
+    assert simp2.shape == simp.shape
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=0, max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_varints_np_matches_scalar_property(vals):
+    import numpy as np
+
+    from osm_io_spark.functions import mvt as MVT
+    arr = np.array(vals, np.uint64)
+    assert MVT.varints_np(arr) == b"".join(
+        MVT._varint(int(v)) for v in vals)
+
+
+@given(st.integers(0, 14), st.integers(), st.integers(), st.integers(),
+       st.integers())
+@settings(max_examples=150, deadline=None)
+def test_morton_ranges_cover_rect(zoom, ax, ay, bx, by):
+    """Every tile of the rect falls inside some emitted Morton range,
+    and ranges are sorted disjoint."""
+    import numpy as np
+
+    from osm_io_spark.functions.cells import morton_np
+    from osm_io_spark.operators import tiles as TL
+    n = 1 << zoom
+    x0, x1 = sorted((abs(ax) % n, abs(bx) % n))
+    y0, y1 = sorted((abs(ay) % n, abs(by) % n))
+    ranges = TL.morton_ranges_for_rect(x0, x1, y0, y1, zoom)
+    assert all(h1 < l2 for (_l1, h1), (l2, _h2)
+               in zip(ranges, ranges[1:]))
+    xs = np.linspace(x0, x1, min(8, x1 - x0 + 1), dtype=np.int64)
+    ys = np.linspace(y0, y1, min(8, y1 - y0 + 1), dtype=np.int64)
+    for xx in xs:
+        for yy in ys:
+            m = int(morton_np(np.array([xx], np.uint64),
+                              np.array([yy], np.uint64))[0])
+            assert any(lo <= m <= hi for lo, hi in ranges), (xx, yy)
