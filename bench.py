@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "heatmap_tiles",
     "heatmap_pyramid",
     "tile_retile",
+    "ctx_reverse_index",
+    "ctx_cascade_discard",
+    "ctx_relation_closure",
 ]
 
 

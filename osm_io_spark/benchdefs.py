@@ -45,6 +45,10 @@ CONSTRUCT_IN_TIMER = {
     # and runs an eager broadcast-gate count; heatmap_pyramid pins each
     # cascade level — same rule
     "tile_retile", "heatmap_pyramid",
+    # ctx_cascade_discard runs an eager broadcast-gate count on the
+    # deleted set; ctx_relation_closure runs its whole BFS frontier
+    # loop (persist + isEmpty per level) at construction — same rule
+    "ctx_cascade_discard", "ctx_relation_closure",
 }
 
 

@@ -91,6 +91,18 @@ REPORT_QUERIES = [
      "checkpoint-truncated cascade shape as tile_pyramid (each "
      "level's global-pixel bins pinned); per-level exactness vs "
      "direct-from-leaves is oracled"),
+    ("ctx_reverse_index", "context-index reverse lookup (r5c): one "
+     "hash aggregation over the exploded edge union — hot objects "
+     "(a node in 10^4 ways) combine map-side (partial_count) before "
+     "the single shuffle"),
+    ("ctx_cascade_discard", "the roadmap's cascade-discard example "
+     "(r5c): broadcast-gated deleted set, bool_and liveness partial-"
+     "aggregated per node, tag shield as a post-join filter — no "
+     "anti-join chain, one shuffle on the node key"),
+    ("ctx_dangling_refs", "dangling-ref audit (r5c): one null-safe "
+     "LEFT ANTI join per auditable ref_type (never NOT IN — Spark "
+     "plans NOT IN as a null-aware anti join that degenerates to "
+     "nested-loop), union aggregated with map-side partials"),
 ]
 
 

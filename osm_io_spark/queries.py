@@ -2622,6 +2622,379 @@ def q_mvt_tiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# context index (the reference's SECOND roadmap item — README.md:46-48,
+# src/lib.rs:29-30: "index the entire OSM dataset by relations between
+# its objects ... efficiently discard all Nodes that belong to a
+# deleted Way"; the S2 index was the first). operators/context.py.
+#
+# The synthetic context graph is derived deterministically from the
+# TPC-H tables so DuckDB can run identical SQL: ways = orders (their
+# lineitems are the way→node reference list), nodes = part spread over
+# a 16-replica id domain (so per-node parent counts stay small, like
+# real OSM where most nodes belong to 1-2 ways), relations = customers
+# (containing their orders' ways) nested under nation- and region-level
+# relations (10000+/20000+ id namespaces). Every 7th lineitem and every
+# 97th order reference a non-existent target — the dangling-audit
+# signal.
+# ---------------------------------------------------------------------------
+
+
+def _ctx_way_node_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ref = ((F.col("l_partkey") * 16) + (F.col("l_orderkey") % 16)
+           + F.when(F.col("l_linenumber") % 7 == 0, F.lit(1000000))
+           .otherwise(F.lit(0)))
+    return li.select(
+        F.lit("way").alias("parent_type"),
+        F.col("l_orderkey").cast("long").alias("parent_id"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+        F.lit("node").alias("ref_type"),
+        ref.cast("long").alias("ref_id"))
+
+
+def _ctx_rel_way_edges(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ref = (F.col("o_orderkey")
+           + F.when(F.col("o_orderkey") % 97 == 0, F.lit(5000000))
+           .otherwise(F.lit(0)))
+    return o.select(
+        F.lit("relation").alias("parent_type"),
+        F.col("o_custkey").cast("long").alias("parent_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("way").alias("ref_type"),
+        ref.cast("long").alias("ref_id"))
+
+
+def _ctx_rel_rel_edges(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.lit("relation").alias("parent_type"),
+        (F.col("c_nationkey") + 10000).cast("long").alias("parent_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("relation").alias("ref_type"),
+        F.col("c_custkey").cast("long").alias("ref_id"))
+    e2 = n.select(
+        F.lit("relation").alias("parent_type"),
+        (F.col("n_regionkey") + 20000).cast("long").alias("parent_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("relation").alias("ref_type"),
+        (F.col("n_nationkey") + 10000).cast("long").alias("ref_id"))
+    return e1.unionByName(e2)
+
+
+def _ctx_nodes(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.select("p_partkey",
+                     F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"))
+            .select(((F.col("p_partkey") * 16) + F.col("r")).cast("long")
+                    .alias("node_id"),
+                    (((F.col("p_partkey") * 31) + F.col("r")) % 5 == 0)
+                    .alias("tagged")))
+
+
+_SQL_CTX_EDGES = """
+wn AS (
+  SELECT 'way' AS parent_type, CAST(l_orderkey AS BIGINT) AS parent_id,
+         'node' AS ref_type,
+         CAST(l_partkey * 16 + l_orderkey % 16
+              + CASE WHEN l_linenumber % 7 = 0 THEN 1000000 ELSE 0 END
+              AS BIGINT) AS ref_id
+  FROM lineitem),
+rw AS (
+  SELECT 'relation' AS parent_type, CAST(o_custkey AS BIGINT) AS parent_id,
+         'way' AS ref_type,
+         CAST(o_orderkey
+              + CASE WHEN o_orderkey % 97 = 0 THEN 5000000 ELSE 0 END
+              AS BIGINT) AS ref_id
+  FROM orders),
+rr AS (
+  SELECT 'relation' AS parent_type,
+         CAST(10000 + c_nationkey AS BIGINT) AS parent_id,
+         'relation' AS ref_type, CAST(c_custkey AS BIGINT) AS ref_id
+  FROM customer
+  UNION ALL
+  SELECT 'relation', CAST(20000 + n_regionkey AS BIGINT),
+         'relation', CAST(10000 + n_nationkey AS BIGINT)
+  FROM nation),
+ctx_edges AS (SELECT * FROM wn UNION ALL SELECT * FROM rw
+              UNION ALL SELECT * FROM rr)
+"""
+
+
+def q_ctx_reverse_index(spark, sf_dir):
+    """Context index, query side: "who references X?" over the full
+    edge table (way→node ∪ relation→way ∪ relation→relation) — ONE
+    hash aggregation, hot objects absorbed by map-side partials."""
+    from .operators import context as CTX
+    edges = (_ctx_way_node_edges(spark, sf_dir)
+             .unionByName(_ctx_rel_way_edges(spark, sf_dir))
+             .unionByName(_ctx_rel_rel_edges(spark, sf_dir)))
+    return CTX.reverse_index(edges)
+
+
+SQL_CTX_RIDX = f"""
+WITH {_SQL_CTX_EDGES}
+SELECT ref_type, ref_id, CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT parent_type || ':' || CAST(parent_id AS VARCHAR))
+            AS BIGINT) AS n_parents,
+       min(parent_id) AS min_parent, max(parent_id) AS max_parent
+FROM ctx_edges GROUP BY ref_type, ref_id
+"""
+
+
+def q_ctx_cascade_discard(spark, sf_dir):
+    """The roadmap's own example: ways with o_orderstatus='F' are
+    deleted; emit the untagged nodes whose EVERY referencing way is
+    deleted (broadcast-gated deleted set, bool_and liveness agg)."""
+    from .operators import context as CTX
+    edges = _ctx_way_node_edges(spark, sf_dir)
+    deleted = (_t(spark, sf_dir, "orders")
+               .filter(F.col("o_orderstatus") == "F")
+               .select(F.col("o_orderkey").cast("long").alias("way_id")))
+    return CTX.cascade_discard(_ctx_nodes(spark, sf_dir), edges, deleted)
+
+
+SQL_CTX_CASCADE = """
+WITH e AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS way_id,
+         CAST(l_partkey * 16 + l_orderkey % 16
+              + CASE WHEN l_linenumber % 7 = 0 THEN 1000000 ELSE 0 END
+              AS BIGINT) AS node_id
+  FROM lineitem),
+del AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS way_id
+        FROM orders WHERE o_orderstatus = 'F'),
+g AS (SELECT e.node_id, CAST(count(*) AS BIGINT) AS n_refs,
+             CAST(count(DISTINCT e.way_id) AS BIGINT) AS n_parents,
+             bool_and(del.way_id IS NOT NULL) AS all_deleted
+      FROM e LEFT JOIN del ON e.way_id = del.way_id
+      GROUP BY e.node_id),
+nd AS (SELECT CAST(p_partkey * 16 + r AS BIGINT) AS node_id,
+              ((p_partkey * 31 + r) % 5) = 0 AS tagged
+       FROM part, (SELECT unnest(generate_series(0, 15)) AS r) rs)
+SELECT nd.node_id, g.n_refs, g.n_parents
+FROM g JOIN nd ON g.node_id = nd.node_id
+WHERE g.all_deleted AND NOT nd.tagged
+"""
+
+
+def q_ctx_dangling_refs(spark, sf_dir):
+    """Referential-integrity audit: references whose target id does
+    not exist (null-safe LEFT ANTI joins per ref_type, never NOT IN)."""
+    from .operators import context as CTX
+    edges = (_ctx_way_node_edges(spark, sf_dir)
+             .unionByName(_ctx_rel_way_edges(spark, sf_dir))
+             .unionByName(_ctx_rel_rel_edges(spark, sf_dir)))
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    targets = {
+        "node": _ctx_nodes(spark, sf_dir).select("node_id"),
+        "way": (li.select(F.col("l_orderkey").cast("long").alias("id"))
+                .distinct()),
+        "relation": (c.select(F.col("c_custkey").cast("long").alias("id"))
+                     .unionByName(n.select(
+                         (F.col("n_nationkey") + 10000).cast("long")
+                         .alias("id")))
+                     .unionByName(r.select(
+                         (F.col("r_regionkey") + 20000).cast("long")
+                         .alias("id")))
+                     .distinct()),
+    }
+    return CTX.dangling_references(edges, targets)
+
+
+SQL_CTX_DANGLING = f"""
+WITH {_SQL_CTX_EDGES},
+nd AS (SELECT CAST(p_partkey * 16 + r AS BIGINT) AS id
+       FROM part, (SELECT unnest(generate_series(0, 15)) AS r) rs),
+wy AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS id FROM lineitem),
+rl AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       UNION SELECT CAST(10000 + n_nationkey AS BIGINT) FROM nation
+       UNION SELECT CAST(20000 + r_regionkey AS BIGINT) FROM region),
+miss AS (
+  SELECT e.parent_type, e.ref_type, e.ref_id
+  FROM ctx_edges e LEFT JOIN nd ON e.ref_id = nd.id
+  WHERE e.ref_type = 'node' AND nd.id IS NULL
+  UNION ALL
+  SELECT e.parent_type, e.ref_type, e.ref_id
+  FROM ctx_edges e LEFT JOIN wy ON e.ref_id = wy.id
+  WHERE e.ref_type = 'way' AND wy.id IS NULL
+  UNION ALL
+  SELECT e.parent_type, e.ref_type, e.ref_id
+  FROM ctx_edges e LEFT JOIN rl ON e.ref_id = rl.id
+  WHERE e.ref_type = 'relation' AND rl.id IS NULL)
+SELECT parent_type, ref_type, CAST(count(*) AS BIGINT) AS n_dangling,
+       CAST(count(DISTINCT ref_id) AS BIGINT) AS n_missing_targets,
+       min(ref_id) AS min_missing, max(ref_id) AS max_missing
+FROM miss GROUP BY parent_type, ref_type
+"""
+
+
+def q_ctx_relation_closure(spark, sf_dir):
+    """Relation-nesting transitive closure (customer-relations nested
+    under nation-relations under region-relations): BFS frontier loop,
+    min-depth semantics — the oracle is a genuine recursive CTE."""
+    from .operators import context as CTX
+    e = (_ctx_rel_rel_edges(spark, sf_dir)
+         .select("parent_id", F.col("ref_id").alias("child_id")))
+    return CTX.transitive_closure(e, max_depth=8)
+
+
+SQL_CTX_CLOSURE = """
+WITH RECURSIVE e AS (
+  SELECT CAST(10000 + c_nationkey AS BIGINT) AS parent_id,
+         CAST(c_custkey AS BIGINT) AS child_id
+  FROM customer
+  UNION ALL
+  SELECT CAST(20000 + n_regionkey AS BIGINT),
+         CAST(10000 + n_nationkey AS BIGINT)
+  FROM nation),
+tc AS (
+  SELECT parent_id AS ancestor_id, child_id AS descendant_id, 1 AS depth
+  FROM e
+  UNION
+  SELECT tc.ancestor_id, e.child_id, tc.depth + 1
+  FROM tc JOIN e ON tc.descendant_id = e.parent_id)
+SELECT ancestor_id, descendant_id, CAST(min(depth) AS INT) AS depth
+FROM tc GROUP BY ancestor_id, descendant_id
+"""
+
+
+def q_ctx_pbf_discard(spark, sf_dir):
+    """The roadmap example end-to-end on the REAL OSM path: PBF fixture
+    → explode way refs → delete every third way → discardable untagged
+    nodes. Engine-native rows-only (brute-force pandas parity in
+    tests/test_context.py)."""
+    from .operators import context as CTX
+    from .sources.pbf import decode as PD
+    path = _fixture_pbf_path(spark)
+    els = PD.read_pbf(spark, path)
+    ways = els.filter("etype = 'way'").select("id", "refs")
+    nodes = (els.filter("etype = 'node'")
+             .select(F.col("id").alias("node_id"),
+                     (F.size("tags") > 0).alias("tagged")))
+    edges = CTX.explode_references(ways=ways)
+    deleted = ways.filter("id % 3 = 0").select(F.col("id").alias("way_id"))
+    out = CTX.cascade_discard(nodes, edges, deleted)
+    return out.agg(F.count("*").alias("n_discardable"),
+                   F.min("node_id").alias("min_id"),
+                   F.max("node_id").alias("max_id"),
+                   F.sum("n_refs").alias("total_refs"))
+
+
+# ---------------------------------------------------------------------------
+# replication diffs (OsmChange application — the osmosis_replication_*
+# state the reference's FileInfo carries, file_info.rs:11-13; delete =
+# visible=false per the history model, current_object.rs:18-31).
+# operators/replication.py. Synthetic derivation: base snapshot = part
+# (version-1 nodes), the diff = lineitem (versions 2-5, every
+# returnflag='R' row a delete, every linenumber-7 row a creation at a
+# fresh id).
+# ---------------------------------------------------------------------------
+
+
+def _repl_base(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(F.lit("node").alias("etype"),
+                    F.col("p_partkey").cast("long").alias("id"),
+                    F.lit(1).cast("int").alias("version"),
+                    F.lit(True).alias("visible"),
+                    F.col("p_brand").alias("payload"))
+
+
+def _repl_changes(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    new_id = (F.col("l_partkey")
+              + F.when(F.col("l_linenumber") == 7, F.lit(2000))
+              .otherwise(F.lit(0)))
+    return li.select(F.lit("node").alias("etype"),
+                     new_id.cast("long").alias("id"),
+                     (F.lit(2) + F.col("l_linenumber") % 4).cast("int")
+                     .alias("version"),
+                     (F.col("l_returnflag") != "R").alias("visible"),
+                     F.col("l_linestatus").alias("payload"))
+
+
+def q_osm_apply_diff(spark, sf_dir):
+    """OsmChange application: base ∪ diff → latest (etype, id) wins
+    with change-beats-base + payload tie-breaks (the diff carries
+    duplicate (id, version) rows — dup-key-aware by construction);
+    deletes drop out of the current view."""
+    from .operators import replication as REPL
+    return REPL.apply_diff(_repl_base(spark, sf_dir),
+                           _repl_changes(spark, sf_dir),
+                           tie_breakers=("payload", "visible"))
+
+
+SQL_APPLY_DIFF = """
+WITH base AS (
+  SELECT 'node' AS etype, CAST(p_partkey AS BIGINT) AS id,
+         1 AS version, TRUE AS visible, p_brand AS payload, 0 AS src_pri
+  FROM part),
+chg AS (
+  SELECT 'node' AS etype,
+         CAST(l_partkey
+              + CASE WHEN l_linenumber = 7 THEN 2000 ELSE 0 END
+              AS BIGINT) AS id,
+         2 + l_linenumber % 4 AS version,
+         l_returnflag <> 'R' AS visible,
+         l_linestatus AS payload, 1 AS src_pri
+  FROM lineitem),
+merged AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+latest AS (
+  SELECT etype, id, version, visible, payload,
+         row_number() OVER (
+           PARTITION BY etype, id
+           ORDER BY version DESC, src_pri DESC, payload DESC,
+                    visible DESC) AS rn
+  FROM merged)
+SELECT etype, id, CAST(version AS INT) AS version, visible, payload
+FROM latest WHERE rn = 1 AND visible
+"""
+
+
+def q_osm_diff_stats(spark, sf_dir):
+    """Diff classification (created / modified / deleted per element
+    type): both sides collapse to one row per key before a single
+    key join — the apply-changes bookkeeping."""
+    from .operators import replication as REPL
+    return REPL.diff_stats(_repl_base(spark, sf_dir),
+                           _repl_changes(spark, sf_dir))
+
+
+SQL_DIFF_STATS = """
+WITH base AS (
+  SELECT 'node' AS etype, CAST(p_partkey AS BIGINT) AS id, TRUE AS visible
+  FROM part),
+chg AS (
+  SELECT 'node' AS etype,
+         CAST(l_partkey
+              + CASE WHEN l_linenumber = 7 THEN 2000 ELSE 0 END
+              AS BIGINT) AS id,
+         2 + l_linenumber % 4 AS version,
+         l_returnflag <> 'R' AS visible
+  FROM lineitem),
+clat AS (
+  SELECT etype, id, visible AS chg_vis FROM (
+    SELECT etype, id, visible,
+           row_number() OVER (PARTITION BY etype, id
+                              ORDER BY version DESC, visible DESC) AS rn
+    FROM chg) WHERE rn = 1),
+blat AS (SELECT etype, id, visible AS base_vis FROM base)
+SELECT etype,
+       CASE WHEN base_vis IS NULL AND chg_vis THEN 'created'
+            WHEN base_vis IS NULL THEN 'deleted_unknown'
+            WHEN NOT chg_vis THEN 'deleted'
+            ELSE 'modified' END AS action,
+       CAST(count(*) AS BIGINT) AS n
+FROM clat LEFT JOIN blat USING (etype, id)
+GROUP BY etype, action
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2643,6 +3016,17 @@ QUERIES = {
     # actually catch, the two text Columns don't)
     "tile_point_assign": q_tile_point_assign,
     "tile_cover_assign": q_tile_cover_assign,
+    # context index — rotated INTO the window in round 5c (the
+    # reference's second roadmap item; README.md:46-48). These three
+    # carry the failure modes the window exists to catch — a gated
+    # broadcast + bool_and liveness agg (cascade), an iterative
+    # frontier join vs a genuine recursive-CTE oracle (closure), and
+    # null-safe anti joins (dangling). Rotated out per the swap policy
+    # below: text_token_count / text_token_count_bpe / text_language_id
+    # (pure Column transforms, oracles kept).
+    "ctx_cascade_discard": q_ctx_cascade_discard,
+    "ctx_relation_closure": q_ctx_relation_closure,
+    "ctx_dangling_refs": q_ctx_dangling_refs,
     "agg_cell_rollup": q_agg_cell_rollup,
     "a2_bounding_box": q_a2_bounding_box,
     # relational / reference operator analogues
@@ -2666,11 +3050,8 @@ QUERIES = {
     "w2_sessionize_batch": q_w2_sessionize_batch,
     "f1_token_filter": q_f1_token_filter,
     # text analysis
-    "text_token_count": q_text_token_count,
-    "text_token_count_bpe": q_text_token_count_bpe,
     "sample_mixture": q_sample_mixture,
     "text_chunks": q_text_chunks,
-    "text_language_id": q_text_language_id,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2720,6 +3101,19 @@ QUERIES = {
     # kept so pytest still hash-checks them)
     "text_repetition": q_text_repetition,
     "text_vocab": q_text_vocab,
+    # rotated out in round 5c for the context-index trio (same policy)
+    "text_token_count": q_text_token_count,
+    "text_token_count_bpe": q_text_token_count_bpe,
+    "text_language_id": q_text_language_id,
+    # round-5c: the context-index reverse lookup itself — oracled,
+    # pytest-parity past the window (its three consumers above hold the
+    # window slots; this is the same one-agg plan shape)
+    "ctx_reverse_index": q_ctx_reverse_index,
+    # round-5c: OsmChange replication-diff application (oracled,
+    # pytest parity past the window; delete = visible=false per the
+    # reference's history model)
+    "osm_apply_diff": q_osm_apply_diff,
+    "osm_diff_stats": q_osm_diff_stats,
     # round-5: cascaded S2 multires rollup — oracled (cascade proven ==
     # direct-from-leaves), parity-gated in pytest past the window
     "s2_multires_rollup": q_s2_multires_rollup,
@@ -2780,6 +3174,10 @@ QUERIES = {
     # round-5: streaming spatio-temporal tile density (oracled:
     # watermarked windowed counts == batch SQL; pytest parity)
     "stream_tile_heatmap": q_stream_tile_heatmap,
+    # round-5c: the roadmap's cascade-discard example on the real OSM
+    # path (PBF fixture; brute-force pandas parity in
+    # tests/test_context.py)
+    "ctx_pbf_discard": q_ctx_pbf_discard,
 }
 
 ORACLES = {
@@ -2842,4 +3240,12 @@ ORACLES = {
     "mm_decode_stats": SQL_MM_STATS,
     "s2_cellid": SQL_S2CELL,
     "s2_containment_join": SQL_S2CONTAIN,
+    # context index (round 5c)
+    "ctx_reverse_index": SQL_CTX_RIDX,
+    "ctx_cascade_discard": SQL_CTX_CASCADE,
+    "ctx_dangling_refs": SQL_CTX_DANGLING,
+    "ctx_relation_closure": SQL_CTX_CLOSURE,
+    # replication diffs (round 5c)
+    "osm_apply_diff": SQL_APPLY_DIFF,
+    "osm_diff_stats": SQL_DIFF_STATS,
 }

@@ -59,6 +59,21 @@ def test_round5b_window_rotation():
         assert rotated in Q.ORACLES and rotated not in window, rotated
 
 
+def test_round5c_window_rotation():
+    """Round-5c swap: the context-index trio (gated broadcast +
+    bool_and agg, iterative closure vs recursive-CTE oracle, null-safe
+    anti joins — failure modes the driver can catch) sits inside the
+    window; the three rotated-out text Column transforms keep their
+    oracles outside it."""
+    names = list(Q.QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    assert {"ctx_cascade_discard", "ctx_relation_closure",
+            "ctx_dangling_refs"} <= window
+    for rotated in ("text_token_count", "text_token_count_bpe",
+                    "text_language_id", "ctx_reverse_index"):
+        assert rotated in Q.ORACLES and rotated not in window, rotated
+
+
 def test_every_oracle_key_is_a_registry_key():
     missing = set(Q.ORACLES) - set(Q.QUERIES)
     assert not missing, f"ORACLES keys without a queries() entry: {missing}"
