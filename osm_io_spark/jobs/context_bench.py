@@ -45,7 +45,8 @@ def _edges(spark, n: int, parts: int):
                     (F.col("id") % (n // 6)).alias("parent_id"),
                     F.lit(0).alias("seq"),
                     F.lit("node").alias("ref_type"),
-                    F.when(F.col("id") % 100 == 0, F.col("id") % 1000)
+                    F.when(F.col("id") % 100 == 0,
+                           (F.col("id") / 100).cast("long") % 1000)
                     .otherwise(F.col("id") % (n // 12)).alias("ref_id")))
 
 

@@ -109,9 +109,11 @@ def run_one(argv: list[str] | None = None) -> dict:
         res["encode_s"], res["encode_tiles"] = best(enc)
         res["encode_imgs_per_s"] = args.n_images / res["encode_s"]
 
-    polys = _polys(spark, args.sf_dir, args.copies).localCheckpoint()
-    n_polys = polys.count()
-    res["n_polys"] = n_polys
+    # the polygon corpus costs seconds to build + checkpoint; the
+    # encode-only subprocess cell never touches it
+    if args.stage in ("all", "fanout", "clip", "mvt"):
+        polys = _polys(spark, args.sf_dir, args.copies).localCheckpoint()
+        res["n_polys"] = polys.count()
 
     def fanout():
         flat = polys.select(
@@ -179,7 +181,7 @@ def main(argv: list[str] | None = None) -> None:
     r8, r32 = results[lo], results[hi]
 
     def eff(key):
-        return (r8[key] / r32[key]) / 4.0
+        return (r8[key] / r32[key]) / (hi / lo)
 
     body = [
         "# BENCH/TILES — tiling pipeline evidence (round 5)\n",

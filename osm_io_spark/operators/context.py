@@ -115,20 +115,31 @@ def cascade_discard(nodes: DataFrame, edges: DataFrame,
                     node_id_col: str = "node_id",
                     tagged_col: str = "tagged",
                     broadcast_deleted: bool | str = "auto",
-                    max_broadcast_rows: int = 4_000_000) -> DataFrame:
+                    max_broadcast_rows: int = 4_000_000,
+                    deleted_parent_type: str = "way",
+                    node_ref_type: str = "node") -> DataFrame:
     """The roadmap's example: nodes discardable after a way deletion.
 
     A node is discardable iff it is referenced by ≥1 parent, EVERY
     referencing parent is in ``deleted_parents`` (one column:
-    parent_id), and the node itself is untagged (``tagged_col`` false
-    — a tagged node is an object in its own right and survives its
-    containers, matching the reference's data model where tags are the
-    extension mechanism, tag.rs:1-5).
+    parent_id, all of ``deleted_parent_type``), and the node itself is
+    untagged (``tagged_col`` false — a tagged node is an object in its
+    own right and survives its containers, matching the reference's
+    data model where tags are the extension mechanism, tag.rs:1-5).
+
+    OSM id namespaces are PER TYPE (a node and a way may share an id),
+    so the deleted match is on (parent_type, parent_id), liveness
+    groups on (ref_type, ref_id), and only ``node_ref_type`` rows join
+    the node table — a full mixed edge table from
+    ``explode_references(ways=…, relations=…)`` is safe to pass: a
+    live relation whose id collides with a deleted way keeps its
+    members alive.
 
     Plan: edges LEFT JOIN deleted (broadcast when driver-small, gated
     like s2_containment_join per the r4 ADVICE pattern) → bool_and of
-    the deletion flag per ref_id (map-side partial) → inner join the
-    node table → tag filter. Output: (node_id, n_refs, n_parents).
+    the deletion flag per (ref_type, ref_id) (map-side partial) →
+    inner join the node table → tag filter. Output: (node_id, n_refs,
+    n_parents).
     """
     # dedupe the deleted set: a duplicate parent id in a plain join
     # would duplicate every edge row of that parent and inflate n_refs
@@ -139,14 +150,20 @@ def cascade_discard(nodes: DataFrame, edges: DataFrame,
         broadcast_deleted = deleted.count() <= max_broadcast_rows
     if broadcast_deleted:
         deleted = F.broadcast(deleted)
-    flagged = edges.join(deleted, edges.parent_id == deleted._del_pid,
-                         "left")
-    per_node = (flagged.groupBy("ref_id")
+    flagged = edges.join(
+        deleted,
+        (edges.parent_id == deleted._del_pid)
+        & (edges.parent_type == F.lit(deleted_parent_type)), "left")
+    per_node = (flagged.groupBy("ref_type", "ref_id")
                 .agg(F.count("*").alias("n_refs"),
-                     F.countDistinct("parent_id").alias("n_parents"),
+                     F.countDistinct(F.concat_ws(
+                         ":", "parent_type",
+                         F.col("parent_id").cast("string")))
+                     .alias("n_parents"),
                      F.bool_and(F.coalesce("_deleted", F.lit(False)))
                      .alias("_all_deleted")))
     return (per_node.filter("_all_deleted")
+            .filter(F.col("ref_type") == node_ref_type)
             .join(nodes, per_node.ref_id == nodes[node_id_col], "inner")
             .filter(~F.col(tagged_col))
             .select(F.col(node_id_col), "n_refs", "n_parents"))

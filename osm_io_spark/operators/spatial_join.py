@@ -543,6 +543,12 @@ def s2_spatial_join_polygons(images: DataFrame, polygons: DataFrame,
     keep = _poly_key_cols(polygons, ("polygon_id", "source"))
     covers = s2_cover_polygons(polygons, max_level=max_level,
                                max_cells=max_cells)
+    clash = {"px", "py", "pz", "s2_cell"} & set(images.columns)
+    if clash:
+        raise ValueError(
+            f"s2_spatial_join_polygons scratch/output columns collide "
+            f"with image columns {sorted(clash)}; rename them first "
+            f"(same guard as s2.with_s2_cell)")
     x, y, z = S2.latlon_xyz_cols(F.col(lat), F.col(lon))
     base = images.select("*", x.alias("px"), y.alias("py"), z.alias("pz"))
     pts = S2.with_s2_cell(base, F.col("px"), F.col("py"), F.col("pz"))

@@ -326,10 +326,15 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
                            np.concatenate(pdf["lats"].to_numpy())]) \
         if n_seg else np.empty((0, 2))
     seg = np.repeat(np.arange(n_seg), seg_lens)
-    # open closed rings (drop the repeated closing vertex)
+    # open closed rings (drop the repeated closing vertex); index only
+    # the >=2-point rings — a zero-length ring's sidx points one past
+    # its (empty) slot, which is out of bounds when it is the last ring
     eidx = np.cumsum(seg_lens) - 1
     sidx = np.concatenate(([0], eidx[:-1] + 1))
-    closed = (seg_lens >= 2) & (pts[sidx] == pts[eidx]).all(axis=1)
+    closed = np.zeros(n_seg, bool)
+    v = seg_lens >= 2
+    if v.any():
+        closed[v] = (pts[sidx[v]] == pts[eidx[v]]).all(axis=1)
     if closed.any():
         drop = np.zeros(len(pts), bool)
         drop[eidx[closed]] = True

@@ -503,22 +503,12 @@ class SnapshotTable:
         still applies the exact row filter (pruning is file-level).
         At 100 TB this is the difference between listing thousands of
         files and a handful — the manifest scan is O(#partitions) JSON,
-        no filesystem listing at all."""
-        snap = self.snapshot(version)
-        if snap is None or not snap.partitions:
-            raise FileNotFoundError(f"table {self.name} has no committed snapshot")
-        keep: list[str] = []
-        keep_paths: list[str] = []
-        for name, entry in sorted(snap.partitions.items()):
-            st = entry.get("column_stats", {}).get(column)
-            if st is None or not (st["max"] < lo or st["min"] > hi):
-                keep.append(name)
-                keep_paths.append(entry.get("path", name))
-        if not keep:
-            df = self.read(spark, version).limit(0)
-            return df, []
-        paths = [os.path.join(self.data_dir, p) for p in keep_paths]
-        return spark.read.parquet(*paths), keep
+        no filesystem listing at all.
+
+        Single-range form of ``read_pruned_multi`` (one sweep loop
+        lives there; keeping two hand-synced copies already diverged
+        once on rows==0 handling)."""
+        return self.read_pruned_multi(spark, column, [(lo, hi)], version)
 
     def read_pruned_multi(self, spark: SparkSession, column: str,
                           ranges: list[tuple], version: int | None = None

@@ -2982,7 +2982,7 @@ clat AS (
            row_number() OVER (PARTITION BY etype, id
                               ORDER BY version DESC, visible DESC) AS rn
     FROM chg) WHERE rn = 1),
-blat AS (SELECT etype, id, visible AS base_vis FROM base)
+blat AS (SELECT DISTINCT etype, id, visible AS base_vis FROM base)
 SELECT etype,
        CASE WHEN base_vis IS NULL AND chg_vis THEN 'created'
             WHEN base_vis IS NULL THEN 'deleted_unknown'

@@ -100,6 +100,30 @@ def test_cascade_discard_semantics(spark, broadcast):
     assert out[14].n_refs == 2 and out[14].n_parents == 1
 
 
+def test_cascade_discard_type_namespaces(spark):
+    """OSM ids are unique only PER TYPE: a live relation whose id
+    collides with a deleted way id must not count as deleted, and a
+    way ref_id colliding with a node ref_id must not merge into the
+    node's liveness group (both bugs existed when the join keyed on
+    parent_id alone and the groupBy on ref_id alone)."""
+    edges = _edges(spark, [
+        # node 10 held by deleted way 1 AND by LIVE relation 1 (same
+        # numeric parent_id as the deleted way) -> kept
+        ("way", 1, 0, "node", 10), ("relation", 1, 0, "node", 10),
+        # node 11 held only by deleted way 1 -> discardable
+        ("way", 1, 1, "node", 11),
+        # relation 9 references WAY 11 (live): same ref_id as node 11
+        # in a different namespace; must not contaminate node 11
+        ("relation", 9, 0, "way", 11),
+    ])
+    nodes = _nodes(spark, [(10, False), (11, False)])
+    deleted = _ids(spark, [1])  # deleted WAY 1 (relation 1 is live)
+    out = {r.node_id: r for r in CTX.cascade_discard(
+        nodes, edges, deleted).collect()}
+    assert set(out) == {11}
+    assert out[11].n_refs == 1 and out[11].n_parents == 1
+
+
 def test_dangling_references_null_safe(spark):
     edges = _edges(spark, [
         ("way", 1, 0, "node", 10), ("way", 1, 1, "node", 99),

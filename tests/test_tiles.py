@@ -325,6 +325,29 @@ def test_vector_tiles_end_to_end(spark):
         assert got.min() >= -buf - 1 and got.max() <= extent + buf + 1
 
 
+def test_vector_tiles_trailing_empty_ring(spark):
+    """A zero-length ring in the rings array must be a no-op, not an
+    IndexError: the kernel's closed-ring detection indexed pts[sidx]
+    for ALL rings, and a trailing empty ring's start index points one
+    past the last point."""
+    cx, cy, half = 13.4, 52.5, 0.07
+    ring = [{"lon": cx - half, "lat": cy - half},
+            {"lon": cx + half, "lat": cy - half},
+            {"lon": cx + half, "lat": cy + half},
+            {"lon": cx - half, "lat": cy + half}]
+    schema = ("polygon_id long, rings array<array<struct<lon double, "
+              "lat double>>>, left double, bottom double, right double, "
+              "top double")
+    bbox = (cx - half, cy - half, cx + half, cy + half)
+    with_empty = spark.createDataFrame([(1, [ring, []], *bbox)], schema)
+    without = spark.createDataFrame([(1, [ring], *bbox)], schema)
+    got = sorted((r.x, r.y, list(r.ring_lens), list(r.pxs), list(r.pys))
+                 for r in TL.build_vector_tiles(with_empty, 13).collect())
+    want = sorted((r.x, r.y, list(r.ring_lens), list(r.pxs), list(r.pys))
+                  for r in TL.build_vector_tiles(without, 13).collect())
+    assert got == want and len(got) >= 4
+
+
 def test_vector_tiles_quantized_bounds_on_fixture(spark):
     """Every feature of the registry entry's fixture run stays within
     the buffered extent and has ≥3 vertices and nonzero area."""
