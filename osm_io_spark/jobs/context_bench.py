@@ -39,15 +39,21 @@ def _edges(spark, n: int, parts: int):
     from pyspark.sql import functions as F
 
     # n edges over n/6 ways and n/12 nodes; every 100th edge hits one
-    # of 1000 hot nodes (planted skew)
+    # of 1000 hot nodes (planted skew). The normal ref derives from the
+    # PARENT id (ref = parent % (n/12)) so each node's parent set is
+    # exactly {k, k + n/12} — deriving both from the raw edge id made
+    # the parent set depend on n's divisibility (at n=200M,
+    # 2·(n/12) ≡ -1 mod n/6, mixing parities and silently emptying the
+    # cascade stage's discardable set)
+    parent = F.col("id") % (n // 6)
     return (spark.range(0, n, 1, parts)
             .select(F.lit("way").alias("parent_type"),
-                    (F.col("id") % (n // 6)).alias("parent_id"),
+                    parent.alias("parent_id"),
                     F.lit(0).alias("seq"),
                     F.lit("node").alias("ref_type"),
                     F.when(F.col("id") % 100 == 0,
                            (F.col("id") / 100).cast("long") % 1000)
-                    .otherwise(F.col("id") % (n // 12)).alias("ref_id")))
+                    .otherwise(parent % (n // 12)).alias("ref_id")))
 
 
 def run_one(argv: list[str] | None = None) -> dict:
@@ -104,8 +110,13 @@ def run_one(argv: list[str] | None = None) -> dict:
         nodes = (spark.range(0, args.n // 12, 1, parts)
                  .select(F.col("id").alias("node_id"),
                          (F.col("id") % 5 == 0).alias("tagged")))
+        # delete EVEN ways: node k's two structural parents (k and
+        # k + n/12 mod n/6) share k's parity since n/12 is even, so
+        # even untagged nodes are genuinely discardable — a %3
+        # predicate here made the discardable set empty by construction
+        # (n/12 ≡ 1 mod 3) and the count vacuous as evidence
         deleted = (spark.range(0, args.n // 6, 1, parts)
-                   .filter(F.col("id") % 3 == 0)
+                   .filter(F.col("id") % 2 == 0)
                    .select(F.col("id").alias("way_id")))
         return CTX.cascade_discard(nodes, e, deleted).count()
 

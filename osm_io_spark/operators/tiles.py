@@ -257,43 +257,69 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def tile_cover(polys: DataFrame, zoom: int,
-               max_tiles_per_polygon: int = 4096) -> DataFrame:
+               max_tiles_per_polygon: int = 4096,
+               antimeridian: str = "split") -> DataFrame:
     """Fan a polygon frame (… left/bottom/right/top bbox cols) out to
     one row per overlapped Web-Mercator tile at ``zoom``.
 
-    Pure Column math + two explodes — stays in the scan's stage, no
+    Pure Column math + explodes — stays in the scan's stage, no
     shuffle, no driver collect.  Tile range per polygon is the bbox's
     tile-index range (slippy y grows southward: y range comes from
     top→bottom).
 
-    Antimeridian: like the planar Morton path (and unlike the S2
-    spine), bboxes are min/max lon — a ring crossing ±180° arrives as
-    a near-world-wide bbox and fans out accordingly (the clip kernel
-    then drops the false tiles, and the guard below raises first at
-    reasonable zooms). Crossing geometry belongs on the S2 path
-    (s2_spatial_join_polygons), which handles it natively.  The guard raises in-task (raise_error folded into the
-    fan-out column, so Catalyst cannot prune it) when a polygon's
-    fan-out exceeds ``max_tiles_per_polygon``; pass None to disable
-    (e.g. after pre-splitting giant polygons at a coarser zoom)."""
-    d = (polys.withColumn("_x0", WM.tile_x_col(F.col("left"), zoom))
-              .withColumn("_x1", WM.tile_x_col(F.col("right"), zoom))
+    Antimeridian (``antimeridian='split'``, default): bboxes are
+    min/max lon, so a ring crossing ±180° arrives with lon width >
+    180° — read as a WRAPPED interval [right, left+360] (the standard
+    heuristic: no real feature spans more than half the globe the
+    short way) and fanned out as TWO x ranges, [x(right), 2^z-1] ∪
+    [0, x(left)].  The clip kernel re-centres ring longitudes into
+    each tile's frame, so crossing geometry renders exactly — the
+    same semantics the S2 path (s2_spatial_join_polygons) gets
+    natively.  Pass ``antimeridian='wide'`` to read a >180°-wide bbox
+    literally (a genuinely world-spanning ring, e.g. a polar cap).
+
+    The guard raises in-task (raise_error folded into the fan-out
+    column, so Catalyst cannot prune it) when a polygon's fan-out
+    exceeds ``max_tiles_per_polygon``; pass None to disable (e.g.
+    after pre-splitting giant polygons at a coarser zoom)."""
+    if antimeridian not in ("split", "wide"):
+        raise ValueError(f"antimeridian={antimeridian!r}: 'split' or 'wide'")
+    n_hi = (1 << zoom) - 1
+    xl = WM.tile_x_col(F.col("left"), zoom)
+    xr = WM.tile_x_col(F.col("right"), zoom)
+    lo_l = F.lit(0).cast("long")
+    hi_l = F.lit(int(n_hi)).cast("long")
+    crossing = ((F.col("right") - F.col("left")) > F.lit(180.0)) \
+        if antimeridian == "split" else F.lit(False)
+    two = crossing & (xr > xl)  # at zoom 0 both wrapped ranges merge
+    ranges = (F.when(two, F.array(
+                  F.struct(xr.alias("lo"), hi_l.alias("hi")),
+                  F.struct(lo_l.alias("lo"), xl.alias("hi"))))
+              .when(crossing, F.array(F.struct(lo_l.alias("lo"),
+                                               hi_l.alias("hi"))))
+              .otherwise(F.array(F.struct(xl.alias("lo"), xr.alias("hi")))))
+    x_count = (F.when(two, (hi_l - xr + 1) + (xl + 1))
+               .when(crossing, F.lit(int(n_hi) + 1))
+               .otherwise(xr - xl + 1))
+    d = (polys.withColumn("_xr", ranges)
               .withColumn("_y0", WM.tile_y_col(F.col("top"), zoom))
               .withColumn("_y1", WM.tile_y_col(F.col("bottom"), zoom)))
     if max_tiles_per_polygon is not None:
-        n_tiles = (F.col("_x1") - F.col("_x0") + 1) * \
-                  (F.col("_y1") - F.col("_y0") + 1)
+        n_tiles = x_count * (F.col("_y1") - F.col("_y0") + 1)
         msg = F.concat(
             F.lit("tile_cover: polygon "), F.col("polygon_id").cast("string"),
             F.lit(f" overlaps > {max_tiles_per_polygon} tiles at zoom "
                   f"{zoom}; tile at a coarser zoom or raise "
                   f"max_tiles_per_polygon"))
-        d = d.withColumn("_x0", F.when(
-            n_tiles <= F.lit(int(max_tiles_per_polygon)), F.col("_x0")
+        d = d.withColumn("_y0", F.when(
+            n_tiles <= F.lit(int(max_tiles_per_polygon)), F.col("_y0")
         ).otherwise(F.raise_error(msg).cast("long")))
-    return (d.withColumn("x", F.explode(F.sequence("_x0", "_x1")))
+    return (d.withColumn("_r", F.explode("_xr"))
+             .withColumn("x", F.explode(F.sequence(F.col("_r.lo"),
+                                                   F.col("_r.hi"))))
              .withColumn("y", F.explode(F.sequence("_y0", "_y1")))
              .withColumn("z", F.lit(zoom).cast("int"))
-             .drop("_x0", "_x1", "_y0", "_y1"))
+             .drop("_xr", "_r", "_y0", "_y1"))
 
 
 def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
@@ -351,6 +377,15 @@ def _feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
     rr = lon_r[seg_row]
     rb = lat_b[seg_row]
     rt = lat_t[seg_row]
+    # re-centre each vertex lon into its tile's frame (±360 shift):
+    # an antimeridian-crossing polygon reaches tiles on both sides of
+    # ±180°, where half its vertices sit a full wrap away from the
+    # tile rect. For non-crossing data every shift is 0 and the branch
+    # is skipped — bit-identical to the unshifted path.
+    if len(pts):
+        k = np.round(((0.5 * (rl + rr))[seg] - pts[:, 0]) / 360.0)
+        if k.any():
+            pts[:, 0] = pts[:, 0] + 360.0 * k
     pts, seg = _clip_half_batch(pts, seg, rl, 0, True)
     pts, seg = _clip_half_batch(pts, seg, rr, 0, False)
     pts, seg = _clip_half_batch(pts, seg, rb, 1, True)
@@ -416,7 +451,8 @@ def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
                        buffer_px: int = 16, tol_px: float = 1.0,
                        max_tiles_per_polygon: int = 4096,
                        only_tiles: DataFrame | None = None,
-                       broadcast_tiles: bool | None = None) -> DataFrame:
+                       broadcast_tiles: bool | None = None,
+                       antimeridian: str = "split") -> DataFrame:
     """Polygons (polygon_id, rings, left/bottom/right/top) → per-tile
     clipped + simplified + quantized features (FEATURE_SCHEMA).
 
@@ -425,7 +461,9 @@ def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
     ``buffer_px`` is the published MVT overzoom margin (vertices up to
     that many pixels outside the tile are kept so adjacent tiles render
     seamless borders); ``tol_px`` the Douglas–Peucker tolerance in
-    pixel units (0 disables)."""
+    pixel units (0 disables).  ``antimeridian`` as in
+    :func:`tile_cover` — crossing rings fan out to both sides of ±180°
+    and the kernel re-centres their longitudes per tile."""
     # Flatten rings to primitive arrays BEFORE the tile fan-out: the
     # higher-order transform/flatten Columns are interpreted (CLAUDE.md
     # rule), so they must run once per polygon, not once per
@@ -440,7 +478,7 @@ def build_vector_tiles(polys: DataFrame, zoom: int, extent: int = 4096,
         F.flatten(F.transform(
             "rings", lambda r: F.transform(r, lambda p: p["lat"])))
         .alias("lats"))
-    cov = tile_cover(flat, zoom, max_tiles_per_polygon)
+    cov = tile_cover(flat, zoom, max_tiles_per_polygon, antimeridian)
     cov = cov.select("polygon_id", "x", "y", "ring_len", "lons", "lats")
     if only_tiles is not None:
         # Incremental re-tile: keep only (polygon, tile) pairs whose

@@ -325,6 +325,69 @@ def test_vector_tiles_end_to_end(spark):
         assert got.min() >= -buf - 1 and got.max() <= extent + buf + 1
 
 
+def test_tile_cover_antimeridian_split(spark):
+    """A bbox wider than 180° is read as a WRAPPED interval (the
+    min/max-lon bbox of a ±180°-crossing ring): the fan-out covers the
+    two edge strips, never the world in between."""
+    z, n = 6, 64
+    df = spark.createDataFrame(
+        [(1, -170.0, -21.0, 170.0, -17.0)],
+        "polygon_id long, left double, bottom double, right double, "
+        "top double")
+    got = {(int(r.x), int(r.y))
+           for r in TL.tile_cover(df, z).select("x", "y").collect()}
+    x_lo, y0 = WM.tile_xy_np(np.array([-17.0]), np.array([-170.0]), z)
+    x_hi, y1 = WM.tile_xy_np(np.array([-21.0]), np.array([170.0]), z)
+    xs = set(range(int(x_hi[0]), n)) | set(range(0, int(x_lo[0]) + 1))
+    want = {(x, y) for x in xs for y in range(int(y0[0]), int(y1[0]) + 1)}
+    assert got == want
+    # and 'wide' keeps the literal (world-spanning) reading
+    wide = {(int(r.x), int(r.y)) for r in TL.tile_cover(
+        df, z, antimeridian="wide").select("x", "y").collect()}
+    assert {x for (x, _) in wide} == set(range(int(x_lo[0]),
+                                               int(x_hi[0]) + 1))
+
+
+def test_vector_tiles_antimeridian_crossing(spark):
+    """A Fiji-style square crossing ±180° renders bit-for-bit against
+    the independent scalar pipeline run on per-tile re-centred
+    longitudes, with features on BOTH sides of the seam and none in
+    between."""
+    ring = [{"lon": 177.0, "lat": -21.0}, {"lon": -177.0, "lat": -21.0},
+            {"lon": -177.0, "lat": -17.0}, {"lon": 177.0, "lat": -17.0}]
+    df = spark.createDataFrame(
+        [(9, [ring], -177.0, -21.0, 177.0, -17.0)],
+        "polygon_id long, rings array<array<struct<lon double, "
+        "lat double>>>, left double, bottom double, right double, "
+        "top double")
+    zoom, extent, buf, tol = 9, 4096, 16, 1.0
+    feats = TL.build_vector_tiles(df, zoom, extent, buf, tol).collect()
+    n = float(1 << zoom)
+    xs = {int(r.x) for r in feats}
+    assert xs and max(xs) >= (1 << zoom) - 1 - 10 and min(xs) <= 10
+    assert not {x for x in xs if 20 < x < (1 << zoom) - 20}
+    base = np.array([[177.0, -21.0], [183.0, -21.0],
+                     [183.0, -17.0], [177.0, -17.0]])
+    for row in feats:
+        fb = buf / extent
+        lon_l = (row.x - fb) / n * 360.0 - 180.0
+        lon_r = (row.x + 1 + fb) / n * 360.0 - 180.0
+        lat_t = TL._inv_merc_lat(row.y - fb, zoom)
+        lat_b = TL._inv_merc_lat(row.y + 1 + fb, zoom)
+        ctr = 0.5 * (lon_l + lon_r)
+        ring_sh = base.copy()
+        ring_sh[:, 0] += 360.0 * np.round((ctr - ring_sh[:, 0]) / 360.0)
+        cl = _clip_scalar(ring_sh, lon_l, lat_b, lon_r, lat_t)
+        X, Y = TL._merc_xy_np(cl[:, 0], cl[:, 1], zoom)
+        pix = np.column_stack([(X - row.x) * extent, (Y - row.y) * extent])
+        pix = _dp_scalar(pix, tol)
+        q = np.floor(pix + 0.5).astype(np.int64)
+        q = TL._dedupe_consecutive(q)
+        assert list(row.ring_lens) == [len(q)], (row.x, row.y)
+        got = np.column_stack([np.asarray(row.pxs), np.asarray(row.pys)])
+        assert (got == q).all(), (row.x, row.y)
+
+
 def test_vector_tiles_trailing_empty_ring(spark):
     """A zero-length ring in the rings array must be a no-op, not an
     IndexError: the kernel's closed-ring detection indexed pts[sidx]
