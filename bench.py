@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "ctx_reverse_index",
     "ctx_cascade_discard",
     "ctx_relation_closure",
+    "vector_tile_points",
+    "vector_tile_lines",
+    "mvt_layered_tiles",
 ]
 
 

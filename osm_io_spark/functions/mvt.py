@@ -10,14 +10,16 @@ length-delimited fields — is a page of code):
            features = repeated message 2, keys = repeated string 3,
            values = repeated message 4, extent = varint 5
   Feature: id = varint 1, tags = packed varint 2,
-           type = varint 3 (POLYGON = 3),
+           type = varint 3 (POINT = 1 / LINESTRING = 2 / POLYGON = 3),
            geometry = packed uint32 commands, field 4
 
 Geometry command stream (spec §4.3): CommandInteger
 ``(id & 0x7) | (count << 3)`` with MoveTo=1 / LineTo=2 / ClosePath=7;
 ParameterIntegers are zigzag-encoded coordinate deltas. Each polygon
 ring is MoveTo(1) + LineTo(n-1) + ClosePath, deltas running across
-rings (cursor persists).
+rings (cursor persists); a linestring part is the same without the
+ClosePath; a (multi)point feature is ONE MoveTo whose count is the
+number of points (spec §4.3.4.1).
 
 Ring winding is passed through from the source geometry (the spec
 assigns exterior/interior meaning to CW/CCW in y-down screen space;
@@ -33,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 
 MOVE_TO, LINE_TO, CLOSE_PATH = 1, 2, 7
-POLYGON = 3
+POINT, LINESTRING, POLYGON = 1, 2, 3
 
 
 def _varint(v: int) -> bytes:
@@ -62,10 +64,29 @@ def zigzag_np(v: np.ndarray) -> np.ndarray:
     return ((v << 1) ^ (v >> 63)).astype(np.uint64)
 
 
-def geometry_commands(rings) -> np.ndarray:
-    """uint32 command stream for a polygon's rings (list of (n,2) int
-    arrays, open — no repeated closing vertex). The delta cursor runs
-    across rings per the spec."""
+def geometry_commands(rings, geom_type: int = POLYGON) -> np.ndarray:
+    """uint32 command stream for a feature's parts (list of (n,2) int
+    arrays; polygon rings open — no repeated closing vertex). The delta
+    cursor runs across parts per the spec.
+
+    POLYGON: per ring MoveTo(1) + LineTo(n-1) + ClosePath.
+    LINESTRING: per part MoveTo(1) + LineTo(n-1) — no ClosePath.
+    POINT: ALL parts collapse into one MoveTo(total) (spec §4.3.4.1:
+    a multipoint is a single MoveTo whose count is the point count)."""
+    if geom_type == POINT:
+        q = (np.concatenate([np.asarray(r, np.int64).reshape(-1, 2)
+                             for r in rings])
+             if len(rings) else np.empty((0, 2), np.int64))
+        n = len(q)
+        if n == 0:
+            return np.empty(0, np.uint64)
+        zx = zigzag_np(np.diff(q[:, 0], prepend=0))
+        zy = zigzag_np(np.diff(q[:, 1], prepend=0))
+        arr = np.empty(2 * n + 1, np.uint64)
+        arr[0] = (MOVE_TO & 0x7) | (n << 3)
+        arr[1::2], arr[2::2] = zx, zy
+        return arr
+    close = geom_type == POLYGON
     parts = []
     cx = cy = 0
     for q in rings:
@@ -74,13 +95,14 @@ def geometry_commands(rings) -> np.ndarray:
         dx = np.diff(q[:, 0], prepend=cx)
         dy = np.diff(q[:, 1], prepend=cy)
         zx, zy = zigzag_np(dx), zigzag_np(dy)
-        arr = np.empty(2 * n + 3, np.uint64)
+        arr = np.empty(2 * n + 2 + close, np.uint64)
         arr[0] = (MOVE_TO & 0x7) | (1 << 3)
         arr[1], arr[2] = zx[0], zy[0]
         arr[3] = (LINE_TO & 0x7) | ((n - 1) << 3)
         arr[4:2 * n + 2:2] = zx[1:]
         arr[5:2 * n + 2:2] = zy[1:]
-        arr[2 * n + 2] = (CLOSE_PATH & 0x7) | (1 << 3)
+        if close:
+            arr[2 * n + 2] = (CLOSE_PATH & 0x7) | (1 << 3)
         parts.append(arr)
         cx, cy = int(q[-1, 0]), int(q[-1, 1])
     return (np.concatenate(parts) if parts
@@ -122,18 +144,23 @@ def varints_np(vals: np.ndarray, return_lens: bool = False):
 
 def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
                           feat_of_ring: np.ndarray,
-                          feat_ids: np.ndarray) -> list[bytes]:
-    """Batched feature encoding: ALL rings of ALL features (typically a
+                          feat_ids: np.ndarray,
+                          geom_type: int = POLYGON) -> list[bytes]:
+    """Batched feature encoding: ALL parts of ALL features (typically a
     whole Arrow batch of tiles) → per-feature protobuf messages, each
     already wrapped as a layer `features` field (field 2).
 
-    ``q``: (N,2) int64 flat quantized vertices, rings contiguous in
-    feature order; ``ring_lens``: (R,) vertices per ring;
-    ``feat_of_ring``: (R,) ascending feature index per ring;
+    ``q``: (N,2) int64 flat quantized vertices, parts contiguous in
+    feature order; ``ring_lens``: (R,) vertices per part;
+    ``feat_of_ring``: (R,) ascending feature index per part;
     ``feat_ids``: (F,) feature ids. The zigzag deltas, command-integer
     scatter, and varint encoding each run ONCE over the whole batch —
     per-feature python is reduced to slicing the shared byte buffer
-    and prepending a ~6-byte header."""
+    and prepending a ~6-byte header.
+
+    ``geom_type`` picks the spec §4.3 command layout: POLYGON parts are
+    MoveTo(1)+LineTo(n-1)+ClosePath, LINESTRING the same sans
+    ClosePath, POINT features collapse all parts into ONE MoveTo(n)."""
     ring_lens = np.asarray(ring_lens, np.int64)
     feat_of_ring = np.asarray(feat_of_ring, np.int64)
     n_ring = len(ring_lens)
@@ -141,11 +168,9 @@ def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
     if n_ring == 0:
         return []
     npts = int(ring_lens.sum())
-    # point → ring / feature maps and in-ring positions
+    # point → part / feature maps and in-part positions
     ring_of_pt = np.repeat(np.arange(n_ring), ring_lens)
-    p_off = np.concatenate(([0], np.cumsum(ring_lens)[:-1]))
-    idx_in_ring = np.arange(npts) - p_off[ring_of_pt]
-    # delta cursor: previous vertex within the FEATURE (rings chain,
+    # delta cursor: previous vertex within the FEATURE (parts chain,
     # cursor starts at (0,0) per feature) — spec §4.3
     feat_of_pt = feat_of_ring[ring_of_pt]
     prev = np.arange(npts) - 1
@@ -157,34 +182,59 @@ def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
     dx = qx - np.where(feat_first_pt, 0, qx[prev])
     dy = qy - np.where(feat_first_pt, 0, qy[prev])
     zx, zy = zigzag_np(dx), zigzag_np(dy)
-    # command-integer scatter: per ring [MoveTo(1) zx zy LineTo(n-1)
-    # pairs... ClosePath(1)] = 2n+3 ints
-    cmd_lens = 2 * ring_lens + 3
+    # command-unit layout: per polygon/line part [MoveTo(1) zx zy
+    # LineTo(n-1) pairs (ClosePath)] = 2n+2(+1); per POINT feature one
+    # [MoveTo(n) pairs] = 2n+1 (parts collapse — spec multipoint)
+    if geom_type == POINT:
+        unit_lens = np.zeros(n_feat, np.int64)
+        np.add.at(unit_lens, feat_of_ring, ring_lens)
+        n_unit = n_feat
+        cmd_lens = np.where(unit_lens > 0, 2 * unit_lens + 1, 0)
+    else:
+        unit_lens = ring_lens
+        n_unit = n_ring
+        cmd_lens = 2 * unit_lens + 2 + (geom_type == POLYGON)
     cmd_off = np.concatenate(([0], np.cumsum(cmd_lens)[:-1]))
     total = int(cmd_lens.sum())
     cmds = np.empty(total, np.uint64)
-    cmds[cmd_off] = (MOVE_TO & 0x7) | (1 << 3)
-    cmds[cmd_off + 1] = zx[p_off]
-    cmds[cmd_off + 2] = zy[p_off]
-    cmds[cmd_off + 3] = ((LINE_TO & 0x7)
-                         | ((ring_lens - 1).astype(np.uint64) << 3))
-    rest = idx_in_ring > 0
-    pos = cmd_off[ring_of_pt[rest]] + 4 + 2 * (idx_in_ring[rest] - 1)
-    cmds[pos] = zx[rest]
-    cmds[pos + 1] = zy[rest]
-    cmds[cmd_off + cmd_lens - 1] = (CLOSE_PATH & 0x7) | (1 << 3)
+    unit_of_pt = (feat_of_pt if geom_type == POINT
+                  else ring_of_pt)
+    u_off = np.concatenate(([0], np.cumsum(unit_lens)[:-1]))
+    idx_in_unit = np.arange(npts) - u_off[unit_of_pt]
+    if geom_type == POINT:
+        nz = unit_lens > 0
+        cmds[cmd_off[nz]] = ((MOVE_TO & 0x7)
+                             | (unit_lens[nz].astype(np.uint64) << 3))
+        pos = cmd_off[unit_of_pt] + 1 + 2 * idx_in_unit
+        cmds[pos] = zx
+        cmds[pos + 1] = zy
+    else:
+        cmds[cmd_off] = (MOVE_TO & 0x7) | (1 << 3)
+        cmds[cmd_off + 1] = zx[u_off]
+        cmds[cmd_off + 2] = zy[u_off]
+        cmds[cmd_off + 3] = ((LINE_TO & 0x7)
+                             | ((unit_lens - 1).astype(np.uint64) << 3))
+        rest = idx_in_unit > 0
+        pos = cmd_off[unit_of_pt[rest]] + 4 + 2 * (idx_in_unit[rest] - 1)
+        cmds[pos] = zx[rest]
+        cmds[pos + 1] = zy[rest]
+        if geom_type == POLYGON:
+            cmds[cmd_off + cmd_lens - 1] = (CLOSE_PATH & 0x7) | (1 << 3)
     # one varint pass over the whole batch
     buf, nb = varints_np(cmds, return_lens=True)
     byte_off = np.concatenate(([0], np.cumsum(nb)))
-    # per-feature command ranges (rings contiguous per feature)
-    ring_counts = np.bincount(feat_of_ring, minlength=n_feat)
-    f_first_ring = np.concatenate(([0], np.cumsum(ring_counts)[:-1]))
-    f_cmd_start = cmd_off[f_first_ring]
+    # per-feature command ranges (units contiguous per feature)
+    if geom_type == POINT:
+        f_cmd_start = cmd_off
+    else:
+        ring_counts = np.bincount(feat_of_ring, minlength=n_feat)
+        f_first_ring = np.concatenate(([0], np.cumsum(ring_counts)[:-1]))
+        f_cmd_start = cmd_off[f_first_ring]
     f_cmd_end = np.append(f_cmd_start[1:], total)
     f_b0 = byte_off[f_cmd_start]
     f_b1 = byte_off[f_cmd_end]
     head_t = _field(1, 0)
-    head_ty = _field(3, 0) + _varint(POLYGON)
+    head_ty = _field(3, 0) + _varint(geom_type)
     head_g = _field(4, 2)
     out = []
     for f in range(n_feat):
@@ -195,10 +245,10 @@ def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
     return out
 
 
-def encode_feature(fid: int, rings) -> bytes:
-    geom = varints_np(geometry_commands(rings))
+def encode_feature(fid: int, rings, geom_type: int = POLYGON) -> bytes:
+    geom = varints_np(geometry_commands(rings, geom_type))
     return (_field(1, 0) + _varint(fid)
-            + _field(3, 0) + _varint(POLYGON)
+            + _field(3, 0) + _varint(geom_type)
             + _len_delim(4, geom))
 
 
@@ -214,12 +264,14 @@ def encode_tile(layer_payload: bytes) -> bytes:
     return _len_delim(3, layer_payload)
 
 
-def encode_mvt(features, name: str = "osm", extent: int = 4096) -> bytes:
+def encode_mvt(features, name: str = "osm", extent: int = 4096,
+               geom_type: int = POLYGON) -> bytes:
     """features: iterable of (feature_id, rings) with rings a list of
     open (n,2) integer vertex arrays. Callers MUST present features in
     a deterministic order (the operator sorts by feature id)."""
     feat_bytes = b"".join(
-        _len_delim(2, encode_feature(fid, rings)) for fid, rings in features)
+        _len_delim(2, encode_feature(fid, rings, geom_type))
+        for fid, rings in features)
     return encode_tile(encode_layer(name, feat_bytes, extent))
 
 
@@ -284,28 +336,43 @@ def decode_geometry(cmds) -> list[np.ndarray]:
 
 
 def decode_mvt(buf: bytes):
-    """→ dict(name, version, extent, features=[(id, rings)])."""
-    out = {"features": []}
+    """→ dict(name, version, extent, features=[(id, rings)],
+    types=[geom_type], layers=[per-layer dicts of the same shape]).
+
+    Top-level keys concatenate across layers (back-compat with the
+    single-layer callers); ``layers`` carries the per-layer split for
+    multi-layer tiles."""
+    out = {"features": [], "types": [], "layers": []}
     for num, _w, v in _fields(buf):
         if num != 3:
             continue
+        layer = {"features": [], "types": []}
         for lnum, _lw, lv in _fields(v):
             if lnum == 15:
-                out["version"] = lv
+                layer["version"] = lv
             elif lnum == 1:
-                out["name"] = lv.decode()
+                layer["name"] = lv.decode()
             elif lnum == 5:
-                out["extent"] = lv
+                layer["extent"] = lv
             elif lnum == 2:
-                fid, geom = None, []
+                fid, geom, ftype = None, [], POLYGON
                 for fnum, fw, fv in _fields(lv):
                     if fnum == 1:
                         fid = fv
+                    elif fnum == 3:
+                        ftype = fv
                     elif fnum == 4:
                         cmds, i = [], 0
                         while i < len(fv):
                             c, i = _read_varint(fv, i)
                             cmds.append(c)
                         geom = decode_geometry(cmds)
-                out["features"].append((fid, geom))
+                layer["features"].append((fid, geom))
+                layer["types"].append(ftype)
+        out["layers"].append(layer)
+        out["features"] += layer["features"]
+        out["types"] += layer["types"]
+        for k in ("name", "version", "extent"):
+            if k in layer:
+                out[k] = layer[k]
     return out

@@ -118,3 +118,19 @@ def tile_yc_col(lat: Column, zoom: int) -> Column:
     merc = F.log(F.tan(r) + F.lit(1.0) / F.cos(r))
     raw = (F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n)
     return _clamp_col(raw, 0.0, math.nextafter(n, 0.0))
+
+
+def tile_xc_sql(lon: str, zoom: int) -> str:
+    """SQL twin of tile_xc_col — float repr round-trips, so the
+    nextafter(n, 0) clamp bound parses to the same double in DuckDB."""
+    n = float(1 << zoom)
+    hi = repr(math.nextafter(n, 0.0))
+    return (f"least(greatest(({lon} + 180.0) / 360.0 * {n}, 0.0), {hi})")
+
+
+def tile_yc_sql(lat: str, zoom: int) -> str:
+    n = float(1 << zoom)
+    hi = repr(math.nextafter(n, 0.0))
+    r = f"radians(least(greatest({lat}, {-MAX_LAT}), {MAX_LAT}))"
+    merc = f"ln(tan({r}) + 1.0 / cos({r}))"
+    return (f"least(greatest((1.0 - {merc} / pi()) / 2.0 * {n}, 0.0), {hi})")

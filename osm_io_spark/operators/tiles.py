@@ -153,9 +153,11 @@ def ring_area2_np(pts: np.ndarray) -> float:
     return s + float(x[-1] * y[0] - x[0] * y[-1])
 
 
-def _dedupe_consecutive(q: np.ndarray) -> np.ndarray:
-    """Drop consecutive duplicate integer vertices, then any trailing
-    vertices equal to the first (open-ring wraparound)."""
+def _dedupe_consecutive(q: np.ndarray, drop_wrap: bool = True) -> np.ndarray:
+    """Drop consecutive duplicate integer vertices, then (for open
+    RINGS — ``drop_wrap``) any trailing vertices equal to the first
+    (wraparound).  Polylines pass ``drop_wrap=False``: a closed-loop
+    way legitimately ends where it starts."""
     if len(q) == 0:
         return q
     diff = np.empty(len(q), bool)
@@ -163,7 +165,7 @@ def _dedupe_consecutive(q: np.ndarray) -> np.ndarray:
     np.any(q[1:] != q[:-1], axis=1, out=diff[1:])
     if not diff.all():
         q = q[diff]
-    while len(q) > 1 and (q[-1] == q[0]).all():
+    while drop_wrap and len(q) > 1 and (q[-1] == q[0]).all():
         q = q[:-1]
     return q
 
@@ -233,6 +235,60 @@ def _clip_half_batch(pts: np.ndarray, seg: np.ndarray,
     return out, oseg
 
 
+def _clip_polyline_half_batch(pts: np.ndarray, seg: np.ndarray,
+                              seg2row: np.ndarray, row_vals: np.ndarray,
+                              axis: int, keep_ge: bool):
+    """One half-plane pass over MANY open POLYLINE parts at once.
+
+    Same vectorized shape as ``_clip_half_batch`` with two line-specific
+    differences: no wraparound edge (a part's first vertex has no
+    predecessor), and a part that exits and re-enters the half-plane
+    SPLITS — crossing-out intersections end the current part, crossing-in
+    intersections start a new one (the open-polyline Sutherland–Hodgman
+    variant; a clipped way becomes a multilinestring).
+
+    ``pts`` (N,2) flat vertices; ``seg`` (N,) contiguous ascending part
+    ids; ``seg2row`` (P,) part → input-row map (``row_vals`` is per
+    row: each (way, tile) row clips against its own tile rect).
+    Returns (pts, seg, seg2row) with parts relabeled contiguous
+    ascending."""
+    n = len(pts)
+    if n == 0:
+        return pts, seg, seg2row[:0]
+    v = row_vals[seg2row[seg]]
+    keep = pts[:, axis] >= v if keep_ge else pts[:, axis] <= v
+    starts = np.empty(n, bool)
+    starts[0] = True
+    np.not_equal(seg[1:], seg[:-1], out=starts[1:])
+    prev_keep = np.empty(n, bool)
+    prev_keep[1:] = keep[:-1]
+    prev_keep[starts] = keep[starts]      # no predecessor ⇒ no crossing
+    cross = keep != prev_keep
+    counts = cross.astype(np.int64) + keep.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out = np.empty((int(counts.sum()), 2), np.float64)
+    if cross.any():
+        p = pts[np.flatnonzero(cross) - 1]  # cross is False at starts
+        c = pts[cross]
+        vv = v[cross]
+        other = 1 - axis
+        tt = (vv - p[:, axis]) / (c[:, axis] - p[:, axis])
+        ipts = np.empty((len(p), 2), np.float64)
+        ipts[:, axis] = vv
+        ipts[:, other] = p[:, other] + tt * (c[:, other] - p[:, other])
+        out[offs[cross]] = ipts
+    idx_cur = offs + cross.astype(np.int64)
+    out[idx_cur[keep]] = pts[keep]
+    # an output part starts at an inside part-head or an entering
+    # intersection; every emitted run leads with one (the first emission
+    # after a gap of outside vertices is always an entering crossing)
+    flag_i = np.flatnonzero((starts & keep) | (cross & keep))
+    newpart = np.zeros(len(out), bool)
+    newpart[offs[flag_i]] = True
+    oseg = np.cumsum(newpart) - 1
+    return out, oseg, seg2row[seg[flag_i]]
+
+
 # ---------------------------------------------------------------------------
 # DataFrame operators
 # ---------------------------------------------------------------------------
@@ -258,7 +314,8 @@ FEATURE_SCHEMA = T.StructType([
 
 def tile_cover(polys: DataFrame, zoom: int,
                max_tiles_per_polygon: int = 4096,
-               antimeridian: str = "split") -> DataFrame:
+               antimeridian: str = "split",
+               id_col: str = "polygon_id") -> DataFrame:
     """Fan a polygon frame (… left/bottom/right/top bbox cols) out to
     one row per overlapped Web-Mercator tile at ``zoom``.
 
@@ -307,7 +364,7 @@ def tile_cover(polys: DataFrame, zoom: int,
     if max_tiles_per_polygon is not None:
         n_tiles = x_count * (F.col("_y1") - F.col("_y0") + 1)
         msg = F.concat(
-            F.lit("tile_cover: polygon "), F.col("polygon_id").cast("string"),
+            F.lit("tile_cover: geometry "), F.col(id_col).cast("string"),
             F.lit(f" overlaps > {max_tiles_per_polygon} tiles at zoom "
                   f"{zoom}; tile at a coarser zoom or raise "
                   f"max_tiles_per_polygon"))
@@ -516,6 +573,200 @@ def tile_layer_stats(features: DataFrame) -> DataFrame:
                  F.sum("area_px2").alias("area_px2")))
 
 
+# Line features mirror FEATURE_SCHEMA with parts instead of rings (a
+# way clipped to a tile is a MULTIlinestring: it splits wherever it
+# exits and re-enters the rect) and polyline length instead of area.
+LINE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("way_id", T.LongType()),
+    T.StructField("part_lens", T.ArrayType(T.IntegerType())),
+    T.StructField("pxs", T.ArrayType(T.IntegerType())),
+    T.StructField("pys", T.ArrayType(T.IntegerType())),
+    T.StructField("n_pts", T.IntegerType()),
+    T.StructField("length_px", T.DoubleType()),
+])
+
+
+def _line_feature_rows(pdf: pd.DataFrame, zoom: int, extent: int,
+                       buffer_px: int, tol_px: float) -> pd.DataFrame:
+    """Arrow-batch line kernel: clip every (way, tile) polyline of the
+    batch to its buffered tile rect (splitting into parts), simplify at
+    pixel tolerance, quantize.  Same flat-array batching discipline as
+    ``_feature_rows`` — all four half-plane passes run once over every
+    vertex of the batch; only simplify (recursive) walks parts."""
+    out = {k: [] for k in ("z", "x", "y", "way_id", "part_lens",
+                           "pxs", "pys", "n_pts", "length_px")}
+    nrows = len(pdf)
+    if nrows == 0:
+        return pd.DataFrame(out)
+    n = float(1 << zoom)
+    fb = buffer_px / float(extent)
+    ext = float(extent)
+    xr = pdf["x"].to_numpy().astype(np.float64)
+    yr = pdf["y"].to_numpy().astype(np.float64)
+    lens = np.array([len(v) for v in pdf["lons"].to_numpy()], np.int64)
+    pts = np.column_stack([np.concatenate(pdf["lons"].to_numpy()),
+                           np.concatenate(pdf["lats"].to_numpy())]) \
+        if lens.sum() else np.empty((0, 2))
+    seg = np.repeat(np.arange(nrows), lens)   # one part per row initially
+    seg2row = np.arange(nrows)
+
+    lon_l = (xr - fb) / n * 360.0 - 180.0
+    lon_r = (xr + 1 + fb) / n * 360.0 - 180.0
+    lat_t = _inv_merc_lat_np(yr - fb, zoom)
+    lat_b = _inv_merc_lat_np(yr + 1 + fb, zoom)
+
+    # antimeridian re-centre, as in _feature_rows
+    if len(pts):
+        ctr = 0.5 * (lon_l + lon_r)
+        k = np.round((ctr[seg2row[seg]] - pts[:, 0]) / 360.0)
+        if k.any():
+            pts[:, 0] = pts[:, 0] + 360.0 * k
+    pts, seg, seg2row = _clip_polyline_half_batch(
+        pts, seg, seg2row, lon_l, 0, True)
+    pts, seg, seg2row = _clip_polyline_half_batch(
+        pts, seg, seg2row, lon_r, 0, False)
+    pts, seg, seg2row = _clip_polyline_half_batch(
+        pts, seg, seg2row, lat_b, 1, True)
+    pts, seg, seg2row = _clip_polyline_half_batch(
+        pts, seg, seg2row, lat_t, 1, False)
+
+    X, Y = _merc_xy_np(pts[:, 0], pts[:, 1], zoom)
+    row_of_pt = seg2row[seg] if len(seg) else seg
+    pix_all = np.column_stack([(X - xr[row_of_pt]) * ext,
+                               (Y - yr[row_of_pt]) * ext])
+    n_part = len(seg2row)
+    counts = np.bincount(seg, minlength=n_part)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    # per-part tail grouped by row (part→row is non-decreasing: every
+    # pass preserves input order)
+    def _flush(r, parts_q, tot, length):
+        if not parts_q:
+            return
+        allq = np.concatenate(parts_q)
+        out["z"].append(zoom)
+        out["x"].append(int(xr[r]))
+        out["y"].append(int(yr[r]))
+        out["way_id"].append(int(pdf["way_id"].iat[r]))
+        out["part_lens"].append(np.array([len(p) for p in parts_q],
+                                         np.int32))
+        out["pxs"].append(allq[:, 0].astype(np.int32))
+        out["pys"].append(allq[:, 1].astype(np.int32))
+        out["n_pts"].append(tot)
+        out["length_px"].append(length)
+
+    cur_row = -1
+    parts_q: list = []
+    tot = 0
+    length = 0.0
+    for p in range(n_part):
+        r = int(seg2row[p])
+        if r != cur_row:
+            _flush(cur_row, parts_q, tot, length)
+            cur_row, parts_q, tot, length = r, [], 0, 0.0
+        c = int(counts[p])
+        if c < 2:
+            continue
+        pix = pix_all[offs[p]:offs[p] + c]
+        pix = simplify_ring_np(pix, tol_px)
+        q = np.floor(pix + 0.5).astype(np.int64)
+        q = _dedupe_consecutive(q, drop_wrap=False)
+        if len(q) < 2:
+            continue
+        d = np.diff(q, axis=0)
+        length += float(np.hypot(d[:, 0], d[:, 1]).sum())
+        parts_q.append(q)
+        tot += len(q)
+    _flush(cur_row, parts_q, tot, length)
+    return pd.DataFrame(out)
+
+
+def build_vector_tile_lines(lines: DataFrame, zoom: int,
+                            extent: int = 4096, buffer_px: int = 16,
+                            tol_px: float = 1.0,
+                            max_tiles_per_line: int = 4096,
+                            only_tiles: DataFrame | None = None,
+                            broadcast_tiles: bool | None = None,
+                            antimeridian: str = "split") -> DataFrame:
+    """Polylines (way_id, line array<struct<lon,lat>>,
+    left/bottom/right/top) → per-tile clipped + simplified + quantized
+    MULTIlinestring features (LINE_FEATURE_SCHEMA) — the rendering path
+    for the ~60% of OSM ways that are roads/rivers/paths rather than
+    closed areas (reference way geometry: way_relations_reader.rs).
+
+    Identical Spark shape to :func:`build_vector_tiles` (one stage,
+    zero shuffle until the caller aggregates); the kernel differs in
+    clip semantics only — exit/re-enter SPLITS a way into parts instead
+    of connecting along the rect boundary."""
+    flat = lines.select(
+        "way_id", "left", "bottom", "right", "top",
+        F.transform("line", lambda p: p["lon"]).alias("lons"),
+        F.transform("line", lambda p: p["lat"]).alias("lats"))
+    cov = tile_cover(flat, zoom, max_tiles_per_line, antimeridian,
+                     id_col="way_id")
+    cov = cov.select("way_id", "x", "y", "lons", "lats")
+    if only_tiles is not None:
+        keys = only_tiles.select("x", "y").distinct()
+        if broadcast_tiles is None:
+            broadcast_tiles = keys.count() <= 1_000_000
+        if broadcast_tiles:
+            keys = F.broadcast(keys)
+        cov = cov.join(keys, ["x", "y"], "left_semi")
+    cov = widen(cov)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _line_feature_rows(pdf, zoom, extent, buffer_px,
+                                         tol_px)
+
+    return cov.mapInPandas(run, LINE_FEATURE_SCHEMA)
+
+
+def tile_points(points: DataFrame, zoom: int, extent: int = 4096,
+                buffer_px: int = 16, id_col: str = "point_id") -> DataFrame:
+    """Geotagged points → one row per (tile, point) with quantized
+    in-tile pixel coordinates, INCLUDING buffer-margin duplicates into
+    adjacent tiles (a point ``buffer_px`` pixels from a tile edge also
+    renders in the neighbor so labels/markers survive tile borders —
+    the published MVT overzoom convention, same margin as the
+    polygon/line kernels).
+
+    Pure Column math — continuous tile coords, a 3×3 neighbor explode,
+    one filter; zero shuffle, whole-stage codegen end-to-end, and fully
+    SQL-expressible (the oracle reproduces it with a VALUES cross
+    join).  x wraps modulo 2^z so the antimeridian seam duplicates
+    like any other tile edge; y clamps (no wrap past the poles)."""
+    nt = 1 << zoom
+    fx = WM.tile_xc_col(F.col("lon"), zoom)
+    fy = WM.tile_yc_col(F.col("lat"), zoom)
+    d = (points.select(F.col(id_col), fx.alias("_fx"), fy.alias("_fy"))
+         .withColumn("_bx", F.floor("_fx").cast("long"))
+         .withColumn("_by", F.floor("_fy").cast("long"))
+         .withColumn("_dx", F.explode(F.array(
+             F.lit(-1), F.lit(0), F.lit(1))))
+         .withColumn("_dy", F.explode(F.array(
+             F.lit(-1), F.lit(0), F.lit(1)))))
+    tx0 = F.col("_bx") + F.col("_dx")
+    ty = F.col("_by") + F.col("_dy")
+    px = (F.col("_fx") - tx0) * F.lit(float(extent))
+    py = (F.col("_fy") - ty) * F.lit(float(extent))
+    b = float(buffer_px)
+    keep = ((px >= F.lit(-b)) & (px <= F.lit(float(extent) + b))
+            & (py >= F.lit(-b)) & (py <= F.lit(float(extent) + b))
+            & (ty >= F.lit(0)) & (ty <= F.lit(int(nt - 1))))
+    return (d.filter(keep)
+            .select(F.col(id_col),
+                    F.lit(zoom).cast("int").alias("z"),
+                    F.pmod(tx0, F.lit(int(nt))).cast("long").alias("x"),
+                    ty.cast("long").alias("y"),
+                    F.floor(px + F.lit(0.5)).cast("int").alias("px"),
+                    F.floor(py + F.lit(0.5)).cast("int").alias("py")))
+
+
 MVT_SCHEMA = T.StructType([
     T.StructField("z", T.IntegerType()),
     T.StructField("x", T.LongType()),
@@ -606,6 +857,134 @@ def encode_mvt_tiles(features: DataFrame, name: str = "osm",
             yield _emit(carry)
 
     return src.mapInPandas(run, MVT_SCHEMA)
+
+
+MVT_LAYERED_SCHEMA = T.StructType([
+    T.StructField("z", T.IntegerType()),
+    T.StructField("x", T.LongType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("n_layers", T.IntegerType()),
+    T.StructField("n_features", T.IntegerType()),
+    T.StructField("mvt", T.BinaryType()),
+])
+
+_LAYER_KINDS = {"polygon": 3, "line": 2, "point": 1}  # mvt geom types
+
+
+def encode_mvt_layers(layers, extent: int = 4096) -> DataFrame:
+    """[(layer_name, frame, kind)] → ONE multi-layer MVT 2.1 blob per
+    tile — the complete tile a real map server emits: polygon, line,
+    and point layers in a single protobuf (spec: a Tile is repeated
+    Layer messages; each Feature carries its geometry type).
+
+    ``kind``: 'polygon' (FEATURE_SCHEMA, feature id ``polygon_id``),
+    'line' (LINE_FEATURE_SCHEMA, ``way_id``), 'point' (tile_points
+    output, ``point_id``).  Frames normalize to one shared
+    (z, x, y, layer, fid, part_lens, pxs, pys) shape and union; one
+    shuffle (tile-key repartition) + sortWithinPartitions
+    (tile, layer, fid) + one mapInPandas pass with the same numpy
+    change-detection and batch-straddle carry as
+    :func:`encode_mvt_tiles` (layer order inside a tile = caller
+    order; blobs byte-deterministic)."""
+    from ..functions import mvt as MVT
+
+    names = [name for name, _df, _k in layers]
+    gts = [_LAYER_KINDS[k] for _name, _df, k in layers]
+    norm = []
+    for li, (_name, df, kind) in enumerate(layers):
+        if kind == "polygon":
+            d = df.select("z", "x", "y",
+                          F.col("polygon_id").alias("fid"),
+                          F.col("ring_lens").alias("part_lens"),
+                          "pxs", "pys")
+        elif kind == "line":
+            d = df.select("z", "x", "y", F.col("way_id").alias("fid"),
+                          "part_lens", "pxs", "pys")
+        else:
+            d = df.select("z", "x", "y", F.col("point_id").alias("fid"),
+                          F.array(F.lit(1)).alias("part_lens"),
+                          F.array(F.col("px")).alias("pxs"),
+                          F.array(F.col("py")).alias("pys"))
+        norm.append(d.withColumn("layer", F.lit(li).cast("int")))
+    src = norm[0]
+    for d in norm[1:]:
+        src = src.unionByName(d)
+    src = (src.repartition("z", "x", "y")
+           .sortWithinPartitions("z", "x", "y", "layer", "fid"))
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = pdf["z"].to_numpy()
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        li = pdf["layer"].to_numpy()
+        fid = pdf["fid"].to_numpy()
+        # batch-encode per geometry type (feature messages are
+        # independent — only the layer wrapper needs the tile grouping)
+        feat_msgs: list = [None] * len(pdf)
+        lens_col = pdf["part_lens"].to_numpy()
+        for lv in np.unique(li):
+            m = np.flatnonzero(li == lv)
+            sub = lens_col[m]
+            rpr = np.array([len(v) for v in sub], np.int64)
+            part_lens = (np.concatenate(sub).astype(np.int64)
+                         if rpr.sum() else np.empty(0, np.int64))
+            feat_of = np.repeat(np.arange(len(m)), rpr)
+            q = np.column_stack([
+                np.concatenate(pdf["pxs"].to_numpy()[m]).astype(np.int64),
+                np.concatenate(pdf["pys"].to_numpy()[m]).astype(np.int64),
+            ]) if rpr.sum() else np.empty((0, 2), np.int64)
+            msgs = MVT.encode_features_batch(q, part_lens, feat_of,
+                                             fid[m], geom_type=gts[lv])
+            for i, mi in enumerate(m):
+                feat_msgs[mi] = msgs[i]
+        change = np.empty(len(pdf), bool)
+        change[0] = True
+        change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | \
+                     (y[1:] != y[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        out = {"z": [], "x": [], "y": [], "n_layers": [],
+               "n_features": [], "mvt": []}
+        for s, e in zip(starts, ends):
+            lrun = li[s:e]
+            lchange = np.empty(e - s, bool)
+            lchange[0] = True
+            lchange[1:] = lrun[1:] != lrun[:-1]
+            ls = np.flatnonzero(lchange) + s
+            le = np.append(ls[1:], e)
+            blob = b"".join(
+                MVT.encode_tile(MVT.encode_layer(
+                    names[int(li[s2])], b"".join(feat_msgs[s2:e2]),
+                    extent))
+                for s2, e2 in zip(ls, le))
+            out["z"].append(int(z[s]))
+            out["x"].append(int(x[s]))
+            out["y"].append(int(y[s]))
+            out["n_layers"].append(len(ls))
+            out["n_features"].append(e - s)
+            out["mvt"].append(blob)
+        return pd.DataFrame(out)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            lz, lx, ly = (pdf["z"].iat[-1], pdf["x"].iat[-1],
+                          pdf["y"].iat[-1])
+            tail = ((pdf["z"] == lz) & (pdf["x"] == lx)
+                    & (pdf["y"] == ly)).to_numpy()
+            ntail = int(tail.sum())
+            carry = pdf.iloc[len(pdf) - ntail:]
+            body = pdf.iloc[:len(pdf) - ntail]
+            if len(body):
+                yield _emit(body)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    return src.mapInPandas(run, MVT_LAYERED_SCHEMA)
 
 
 def tile_morton_col(x, y) -> "F.Column":

@@ -2621,6 +2621,122 @@ def q_mvt_tiles(spark, sf_dir):
             .orderBy("z", "x", "y"))
 
 
+def q_vector_tile_points(spark, sf_dir):
+    """Point features for vector tiles: every image → its quantized
+    in-tile pixel position, INCLUDING buffer-margin duplicates into
+    adjacent tiles (the published MVT overzoom convention — a marker
+    16 px from a tile edge also renders in the neighbor; x wraps at the
+    antimeridian seam). Pure Column math (operators/tiles.tile_points:
+    continuous tile coords + 3×3 neighbor explode + one filter), zero
+    shuffle, whole-stage codegen end-to-end. FULLY ORACLED: the DuckDB
+    twin reproduces the fan-out with a VALUES cross join on identical
+    IEEE double arithmetic."""
+    from .operators import tiles as TL
+
+    img = images_probe(spark, sf_dir)
+    pts = img.select(F.col("img_id").alias("point_id"), "lon", "lat")
+    return TL.tile_points(pts, TILE_Z_PT)
+
+
+_TP_N = 1 << TILE_Z_PT
+SQL_TILE_POINTS = f"""
+WITH images AS ({IMAGES_SQL}),
+c AS (
+  SELECT img_id AS point_id,
+         {_WM.tile_xc_sql('lon', TILE_Z_PT)} AS fx,
+         {_WM.tile_yc_sql('lat', TILE_Z_PT)} AS fy
+  FROM images),
+f AS (
+  SELECT point_id, fx, fy,
+         CAST(floor(fx) AS BIGINT) + dxs.dx AS tx0,
+         CAST(floor(fy) AS BIGINT) + dys.dy AS ty
+  FROM c
+  CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
+  CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)),
+p AS (
+  SELECT point_id, tx0, ty,
+         (fx - tx0) * 4096.0 AS px,
+         (fy - ty) * 4096.0 AS py
+  FROM f)
+SELECT point_id, CAST({TILE_Z_PT} AS INTEGER) AS z,
+       ((tx0 % {_TP_N}) + {_TP_N}) % {_TP_N} AS x, ty AS y,
+       CAST(floor(px + 0.5) AS INTEGER) AS px,
+       CAST(floor(py + 0.5) AS INTEGER) AS py
+FROM p
+WHERE px >= -16.0 AND px <= 4112.0
+  AND py >= -16.0 AND py <= 4112.0
+  AND ty >= 0 AND ty <= {_TP_N - 1}
+"""
+
+
+def q_vector_tile_lines(spark, sf_dir):
+    """LINE features — the rendering path for the majority of OSM ways
+    (roads/rivers/paths; reference way geometry:
+    way_relations_reader.rs:69-160): fixture ways → ordered polyline
+    assembly → tile fan-out → open-polyline clip (a way SPLITS into a
+    multilinestring where it exits and re-enters the buffered tile
+    rect) → Douglas–Peucker → quantize; per-tile stats. Same one-stage
+    scan→explode→mapInPandas shape as vector_tiles. Engine-native
+    rows-only; the clip kernel is refereed by BOTH a scalar twin
+    (bit-exact) and an independent Liang–Barsky clipper in
+    tests/test_tile_lines.py."""
+    from .operators import assemble as ASM
+    from .operators import current as CUR
+    from .operators import tiles as TL
+    from .sources.pbf import decode as PD
+
+    path = _fixture_pbf_path(spark)
+    els = PD.read_pbf(spark, path)
+    nodes = CUR.current_view(els.filter(F.col("etype") == "node"))
+    ways = CUR.current_view(els.filter(F.col("etype") == "way"))
+    lines = (ASM.way_lines(ways, nodes)
+             .select(F.col("id").alias("way_id"),
+                     F.col("ring").alias("line"),
+                     "left", "bottom", "right", "top"))
+    feats = TL.build_vector_tile_lines(lines, zoom=13)
+    return (feats.groupBy("z", "x", "y")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum("n_pts").alias("n_pts"),
+                 F.sum(F.size("part_lens")).alias("n_parts"))
+            .orderBy("z", "x", "y"))
+
+
+def q_mvt_layered_tiles(spark, sf_dir):
+    """The COMPLETE map-server tile: polygon + line + point layers of
+    each tile in ONE multi-layer MVT 2.1 blob (spec: a Tile is repeated
+    Layer messages; features carry their geometry type — POLYGON=3 for
+    assembled areas, LINESTRING=2 for ways, POINT=1 for tagged-node
+    POIs). One shuffle total (the tile-key repartition); blobs
+    byte-deterministic. Rows-only; wire bytes, decode roundtrip, and
+    layer ordering proven in tests/test_tile_lines.py."""
+    from .operators import assemble as ASM
+    from .operators import current as CUR
+    from .operators import tiles as TL
+    from .sources.pbf import decode as PD
+
+    path = _fixture_pbf_path(spark)
+    # three branches consume the decode — pin it once (fan-out rule)
+    els = PD.read_pbf(spark, path).localCheckpoint(eager=False)
+    nodes = CUR.current_view(els.filter(F.col("etype") == "node"))
+    ways = CUR.current_view(els.filter(F.col("etype") == "way"))
+    polys = ASM.assemble_polygons(els)
+    lines = (ASM.way_lines(ways, nodes)
+             .select(F.col("id").alias("way_id"),
+                     F.col("ring").alias("line"),
+                     "left", "bottom", "right", "top"))
+    pois = (nodes.filter(F.size("tags") > 0)
+            .select(F.col("id").alias("point_id"), "lon", "lat"))
+    zoom = 13
+    tiles = TL.encode_mvt_layers([
+        ("areas", TL.build_vector_tiles(polys, zoom), "polygon"),
+        ("roads", TL.build_vector_tile_lines(lines, zoom), "line"),
+        ("pois", TL.tile_points(pois, zoom), "point"),
+    ])
+    return (tiles.select("z", "x", "y", "n_layers", "n_features",
+                         F.length("mvt").alias("mvt_bytes"))
+            .orderBy("z", "x", "y"))
+
+
 # ---------------------------------------------------------------------------
 # context index (the reference's SECOND roadmap item — README.md:46-48,
 # src/lib.rs:29-30: "index the entire OSM dataset by relations between
@@ -3178,6 +3294,13 @@ QUERIES = {
     # path (PBF fixture; brute-force pandas parity in
     # tests/test_context.py)
     "ctx_pbf_discard": q_ctx_pbf_discard,
+    # round-5d: the MVT geometry types the polygon path lacked — point
+    # features (oracled: pure Column fan-out, DuckDB VALUES cross
+    # join), line features (open-polyline clip kernel, dual-refereed in
+    # tests/test_tile_lines.py), and the complete multi-layer tile blob
+    "vector_tile_points": q_vector_tile_points,
+    "vector_tile_lines": q_vector_tile_lines,
+    "mvt_layered_tiles": q_mvt_layered_tiles,
 }
 
 ORACLES = {
@@ -3248,4 +3371,6 @@ ORACLES = {
     # replication diffs (round 5c)
     "osm_apply_diff": SQL_APPLY_DIFF,
     "osm_diff_stats": SQL_DIFF_STATS,
+    # MVT point features (round 5d)
+    "vector_tile_points": SQL_TILE_POINTS,
 }

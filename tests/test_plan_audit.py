@@ -165,3 +165,14 @@ def test_new_candidate_joins_never_cartesian(spark):
         plan = A.formatted_plan(df)
         assert A.count_op(plan, "CartesianProduct") == 0, name
         assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0, name
+
+
+def test_vector_tile_points_zero_shuffle_pruned(spark):
+    """Point-feature fan-out is pure Column math: no exchange anywhere,
+    no Python eval, and the lineitem scan reads only the two id
+    columns the synthetic probe derives from."""
+    df = Q.q_vector_tile_points(spark, SF_DIR)
+    A.audit(df, max_shuffles=0,
+            max_scan_cols={"lineitem.parquet": 2})
+    plan = A.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
