@@ -9,9 +9,13 @@ length-delimited fields — is a page of code):
   Layer:   version = varint 15 (must be 2), name = string 1,
            features = repeated message 2, keys = repeated string 3,
            values = repeated message 4, extent = varint 5
-  Feature: id = varint 1, tags = packed varint 2,
+  Feature: id = varint 1, tags = packed varint 2 (alternating
+           key-index / value-index pairs into the LAYER's keys/values
+           dictionaries — spec §4.4),
            type = varint 3 (POINT = 1 / LINESTRING = 2 / POLYGON = 3),
            geometry = packed uint32 commands, field 4
+  Value:   string_value = field 1 (OSM tag values are strings; the
+           other Value variants are unused here)
 
 Geometry command stream (spec §4.3): CommandInteger
 ``(id & 0x7) | (count << 3)`` with MoveTo=1 / LineTo=2 / ClosePath=7;
@@ -145,7 +149,8 @@ def varints_np(vals: np.ndarray, return_lens: bool = False):
 def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
                           feat_of_ring: np.ndarray,
                           feat_ids: np.ndarray,
-                          geom_type: int = POLYGON) -> list[bytes]:
+                          geom_type: int = POLYGON,
+                          tag_bytes=None) -> list[bytes]:
     """Batched feature encoding: ALL parts of ALL features (typically a
     whole Arrow batch of tiles) → per-feature protobuf messages, each
     already wrapped as a layer `features` field (field 2).
@@ -239,23 +244,47 @@ def encode_features_batch(q: np.ndarray, ring_lens: np.ndarray,
     out = []
     for f in range(n_feat):
         geom = buf[f_b0[f]:f_b1[f]]
-        feat = (head_t + _varint(int(feat_ids[f])) + head_ty
+        tb = tag_bytes[f] if tag_bytes is not None else b""
+        feat = (head_t + _varint(int(feat_ids[f])) + tb + head_ty
                 + head_g + _varint(len(geom)) + geom)
         out.append(_len_delim(2, feat))
     return out
 
 
-def encode_feature(fid: int, rings, geom_type: int = POLYGON) -> bytes:
+def encode_tags_packed(pairs) -> bytes:
+    """Feature.tags (field 2, packed varints): alternating key-index /
+    value-index pairs into the layer dictionaries. Empty pairs → b''
+    (the field is simply absent, per proto3 packed semantics)."""
+    if not len(pairs):
+        return b""
+    return _len_delim(2, b"".join(_varint(int(v)) for v in pairs))
+
+
+def encode_feature(fid: int, rings, geom_type: int = POLYGON,
+                   tags: bytes = b"") -> bytes:
     geom = varints_np(geometry_commands(rings, geom_type))
     return (_field(1, 0) + _varint(fid)
+            + tags
             + _field(3, 0) + _varint(geom_type)
             + _len_delim(4, geom))
 
 
-def encode_layer(name: str, features: bytes, extent: int = 4096) -> bytes:
+def encode_value_string(s: str) -> bytes:
+    """Layer.values element: a Value message holding string_value."""
+    return _len_delim(1, s.encode())
+
+
+def encode_layer(name: str, features: bytes, extent: int = 4096,
+                 keys=(), values=()) -> bytes:
+    """``keys``: iterable of tag-key strings (Layer field 3, in
+    dictionary-index order); ``values``: iterable of tag-value STRINGS
+    (Layer field 4, each wrapped as a Value message)."""
     payload = (_field(15, 0) + _varint(2)
                + _len_delim(1, name.encode())
                + features
+               + b"".join(_len_delim(3, k.encode()) for k in keys)
+               + b"".join(_len_delim(4, encode_value_string(v))
+                          for v in values)
                + _field(5, 0) + _varint(extent))
     return payload
 
@@ -346,7 +375,9 @@ def decode_mvt(buf: bytes):
     for num, _w, v in _fields(buf):
         if num != 3:
             continue
-        layer = {"features": [], "types": []}
+        layer = {"features": [], "types": [], "keys": [], "values": [],
+                 "attrs": []}
+        raw_tags = []
         for lnum, _lw, lv in _fields(v):
             if lnum == 15:
                 layer["version"] = lv
@@ -354,11 +385,22 @@ def decode_mvt(buf: bytes):
                 layer["name"] = lv.decode()
             elif lnum == 5:
                 layer["extent"] = lv
+            elif lnum == 3:
+                layer["keys"].append(lv.decode())
+            elif lnum == 4:
+                for vnum, _vw, vv in _fields(lv):
+                    if vnum == 1:
+                        layer["values"].append(vv.decode())
             elif lnum == 2:
-                fid, geom, ftype = None, [], POLYGON
+                fid, geom, ftype, pairs = None, [], POLYGON, []
                 for fnum, fw, fv in _fields(lv):
                     if fnum == 1:
                         fid = fv
+                    elif fnum == 2:
+                        i = 0
+                        while i < len(fv):
+                            t, i = _read_varint(fv, i)
+                            pairs.append(t)
                     elif fnum == 3:
                         ftype = fv
                     elif fnum == 4:
@@ -369,6 +411,13 @@ def decode_mvt(buf: bytes):
                         geom = decode_geometry(cmds)
                 layer["features"].append((fid, geom))
                 layer["types"].append(ftype)
+                raw_tags.append(pairs)
+        # tag indices resolve against the COMPLETE layer dictionaries
+        # (keys/values fields may follow the features on the wire)
+        for pairs in raw_tags:
+            layer["attrs"].append(
+                {layer["keys"][pairs[i]]: layer["values"][pairs[i + 1]]
+                 for i in range(0, len(pairs), 2)})
         out["layers"].append(layer)
         out["features"] += layer["features"]
         out["types"] += layer["types"]

@@ -872,26 +872,36 @@ _LAYER_KINDS = {"polygon": 3, "line": 2, "point": 1}  # mvt geom types
 
 
 def encode_mvt_layers(layers, extent: int = 4096) -> DataFrame:
-    """[(layer_name, frame, kind)] → ONE multi-layer MVT 2.1 blob per
-    tile — the complete tile a real map server emits: polygon, line,
-    and point layers in a single protobuf (spec: a Tile is repeated
-    Layer messages; each Feature carries its geometry type).
+    """[(layer_name, frame, kind[, attrs])] → ONE multi-layer MVT 2.1
+    blob per tile — the complete tile a real map server emits: polygon,
+    line, and point layers in a single protobuf (spec: a Tile is
+    repeated Layer messages; each Feature carries its geometry type and
+    tag-index pairs into the layer's key/value dictionaries).
 
     ``kind``: 'polygon' (FEATURE_SCHEMA, feature id ``polygon_id``),
     'line' (LINE_FEATURE_SCHEMA, ``way_id``), 'point' (tile_points
-    output, ``point_id``).  Frames normalize to one shared
-    (z, x, y, layer, fid, part_lens, pxs, pys) shape and union; one
-    shuffle (tile-key repartition) + sortWithinPartitions
-    (tile, layer, fid) + one mapInPandas pass with the same numpy
-    change-detection and batch-straddle carry as
-    :func:`encode_mvt_tiles` (layer order inside a tile = caller
-    order; blobs byte-deterministic)."""
+    output, ``point_id``).  ``attrs`` (optional 4th element): a
+    (fid, tag_ks array<string>, tag_vs array<string>) frame of feature
+    attributes, LEFT-joined on the feature id before the tile shuffle
+    (one extra key-equi-join per attributed layer; featureless ids get
+    no tags field). Per-tile-layer key/value dictionaries are built in
+    feature-sorted first-seen order, so blobs stay byte-deterministic.
+
+    Frames normalize to one shared (z, x, y, layer, fid, part_lens,
+    pxs, pys, tag_ks, tag_vs) shape and union; one shuffle (tile-key
+    repartition) + sortWithinPartitions (tile, layer, fid) + one
+    mapInPandas pass with the same numpy change-detection and
+    batch-straddle carry as :func:`encode_mvt_tiles` (layer order
+    inside a tile = caller order)."""
     from ..functions import mvt as MVT
 
-    names = [name for name, _df, _k in layers]
-    gts = [_LAYER_KINDS[k] for _name, _df, k in layers]
+    names = [t[0] for t in layers]
+    gts = [_LAYER_KINDS[t[2]] for t in layers]
+    empty_s = F.array().cast("array<string>")
     norm = []
-    for li, (_name, df, kind) in enumerate(layers):
+    for li, t in enumerate(layers):
+        _name, df, kind = t[0], t[1], t[2]
+        attrs = t[3] if len(t) > 3 else None
         if kind == "polygon":
             d = df.select("z", "x", "y",
                           F.col("polygon_id").alias("fid"),
@@ -905,6 +915,14 @@ def encode_mvt_layers(layers, extent: int = 4096) -> DataFrame:
                           F.array(F.lit(1)).alias("part_lens"),
                           F.array(F.col("px")).alias("pxs"),
                           F.array(F.col("py")).alias("pys"))
+        if attrs is not None:
+            d = (d.join(attrs.select("fid", "tag_ks", "tag_vs"), "fid",
+                        "left")
+                 .withColumn("tag_ks", F.coalesce("tag_ks", empty_s))
+                 .withColumn("tag_vs", F.coalesce("tag_vs", empty_s)))
+        else:
+            d = (d.withColumn("tag_ks", empty_s)
+                 .withColumn("tag_vs", empty_s))
         norm.append(d.withColumn("layer", F.lit(li).cast("int")))
     src = norm[0]
     for d in norm[1:]:
@@ -918,8 +936,40 @@ def encode_mvt_layers(layers, extent: int = 4096) -> DataFrame:
         y = pdf["y"].to_numpy()
         li = pdf["layer"].to_numpy()
         fid = pdf["fid"].to_numpy()
-        # batch-encode per geometry type (feature messages are
-        # independent — only the layer wrapper needs the tile grouping)
+        change = np.empty(len(pdf), bool)
+        change[0] = True
+        change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | \
+                     (y[1:] != y[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        # pass 1 — per-(tile, layer) key/value dictionaries and the
+        # per-feature packed tag bytes (indices are dictionary-local,
+        # so this precedes the batch geometry encode)
+        ks_col = pdf["tag_ks"].to_numpy()
+        vs_col = pdf["tag_vs"].to_numpy()
+        tag_bytes: list = [b""] * len(pdf)
+        run_dicts: dict = {}
+        for s, e in zip(starts, ends):
+            lrun = li[s:e]
+            lchange = np.empty(e - s, bool)
+            lchange[0] = True
+            lchange[1:] = lrun[1:] != lrun[:-1]
+            ls = np.flatnonzero(lchange) + s
+            le = np.append(ls[1:], e)
+            for s2, e2 in zip(ls, le):
+                kd: dict = {}
+                vd: dict = {}
+                for i in range(s2, e2):
+                    pairs = []
+                    for k_, v_ in zip(ks_col[i], vs_col[i]):
+                        pairs.append(kd.setdefault(k_, len(kd)))
+                        pairs.append(vd.setdefault(v_, len(vd)))
+                    if pairs:
+                        tag_bytes[i] = MVT.encode_tags_packed(pairs)
+                run_dicts[s2] = (list(kd), list(vd))
+        # pass 2 — batch-encode feature messages per geometry type
+        # (messages are independent; only the layer wrapper needs the
+        # tile grouping)
         feat_msgs: list = [None] * len(pdf)
         lens_col = pdf["part_lens"].to_numpy()
         for lv in np.unique(li):
@@ -933,16 +983,12 @@ def encode_mvt_layers(layers, extent: int = 4096) -> DataFrame:
                 np.concatenate(pdf["pxs"].to_numpy()[m]).astype(np.int64),
                 np.concatenate(pdf["pys"].to_numpy()[m]).astype(np.int64),
             ]) if rpr.sum() else np.empty((0, 2), np.int64)
-            msgs = MVT.encode_features_batch(q, part_lens, feat_of,
-                                             fid[m], geom_type=gts[lv])
+            msgs = MVT.encode_features_batch(
+                q, part_lens, feat_of, fid[m], geom_type=gts[lv],
+                tag_bytes=[tag_bytes[i] for i in m])
             for i, mi in enumerate(m):
                 feat_msgs[mi] = msgs[i]
-        change = np.empty(len(pdf), bool)
-        change[0] = True
-        change[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | \
-                     (y[1:] != y[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(pdf))
+        # pass 3 — assemble tiles
         out = {"z": [], "x": [], "y": [], "n_layers": [],
                "n_features": [], "mvt": []}
         for s, e in zip(starts, ends):
@@ -955,7 +1001,7 @@ def encode_mvt_layers(layers, extent: int = 4096) -> DataFrame:
             blob = b"".join(
                 MVT.encode_tile(MVT.encode_layer(
                     names[int(li[s2])], b"".join(feat_msgs[s2:e2]),
-                    extent))
+                    extent, *run_dicts[s2]))
                 for s2, e2 in zip(ls, le))
             out["z"].append(int(z[s]))
             out["x"].append(int(x[s]))

@@ -2726,11 +2726,29 @@ def q_mvt_layered_tiles(spark, sf_dir):
                      "left", "bottom", "right", "top"))
     pois = (nodes.filter(F.size("tags") > 0)
             .select(F.col("id").alias("point_id"), "lon", "lat"))
+
+    def _kv(df, idcol):
+        """OSM tags → the layer attribute frame shape. Deterministic
+        min-struct dedupe: polygon ids conflate the way and relation
+        namespaces (same caveat as the feature ids themselves), and the
+        attrs contract requires one row per fid."""
+        d = df.select(
+            F.col(idcol).alias("fid"),
+            F.transform("tags", lambda t: t["k"]).alias("tag_ks"),
+            F.transform("tags", lambda t: t["v"]).alias("tag_vs"))
+        return (d.groupBy("fid")
+                .agg(F.min(F.struct("tag_ks", "tag_vs")).alias("_s"))
+                .select("fid", F.col("_s.tag_ks").alias("tag_ks"),
+                        F.col("_s.tag_vs").alias("tag_vs")))
+
     zoom = 13
     tiles = TL.encode_mvt_layers([
-        ("areas", TL.build_vector_tiles(polys, zoom), "polygon"),
-        ("roads", TL.build_vector_tile_lines(lines, zoom), "line"),
-        ("pois", TL.tile_points(pois, zoom), "point"),
+        ("areas", TL.build_vector_tiles(polys, zoom), "polygon",
+         _kv(polys, "polygon_id")),
+        ("roads", TL.build_vector_tile_lines(lines, zoom), "line",
+         _kv(ways, "id")),
+        ("pois", TL.tile_points(pois, zoom), "point",
+         _kv(nodes, "id")),
     ])
     return (tiles.select("z", "x", "y", "n_layers", "n_features",
                          F.length("mvt").alias("mvt_bytes"))

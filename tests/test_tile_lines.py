@@ -479,3 +479,89 @@ def test_encode_mvt_layers_end_to_end(spark):
          ("pois", ptf.repartition(7), "point")]).collect()
     assert {(r.z, r.x, r.y): bytes(r.mvt) for r in tiles2} == \
         {(r.z, r.x, r.y): bytes(r.mvt) for r in tiles}
+
+
+# ---------------------------------------------------------------------------
+# feature attributes (layer key/value dictionaries, spec §4.4)
+# ---------------------------------------------------------------------------
+
+
+def test_mvt_tags_golden_bytes():
+    """Hand-assembled feature with tags: id 7, tags (k0,v0),(k1,v1) →
+    field 2 packed [0,0,1,1] BETWEEN id (field 1) and type (field 3)."""
+    tags = MVT.encode_tags_packed([0, 0, 1, 1])
+    assert tags == bytes([0x12, 4, 0, 0, 1, 1])
+    b = MVT.encode_feature(7, [np.array([[2, 2], [10, 2]])],
+                           MVT.LINESTRING, tags)
+    assert b == bytes([0x08, 7, 0x12, 4, 0, 0, 1, 1,
+                       0x18, 2, 0x22, 6, 9, 4, 4, 10, 16, 0])
+    # layer wrapper: keys field 3, values as Value{string_value} field 4
+    layer = MVT.encode_layer("t", MVT._len_delim(2, b), 4096,
+                             keys=["highway", "name"],
+                             values=["primary", "A1"])
+    dec = MVT.decode_mvt(MVT.encode_tile(layer))
+    assert dec["layers"][0]["keys"] == ["highway", "name"]
+    assert dec["layers"][0]["values"] == ["primary", "A1"]
+    assert dec["layers"][0]["attrs"] == [{"highway": "primary",
+                                          "name": "A1"}]
+
+
+def test_mvt_tags_roundtrip_shared_dict():
+    """Two features sharing a key and differing in value: the layer
+    dictionary dedupes, per-feature attrs resolve correctly."""
+    kd, vd = {}, {}
+
+    def tag(pairs):
+        out = []
+        for k, v in pairs:
+            out.append(kd.setdefault(k, len(kd)))
+            out.append(vd.setdefault(v, len(vd)))
+        return MVT.encode_tags_packed(out)
+
+    f1 = MVT.encode_feature(1, [np.array([[0, 0]])], MVT.POINT,
+                            tag([("name", "a"), ("amenity", "cafe")]))
+    f2 = MVT.encode_feature(2, [np.array([[5, 5]])], MVT.POINT,
+                            tag([("name", "b")]))
+    layer = MVT.encode_layer(
+        "pois", MVT._len_delim(2, f1) + MVT._len_delim(2, f2), 4096,
+        keys=list(kd), values=list(vd))
+    dec = MVT.decode_mvt(MVT.encode_tile(layer))["layers"][0]
+    assert dec["keys"] == ["name", "amenity"]
+    assert dec["values"] == ["a", "cafe", "b"]
+    assert dec["attrs"] == [{"name": "a", "amenity": "cafe"},
+                            {"name": "b"}]
+
+
+def test_encode_mvt_layers_attrs(spark):
+    """Attributed layered tiles: POI tags survive the full Spark path
+    (attr join → dictionaries → packed tags → decode), untagged
+    features carry no tags field, blobs stay byte-deterministic."""
+    zoom = 9
+    n = float(1 << zoom)
+    x0, y0 = 275, 175
+    lon_m = (x0 + 0.5) / n * 360.0 - 180.0
+    lat_m = TL._inv_merc_lat(y0 + 0.5, zoom)
+    lon_e = (x0 + 0.9) / n * 360.0 - 180.0
+    lat_e = TL._inv_merc_lat(y0 + 0.9, zoom)
+    pts = spark.createDataFrame(
+        [(33, lon_m, lat_m), (44, lon_e, lat_e), (55, lon_e, lat_m)],
+        "point_id long, lon double, lat double")
+    attrs = spark.createDataFrame(
+        [(33, ["name", "amenity"], ["a", "cafe"]),
+         (44, ["name"], ["b"])],   # 55 has NO attrs row
+        "fid long, tag_ks array<string>, tag_vs array<string>")
+    ptf = TL.tile_points(pts, zoom)
+    tiles = TL.encode_mvt_layers([("pois", ptf, "point", attrs)]) \
+        .collect()
+    row = [r for r in tiles if (r.x, r.y) == (x0, y0)][0]
+    dec = MVT.decode_mvt(bytes(row.mvt))["layers"][0]
+    got = {fid: a for (fid, _g), a in zip(dec["features"], dec["attrs"])}
+    assert got == {33: {"name": "a", "amenity": "cafe"},
+                   44: {"name": "b"}, 55: {}}
+    assert dec["keys"] == ["name", "amenity"]
+    assert dec["values"] == ["a", "cafe", "b"]
+    tiles2 = TL.encode_mvt_layers(
+        [("pois", ptf.repartition(4), "point", attrs.repartition(2))]) \
+        .collect()
+    assert {(r.x, r.y): bytes(r.mvt) for r in tiles2} == \
+        {(r.x, r.y): bytes(r.mvt) for r in tiles}
