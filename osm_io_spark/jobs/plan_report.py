@@ -103,6 +103,19 @@ REPORT_QUERIES = [
      "LEFT ANTI join per auditable ref_type (never NOT IN — Spark "
      "plans NOT IN as a null-aware anti join that degenerates to "
      "nested-loop), union aggregated with map-side partials"),
+    ("vector_tile_points", "point-feature fan-out (r5d): continuous "
+     "tile coords + 3x3 neighbor explode + one filter — pure Column, "
+     "zero shuffle, no Python eval, lineitem scan pruned to the two "
+     "id columns (pinned in tests/test_plan_audit.py)"),
+    ("vector_tile_lines", "line-feature build (r5d): same one-stage "
+     "cover→widen→mapInPandas shape as vector_tiles with the "
+     "open-polyline split kernel; every other exchange belongs to "
+     "the fixture way assembly"),
+    ("mvt_layered_tiles", "multi-layer MVT sink (r5d): three "
+     "normalized feature frames union into ONE tile-key repartition "
+     "+ in-partition sort + single encode pass; the per-layer "
+     "attribute joins are key equi-joins planned by Catalyst "
+     "(broadcast at fixture scale)"),
 ]
 
 

@@ -15,6 +15,9 @@ trusting any number on this shared box). Stages:
 - ``clip``       full build_vector_tiles (fan-out + widen + numpy
                  clip/simplify/quantize kernel) — the Python-kernel
                  stage whose scaling the north rule actually stresses
+- ``lines``      full build_vector_tile_lines over the same corpus's
+                 rings read as OPEN polylines (the r5d split-on-exit
+                 polyline kernel)
 - ``mvt``        clip + tile-key shuffle + per-tile MVT blob encode
 
 The polygon corpus is the bench rect+tri set replicated ``--copies``
@@ -66,7 +69,8 @@ def run_one(argv: list[str] | None = None) -> dict:
     ap.add_argument("--zoom", type=int, default=12)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--stage", default="all",
-                    choices=["all", "encode", "fanout", "clip", "mvt"])
+                    choices=["all", "encode", "fanout", "clip", "lines",
+                             "mvt"])
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -111,7 +115,7 @@ def run_one(argv: list[str] | None = None) -> dict:
 
     # the polygon corpus costs seconds to build + checkpoint; the
     # encode-only subprocess cell never touches it
-    if args.stage in ("all", "fanout", "clip", "mvt"):
+    if args.stage in ("all", "fanout", "clip", "lines", "mvt"):
         polys = _polys(spark, args.sf_dir, args.copies).localCheckpoint()
         res["n_polys"] = polys.count()
 
@@ -136,6 +140,27 @@ def run_one(argv: list[str] | None = None) -> dict:
     if args.stage in ("all", "clip"):
         res["clip_s"], res["clip_feats"] = best(clip)
         res["clip_feats_per_s"] = res["clip_feats"] / res["clip_s"]
+
+    def lines_stage():
+        # the corpus's first rings read as OPEN polylines (same vertex
+        # volume and tile spans as the clip stage, polyline semantics),
+        # replicated 3x with distinct ids POST-checkpoint: a single
+        # ring per polygon is ~40% of the clip stage's feature count,
+        # small enough at 16 threads for fixed JVM/py-worker overheads
+        # to eat the measurement (first run showed 3.0s total)
+        lines = (polys.select(F.col("polygon_id").alias("way_id"),
+                              F.element_at("rings", 1).alias("line"),
+                              "left", "bottom", "right", "top")
+                 .withColumn("_c", F.explode(F.sequence(F.lit(0),
+                                                        F.lit(2))))
+                 .withColumn("way_id",
+                             F.col("way_id") * 3 + F.col("_c"))
+                 .drop("_c"))
+        return TL.build_vector_tile_lines(lines, args.zoom).count()
+
+    if args.stage in ("all", "lines"):
+        res["lines_s"], res["lines_feats"] = best(lines_stage)
+        res["lines_feats_per_s"] = res["lines_feats"] / res["lines_s"]
 
     def mvt():
         return TL.encode_mvt_tiles(
@@ -167,7 +192,7 @@ def main(argv: list[str] | None = None) -> None:
     for cpus in args.cpus:
         loads.append(os.getloadavg())
         merged = {"cpus": cpus}
-        for stage in ("encode", "fanout", "clip", "mvt"):
+        for stage in ("encode", "fanout", "clip", "lines", "mvt"):
             p = subprocess.run(
                 [sys.executable, "-m", "osm_io_spark.jobs.tiles_bench",
                  "--run-one", "--stage", stage, "--cpus", str(cpus),
@@ -200,6 +225,9 @@ def main(argv: list[str] | None = None) -> None:
         f"| clip+simplify+quantize ({r32['clip_feats']} feats) | "
         f"{r8['clip_s']:.2f} | {r32['clip_s']:.2f} | "
         f"{eff('clip_s'):.3f} |",
+        f"| polyline clip (r5d, {r32['lines_feats']} feats) | "
+        f"{r8['lines_s']:.2f} | {r32['lines_s']:.2f} | "
+        f"{eff('lines_s'):.3f} |",
         f"| + MVT encode ({r32['mvt_tiles']} tiles) | "
         f"{r8['mvt_s']:.2f} | {r32['mvt_s']:.2f} | "
         f"{eff('mvt_s'):.3f} |",
