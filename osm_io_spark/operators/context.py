@@ -215,51 +215,53 @@ def transitive_closure(edges: DataFrame, max_depth: int = 16,
     The driver-side loop is bounded by the data's nesting depth (OSM
     relation nesting is single digits); each iteration is one hash
     equi-join frontier ⋈ edges plus one anti join against the
-    accumulator — both shrink with the frontier, and every frontier is
-    persisted once because it fans out (accumulator union + next join).
+    accumulated levels — both shrink with the frontier.
+
+    Every level is EAGERLY localCheckpointed and the accumulator is a
+    FLAT union of the checkpointed levels. This truncates lineage per
+    iteration, which is load-bearing, not a cache hint: a
+    self-referencing accumulator (acc feeds both the anti-join of the
+    next level and the union building the next acc) DOUBLES the
+    logical plan each iteration even under persist() — the data is
+    cached but the tree is not, and the SQL listener's explainString
+    of the ~2^depth-node plan OOMed the 12g driver at sf0.1 (one
+    nesting level deeper than sf0.01, which is why small-sf parity
+    never saw it).
     """
     base = (edges.select(F.col("parent_id").alias("ancestor_id"),
                          F.col("child_id").alias("descendant_id"))
             .distinct())
-    acc = base.withColumn("depth", F.lit(1).cast("int")).persist()
-    frontier = acc
-    pinned = [acc]
+    lvl = (base.withColumn("depth", F.lit(1).cast("int"))
+           .localCheckpoint(eager=True))
+    levels = [lvl]
 
-    def _release(keep):
-        # localCheckpoint the survivor so it no longer reads through
-        # the pinned level caches, then drop every pin (the fan-out
-        # rule: each level fed both the accumulator union and the next
-        # join, so each was persisted exactly once)
-        out = keep.localCheckpoint(eager=True)
-        for p in pinned:
-            p.unpersist()
+    def _acc():
+        out = levels[0]
+        for d in levels[1:]:
+            out = out.unionByName(d)
         return out
 
     depth = 1
     while True:
-        nxt = (frontier.join(
+        nxt = (lvl.join(
             base.select(F.col("ancestor_id").alias("_p"),
                         F.col("descendant_id").alias("_c")),
-            frontier.descendant_id == F.col("_p"), "inner")
+            lvl.descendant_id == F.col("_p"), "inner")
             .select("ancestor_id", F.col("_c").alias("descendant_id"))
             .distinct()
-            .join(acc.select("ancestor_id", "descendant_id"),
+            .join(_acc().select("ancestor_id", "descendant_id"),
                   ["ancestor_id", "descendant_id"], "left_anti")
             .withColumn("depth", F.lit(depth + 1).cast("int"))
-            .persist())
-        pinned.append(nxt)
+            .localCheckpoint(eager=True))
         if nxt.isEmpty():
-            return _release(acc)
+            return _acc()
         depth += 1
         if depth > max_depth:
             if on_depth_exceeded == "raise":
-                for p in pinned:
-                    p.unpersist()
                 raise ValueError(
                     f"transitive_closure: nesting exceeds max_depth="
                     f"{max_depth}; pass a larger bound or "
                     f"on_depth_exceeded='truncate'")
-            return _release(acc)
-        acc = acc.unionByName(nxt).persist()
-        pinned.append(acc)
-        frontier = nxt
+            return _acc()
+        levels.append(nxt)
+        lvl = nxt

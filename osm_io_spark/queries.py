@@ -2767,7 +2767,9 @@ def q_mvt_layered_tiles(spark, sf_dir):
 # a 16-replica id domain (so per-node parent counts stay small, like
 # real OSM where most nodes belong to 1-2 ways), relations = customers
 # (containing their orders' ways) nested under nation- and region-level
-# relations (10000+/20000+ id namespaces). Every 7th lineitem and every
+# relations (1e12+/2e12+ id namespaces — far above any sf-scaled key:
+# at sf0.1 custkey reached 15000 and collided with a 10000+ offset,
+# chaining relations into unintended deep cycles). Every 7th lineitem and every
 # 97th order reference a non-existent target — the dangling-audit
 # signal.
 # ---------------------------------------------------------------------------
@@ -2776,7 +2778,7 @@ def q_mvt_layered_tiles(spark, sf_dir):
 def _ctx_way_node_edges(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     ref = ((F.col("l_partkey") * 16) + (F.col("l_orderkey") % 16)
-           + F.when(F.col("l_linenumber") % 7 == 0, F.lit(1000000))
+           + F.when(F.col("l_linenumber") % 7 == 0, F.lit(4000000000000))
            .otherwise(F.lit(0)))
     return li.select(
         F.lit("way").alias("parent_type"),
@@ -2789,7 +2791,7 @@ def _ctx_way_node_edges(spark, sf_dir):
 def _ctx_rel_way_edges(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     ref = (F.col("o_orderkey")
-           + F.when(F.col("o_orderkey") % 97 == 0, F.lit(5000000))
+           + F.when(F.col("o_orderkey") % 97 == 0, F.lit(5000000000000))
            .otherwise(F.lit(0)))
     return o.select(
         F.lit("relation").alias("parent_type"),
@@ -2804,16 +2806,16 @@ def _ctx_rel_rel_edges(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     e1 = c.select(
         F.lit("relation").alias("parent_type"),
-        (F.col("c_nationkey") + 10000).cast("long").alias("parent_id"),
+        (F.col("c_nationkey") + 1000000000000).cast("long").alias("parent_id"),
         F.lit(0).cast("long").alias("seq"),
         F.lit("relation").alias("ref_type"),
         F.col("c_custkey").cast("long").alias("ref_id"))
     e2 = n.select(
         F.lit("relation").alias("parent_type"),
-        (F.col("n_regionkey") + 20000).cast("long").alias("parent_id"),
+        (F.col("n_regionkey") + 2000000000000).cast("long").alias("parent_id"),
         F.lit(0).cast("long").alias("seq"),
         F.lit("relation").alias("ref_type"),
-        (F.col("n_nationkey") + 10000).cast("long").alias("ref_id"))
+        (F.col("n_nationkey") + 1000000000000).cast("long").alias("ref_id"))
     return e1.unionByName(e2)
 
 
@@ -2832,24 +2834,24 @@ wn AS (
   SELECT 'way' AS parent_type, CAST(l_orderkey AS BIGINT) AS parent_id,
          'node' AS ref_type,
          CAST(l_partkey * 16 + l_orderkey % 16
-              + CASE WHEN l_linenumber % 7 = 0 THEN 1000000 ELSE 0 END
+              + CASE WHEN l_linenumber % 7 = 0 THEN 4000000000000 ELSE 0 END
               AS BIGINT) AS ref_id
   FROM lineitem),
 rw AS (
   SELECT 'relation' AS parent_type, CAST(o_custkey AS BIGINT) AS parent_id,
          'way' AS ref_type,
          CAST(o_orderkey
-              + CASE WHEN o_orderkey % 97 = 0 THEN 5000000 ELSE 0 END
+              + CASE WHEN o_orderkey % 97 = 0 THEN 5000000000000 ELSE 0 END
               AS BIGINT) AS ref_id
   FROM orders),
 rr AS (
   SELECT 'relation' AS parent_type,
-         CAST(10000 + c_nationkey AS BIGINT) AS parent_id,
+         CAST(1000000000000 + c_nationkey AS BIGINT) AS parent_id,
          'relation' AS ref_type, CAST(c_custkey AS BIGINT) AS ref_id
   FROM customer
   UNION ALL
-  SELECT 'relation', CAST(20000 + n_regionkey AS BIGINT),
-         'relation', CAST(10000 + n_nationkey AS BIGINT)
+  SELECT 'relation', CAST(2000000000000 + n_regionkey AS BIGINT),
+         'relation', CAST(1000000000000 + n_nationkey AS BIGINT)
   FROM nation),
 ctx_edges AS (SELECT * FROM wn UNION ALL SELECT * FROM rw
               UNION ALL SELECT * FROM rr)
@@ -2893,7 +2895,7 @@ SQL_CTX_CASCADE = """
 WITH e AS (
   SELECT CAST(l_orderkey AS BIGINT) AS way_id,
          CAST(l_partkey * 16 + l_orderkey % 16
-              + CASE WHEN l_linenumber % 7 = 0 THEN 1000000 ELSE 0 END
+              + CASE WHEN l_linenumber % 7 = 0 THEN 4000000000000 ELSE 0 END
               AS BIGINT) AS node_id
   FROM lineitem),
 del AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS way_id
@@ -2929,10 +2931,10 @@ def q_ctx_dangling_refs(spark, sf_dir):
                 .distinct()),
         "relation": (c.select(F.col("c_custkey").cast("long").alias("id"))
                      .unionByName(n.select(
-                         (F.col("n_nationkey") + 10000).cast("long")
+                         (F.col("n_nationkey") + 1000000000000).cast("long")
                          .alias("id")))
                      .unionByName(r.select(
-                         (F.col("r_regionkey") + 20000).cast("long")
+                         (F.col("r_regionkey") + 2000000000000).cast("long")
                          .alias("id")))
                      .distinct()),
     }
@@ -2945,8 +2947,8 @@ nd AS (SELECT CAST(p_partkey * 16 + r AS BIGINT) AS id
        FROM part, (SELECT unnest(generate_series(0, 15)) AS r) rs),
 wy AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS id FROM lineitem),
 rl AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
-       UNION SELECT CAST(10000 + n_nationkey AS BIGINT) FROM nation
-       UNION SELECT CAST(20000 + r_regionkey AS BIGINT) FROM region),
+       UNION SELECT CAST(1000000000000 + n_nationkey AS BIGINT) FROM nation
+       UNION SELECT CAST(2000000000000 + r_regionkey AS BIGINT) FROM region),
 miss AS (
   SELECT e.parent_type, e.ref_type, e.ref_id
   FROM ctx_edges e LEFT JOIN nd ON e.ref_id = nd.id
@@ -2978,12 +2980,12 @@ def q_ctx_relation_closure(spark, sf_dir):
 
 SQL_CTX_CLOSURE = """
 WITH RECURSIVE e AS (
-  SELECT CAST(10000 + c_nationkey AS BIGINT) AS parent_id,
+  SELECT CAST(1000000000000 + c_nationkey AS BIGINT) AS parent_id,
          CAST(c_custkey AS BIGINT) AS child_id
   FROM customer
   UNION ALL
-  SELECT CAST(20000 + n_regionkey AS BIGINT),
-         CAST(10000 + n_nationkey AS BIGINT)
+  SELECT CAST(2000000000000 + n_regionkey AS BIGINT),
+         CAST(1000000000000 + n_nationkey AS BIGINT)
   FROM nation),
 tc AS (
   SELECT parent_id AS ancestor_id, child_id AS descendant_id, 1 AS depth

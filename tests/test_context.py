@@ -231,3 +231,25 @@ def test_plan_shapes(spark):
     plan = dang._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # the null-safe anti-join form
+
+
+def test_transitive_closure_deep_chain_plan_stays_linear(spark):
+    """Regression for the sf0.1 driver OOM: a self-referencing
+    accumulator (union + anti-join per level) doubled the logical plan
+    each iteration — persist() caches data, not lineage, and the SQL
+    listener's explainString of the ~2^depth tree exhausted the driver
+    heap one nesting level beyond what sf0.01 parity exercised. The
+    closure must complete a 13-deep chain AND return a frame whose
+    plan is a flat union of checkpointed levels (size linear in
+    depth)."""
+    n = 14
+    e = _closure_edges(spark, [(i, i + 1) for i in range(n - 1)])
+    out = CTX.transitive_closure(e, max_depth=16)
+    rows = out.collect()
+    assert len(rows) == n * (n - 1) // 2
+    got = {(r.ancestor_id, r.descendant_id): r.depth for r in rows}
+    assert got[(0, n - 1)] == n - 1 and got[(0, 1)] == 1
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 60_000, len(plan)
+    assert "LogicalRDD" in plan  # levels are checkpoint scans, not
+    # re-derived join trees
