@@ -23,6 +23,11 @@ rule: each shard's write would otherwise re-run the clip kernel).
 ``--materialize DIR`` additionally writes the final snapshot out as a
 z/x/y.mvt file tree (the delivery layout) — driver-side, guarded to
 driver-sized tile counts; the parquet snapshot is the scale path.
+
+``--layered`` exports the COMPLETE map-server tile instead of the
+polygon-only layer: areas + roads + pois in one multi-layer blob per
+tile (operators/tiles.encode_mvt_layers), with real OSM tags as
+feature attributes when the input is a .pbf.
 """
 
 from __future__ import annotations
@@ -57,6 +62,58 @@ def source_polygons(spark, sf_dir: str | None, pbf: str | None):
     return rr.unionByName(tr)
 
 
+def source_layers(spark, sf_dir: str | None, pbf: str | None, zoom: int):
+    """[(name, features, kind[, attrs])] for the --layered export: the
+    complete map-server tile (areas + roads + pois). PBF input carries
+    real OSM tags into every layer; the bench corpus ships polygons,
+    their rings read as open polylines, and the image probe as POIs."""
+    if pbf:
+        from ..operators import assemble as ASM
+        from ..operators.current import current_view
+        from ..sources.pbf import decode as PD
+
+        els = PD.read_pbf(spark, pbf).localCheckpoint(eager=False)
+        nodes = current_view(els.filter(F.col("etype") == "node"))
+        ways = current_view(els.filter(F.col("etype") == "way"))
+        polys = ASM.assemble_polygons(els)
+        lines = (ASM.way_lines(ways, nodes)
+                 .select(F.col("id").alias("way_id"),
+                         F.col("ring").alias("line"),
+                         "left", "bottom", "right", "top"))
+        pois = (nodes.filter(F.size("tags") > 0)
+                .select(F.col("id").alias("point_id"), "lon", "lat"))
+
+        def _kv(df, idcol):
+            d = df.select(
+                F.col(idcol).alias("fid"),
+                F.transform("tags", lambda t: t["k"]).alias("tag_ks"),
+                F.transform("tags", lambda t: t["v"]).alias("tag_vs"))
+            return (d.groupBy("fid")
+                    .agg(F.min(F.struct("tag_ks", "tag_vs")).alias("_s"))
+                    .select("fid", F.col("_s.tag_ks").alias("tag_ks"),
+                            F.col("_s.tag_vs").alias("tag_vs")))
+
+        return [
+            ("areas", TL.build_vector_tiles(polys, zoom), "polygon",
+             _kv(polys, "polygon_id")),
+            ("roads", TL.build_vector_tile_lines(lines, zoom), "line",
+             _kv(ways, "id")),
+            ("pois", TL.tile_points(pois, zoom), "point",
+             _kv(nodes, "id")),
+        ]
+    from ..queries import images_probe
+
+    polys = source_polygons(spark, sf_dir, None)
+    lines = polys.select(F.col("polygon_id").alias("way_id"),
+                         F.element_at("rings", 1).alias("line"),
+                         "left", "bottom", "right", "top")
+    pois = images_probe(spark, sf_dir).select(
+        F.col("img_id").alias("point_id"), "lon", "lat")
+    return [("areas", TL.build_vector_tiles(polys, zoom), "polygon"),
+            ("roads", TL.build_vector_tile_lines(lines, zoom), "line"),
+            ("pois", TL.tile_points(pois, zoom), "point")]
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -64,6 +121,10 @@ def main(argv: list[str] | None = None) -> dict:
                     help="OSM .pbf input (overrides --sf-dir corpus)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--zoom", type=int, default=12)
+    ap.add_argument("--layered", action="store_true",
+                    help="export the complete multi-layer tile "
+                         "(areas+roads+pois with attributes) instead "
+                         "of the polygon-only layer")
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--shard-by", default="morton",
                     choices=["morton", "hash"],
@@ -81,10 +142,16 @@ def main(argv: list[str] | None = None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
 
-    polys = source_polygons(spark, args.sf_dir, args.pbf)
-    feats = TL.build_vector_tiles(polys, args.zoom)
-    blobs = TL.encode_mvt_tiles(feats).withColumn(
-        "m", TL.tile_morton_col("x", "y"))
+    if args.layered:
+        layer_defs = source_layers(spark, args.sf_dir, args.pbf,
+                                   args.zoom)
+        blobs = TL.encode_mvt_layers(layer_defs).withColumn(
+            "m", TL.tile_morton_col("x", "y"))
+    else:
+        polys = source_polygons(spark, args.sf_dir, args.pbf)
+        feats = TL.build_vector_tiles(polys, args.zoom)
+        blobs = TL.encode_mvt_tiles(feats).withColumn(
+            "m", TL.tile_morton_col("x", "y"))
     if args.shard_by == "morton":
         # contiguous Morton ranges: shard k holds m ∈ [k, k+1)·4^z/N —
         # 2-D tile locality becomes per-shard m min/max manifest stats,
@@ -105,11 +172,13 @@ def main(argv: list[str] | None = None) -> dict:
     blobs = blobs.localCheckpoint(eager=False)
 
     catalog = SnapshotCatalog(args.out)
-    table = catalog.table(f"tiles_z{args.zoom}")
+    suffix = "_layered" if args.layered else ""
+    table = catalog.table(f"tiles_z{args.zoom}{suffix}")
     job = ResumableJob(table, "tile_export",
                        inputs={"sf_dir": args.sf_dir, "pbf": args.pbf,
                                "zoom": args.zoom, "shards": args.shards,
-                               "shard_by": args.shard_by},
+                               "shard_by": args.shard_by,
+                               "layered": args.layered},
                        commit_every=args.commit_every,
                        stats_columns=["m"])
     plan = [f"shard={s}" for s in range(args.shards)]

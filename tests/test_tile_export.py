@@ -88,3 +88,35 @@ def test_morton_sharded_region_read_prunes(spark, tmp_path):
     assert got_keys == want_keys and len(want_keys) > 0
     n_shards = len([e for e in snap.partitions.values()])
     assert len(kept) < n_shards, (len(kept), n_shards)
+
+
+def test_tile_export_layered(spark, tmp_path):
+    """--layered exports the complete multi-layer tile: blobs decode to
+    areas/roads/pois layers with correct geometry types, the snapshot
+    resumes by version, and the layered table is distinct from the
+    polygon-only one."""
+    out = str(tmp_path / "tiles_l")
+    summary = TE.main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--zoom", "8", "--shards", "4", "--layered"])
+    assert summary["rows"] > 0
+    table = SnapshotCatalog(out).table("tiles_z8_layered")
+    snap = table.snapshot()
+    assert snap.lineage["inputs"]["layered"] is True
+    rows = table.read(spark).collect()
+    assert len(rows) == summary["rows"]
+    names = set()
+    types = set()
+    for r in rows[:50]:
+        dec = MVT.decode_mvt(bytes(r.mvt))
+        assert r.n_layers == len(dec["layers"])
+        for L in dec["layers"]:
+            names.add(L["name"])
+            types.update(L["types"])
+    assert names <= {"areas", "roads", "pois"} and "pois" in names
+    assert MVT.POINT in types
+    # resume: second run reuses the snapshot
+    summary2 = TE.main([
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--zoom", "8", "--shards", "4", "--layered"])
+    assert summary2["version"] == summary["version"]
