@@ -1440,6 +1440,39 @@ def q_pbf_spatial_join(spark, sf_dir):
     return out.groupBy("polygon_id", "source").agg(F.count("*").alias("n_images"))
 
 
+def q_osm_geodesic_stats(spark, sf_dir):
+    """Geodesic measures over the assembled OSM fixture — the
+    ST_Length / ST_Area analytics of the reference's domain
+    (operators/measures.py): per-way great-circle length (haversine
+    over ordered node refs) and per-ring spherical excess area of the
+    assembled polygons (Van Oosterom & Strackee signed solid-angle
+    fan), reduced to per-kind stats. Engine-native rows-only (trig is
+    not cross-engine bit-exact); the kernels are verified against
+    analytic goldens (equator/meridian arcs, octant ring = πR²/2) and
+    an independent Girard angle-sum referee in tests/test_measures.py."""
+    from .operators import assemble as ASM
+    from .operators import measures as ME
+    from .operators.current import current_view
+    from .sources.pbf import decode as PD
+    path = _fixture_pbf_path(spark)
+    els = PD.read_pbf(spark, path)
+    nodes = current_view(els.filter(F.col("etype") == "node"))
+    ways = current_view(els.filter(F.col("etype") == "way"))
+    lens = ME.way_lengths(ways, nodes)
+    areas = ME.ring_areas(ASM.assemble_polygons(els))
+    out_len = lens.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("length_m").alias("sum_v"),
+        F.max("length_m").alias("max_v")).select(
+            F.lit("way_length_m").alias("kind"), "n", "sum_v", "max_v")
+    out_area = areas.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("area_m2").alias("sum_v"),
+        F.max("area_m2").alias("max_v")).select(
+            F.lit("ring_area_m2").alias("kind"), "n", "sum_v", "max_v")
+    return out_len.unionByName(out_area)
+
+
 def q_ref_fixture_parity(spark, sf_dir):
     """Decode the reference's own niue-230109.osm.pbf fixture (when
     present) and emit the golden-analysis facts its E2E tests assert:
@@ -3314,6 +3347,11 @@ QUERIES = {
     # path (PBF fixture; brute-force pandas parity in
     # tests/test_context.py)
     "ctx_pbf_discard": q_ctx_pbf_discard,
+    # round-5: geodesic measures (ST_Length/ST_Area analogues) over the
+    # assembled OSM fixture — rows-only (trig is not cross-engine
+    # bit-exact); analytic goldens + independent Girard referee in
+    # tests/test_measures.py
+    "osm_geodesic_stats": q_osm_geodesic_stats,
     # round-5d: the MVT geometry types the polygon path lacked — point
     # features (oracled: pure Column fan-out, DuckDB VALUES cross
     # join), line features (open-polyline clip kernel, dual-refereed in
