@@ -116,6 +116,10 @@ REPORT_QUERIES = [
      "+ in-partition sort + single encode pass; the per-layer "
      "attribute joins are key equi-joins planned by Catalyst "
      "(broadcast at fixture scale)"),
+    ("osm_geodesic_stats", "geodesic measures (r5 final): way length "
+     "+ ring area as codegen trig Columns over per-way/ring window "
+     "lags — no Python eval in the measure stages, never a global "
+     "window; the fixture assembly owns the joins in this plan"),
 ]
 
 
