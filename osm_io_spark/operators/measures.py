@@ -130,3 +130,52 @@ def ring_areas(polygons: DataFrame) -> DataFrame:
             .withColumn("area_m2",
                         F.abs(F.col("excess_sr"))
                         * F.lit(EARTH_RADIUS_M) * F.lit(EARTH_RADIUS_M)))
+
+
+def ring_planar_centroids(polygons: DataFrame) -> DataFrame:
+    """(polygon_id, source, ring_idx, n_vertices, area, cx, cy) per
+    ring: planar shoelace area (signed, lon/lat degrees², CCW positive)
+    and area-weighted centroid — the distributed Column twin of
+    functions/geometry.polygon_centroid (same formula, same degenerate
+    fallback to the vertex mean below |area| 1e-12). Pure arithmetic
+    (no trig), so it is CROSS-ENGINE BIT-EXACT and SQL-oracle-able:
+    the per-ring sums accumulate in vertex order (the window sort puts
+    each ring's rows on one partition in ``pos`` order, so the partial
+    aggregate adds terms pos-ascending — write the oracle's sums in
+    the same order). Closing edge: the first row's missing lag pairs
+    with the ring's LAST vertex, so every edge of the closed ring
+    contributes exactly once whether or not the ring repeats its first
+    vertex (a repeated endpoint adds one zero-cross edge; the
+    degenerate vertex-mean fallback then averages the stored vertices
+    verbatim, duplicate included — the numpy twin's convention)."""
+    v = (polygons
+         .select("polygon_id", "source",
+                 F.posexplode("rings").alias("ring_idx", "ring"))
+         .select("polygon_id", "source", "ring_idx",
+                 F.posexplode("ring").alias("pos", "pt"))
+         .select("polygon_id", "source", "ring_idx", "pos",
+                 F.col("pt.lon").alias("x"), F.col("pt.lat").alias("y")))
+    win = Window.partitionBy("polygon_id", "source", "ring_idx").orderBy("pos")
+    wfull = win.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    px = F.coalesce(F.lag("x").over(win), F.last("x").over(wfull))
+    py = F.coalesce(F.lag("y").over(win), F.last("y").over(wfull))
+    cross = px * F.col("y") - F.col("x") * py
+    g = (v.select("polygon_id", "source", "ring_idx", "x", "y",
+                  cross.alias("_c"),
+                  ((px + F.col("x")) * cross).alias("_cx"),
+                  ((py + F.col("y")) * cross).alias("_cy"))
+         .groupBy("polygon_id", "source", "ring_idx")
+         .agg(F.count(F.lit(1)).alias("n_vertices"),
+              F.sum("_c").alias("_s"),
+              F.sum("_cx").alias("_sx"), F.sum("_cy").alias("_sy"),
+              F.sum("x").alias("_mx"), F.sum("y").alias("_my")))
+    area = F.col("_s") / 2
+    degen = F.abs(area) < 1e-12
+    return g.select(
+        "polygon_id", "source", "ring_idx", "n_vertices",
+        area.alias("area"),
+        F.when(degen, F.col("_mx") / F.col("n_vertices"))
+         .otherwise(F.col("_sx") / (6 * area)).alias("cx"),
+        F.when(degen, F.col("_my") / F.col("n_vertices"))
+         .otherwise(F.col("_sy") / (6 * area)).alias("cy"))

@@ -1473,6 +1473,49 @@ def q_osm_geodesic_stats(spark, sf_dir):
     return out_len.unionByName(out_area)
 
 
+def q_ring_centroid(spark, sf_dir):
+    """Distributed per-ring planar shoelace area + area-weighted
+    centroid (operators/measures.ring_planar_centroids) over the
+    part-derived triangles — FULLY ORACLED: pure arithmetic (no trig),
+    per-ring sums accumulate in vertex order on both engines, and the
+    DuckDB oracle computes the CLOSED FORM for triangles while Spark
+    runs the general windowed-ring operator, so hash equality proves
+    the window/edge-wrap decomposition exact (the s2_containment_join
+    proof pattern: general plan vs independent closed form)."""
+    from .operators import measures as ME
+    polys = tri_polygons_ringed(spark, sf_dir).select(
+        "polygon_id", F.lit("tri").alias("source"), "rings")
+    return ME.ring_planar_centroids(polys).drop("source")
+
+
+# edge order on the Spark side: the pos-0 row's missing lag pairs with
+# the ring's LAST vertex, so the per-ring ordered sums are
+# c31, c12, c23 — the oracle sums in the same order for fp bit-parity
+SQL_RING_CENTROID = f"""
+WITH tris AS ({TRIS_SQL}),
+c AS (
+  SELECT polygon_id, x1, y1, x2, y2, x3, y3,
+         (x3 * y1 - x1 * y3) AS c31,
+         (x1 * y2 - x2 * y1) AS c12,
+         (x2 * y3 - x3 * y2) AS c23
+  FROM tris),
+s AS (
+  SELECT polygon_id,
+         CAST(3 AS BIGINT) AS n_vertices,
+         (c31 + c12 + c23) / 2 AS area,
+         ((x3 + x1) * c31 + (x1 + x2) * c12 + (x2 + x3) * c23) AS sx,
+         ((y3 + y1) * c31 + (y1 + y2) * c12 + (y2 + y3) * c23) AS sy,
+         (x1 + x2 + x3) AS mx, (y1 + y2 + y3) AS my
+  FROM c)
+SELECT polygon_id, CAST(0 AS INT) AS ring_idx, n_vertices, area,
+       CASE WHEN abs(area) < 1e-12 THEN mx / n_vertices
+            ELSE sx / (6 * area) END AS cx,
+       CASE WHEN abs(area) < 1e-12 THEN my / n_vertices
+            ELSE sy / (6 * area) END AS cy
+FROM s
+"""
+
+
 def q_ref_fixture_parity(spark, sf_dir):
     """Decode the reference's own niue-230109.osm.pbf fixture (when
     present) and emit the golden-analysis facts its E2E tests assert:
@@ -3286,6 +3329,10 @@ QUERIES = {
     # round-5: cascaded S2 multires rollup — oracled (cascade proven ==
     # direct-from-leaves), parity-gated in pytest past the window
     "s2_multires_rollup": q_s2_multires_rollup,
+    # round-5: distributed planar ring centroid — oracled (general
+    # windowed-ring operator vs the DuckDB triangle closed form),
+    # pytest parity past the window
+    "ring_centroid": q_ring_centroid,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3396,6 +3443,7 @@ ORACLES = {
     "text_quality": SQL_QUALITY,
     "text_fingerprint": SQL_FINGERPRINT,
     "s2_multires_rollup": SQL_S2_MRR,
+    "ring_centroid": SQL_RING_CENTROID,
     "tile_point_assign": SQL_TILE_PT,
     "tile_cover_assign": SQL_TILE_COVER,
     "tile_pyramid": SQL_TILE_PYR,

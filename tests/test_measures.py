@@ -220,6 +220,66 @@ def test_ring_area_degenerate_rings_zero(spark):
 
 
 # --------------------------------------------------------------------
+# planar centroid
+# --------------------------------------------------------------------
+
+def _centroids(spark, rings, **kw):
+    return {r["ring_idx"]: r for r in
+            ME.ring_planar_centroids(_rings_df(spark, rings, **kw))
+            .collect()}
+
+
+def test_ring_centroid_matches_numpy_twin(spark):
+    from osm_io_spark.functions.geometry import polygon_centroid
+    rng = np.random.default_rng(31)
+    for _ in range(5):
+        n = int(rng.integers(3, 9))
+        ring = [(float(lo), float(la))
+                for lo, la in zip(rng.uniform(-10, 10, n),
+                                  rng.uniform(-10, 10, n))]
+        got = _centroids(spark, [ring])[0]
+        want = polygon_centroid([ring])
+        assert (got["cx"], got["cy"]) == pytest.approx(want, rel=1e-12)
+
+
+def test_ring_centroid_square_and_orientation(spark):
+    sq = [(2.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0)]
+    a = _centroids(spark, [sq, sq[::-1]])
+    assert a[0]["area"] == pytest.approx(4.0)
+    assert a[1]["area"] == pytest.approx(-4.0)  # CW ⇒ negative
+    for r in a.values():  # centroid invariant under orientation
+        assert (r["cx"], r["cy"]) == pytest.approx((3.0, 1.0))
+
+
+def test_ring_centroid_closed_dup_and_degenerate(spark):
+    sq = [(2.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0)]
+    a = _centroids(spark, [sq + [sq[0]]])[0]  # dup endpoint: same result
+    assert a["area"] == pytest.approx(4.0)
+    assert (a["cx"], a["cy"]) == pytest.approx((3.0, 1.0))
+    # collinear ring ⇒ vertex-mean fallback (the numpy twin's contract)
+    d = _centroids(spark, [[(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]])[0]
+    assert d["area"] == 0.0
+    assert (d["cx"], d["cy"]) == pytest.approx((1.0, 1.0))
+
+
+def test_ring_centroid_oracle_parity_closed_form(spark, duck):
+    """The registry entry's own check, run tight: general windowed
+    operator vs the DuckDB triangle closed form, bit-exact."""
+    import pandas as pd
+    for t in ("part",):
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    got = (Q.q_ring_centroid(spark, "/root/testdata/sf0.001")
+           .toPandas().sort_values("polygon_id").reset_index(drop=True))
+    want = (duck.execute(Q.SQL_RING_CENTROID).df()
+            .sort_values("polygon_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, rtol=0, atol=0)
+
+
+# --------------------------------------------------------------------
 # plan + registry
 # --------------------------------------------------------------------
 
