@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "text_pii_scrub",
     "s2_cellid",
     "s2_containment_join",
+    "s2_distance_join",
     "s2_cap_cover_join",
     "s2_polygon_cover_join",
     "s2_knn_join",

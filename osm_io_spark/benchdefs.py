@@ -37,6 +37,10 @@ CONSTRUCT_IN_TIMER = {
     # expansion loop eagerly
     "s2_containment_join", "s2_cap_cover_join",
     "s2_polygon_cover_join", "s2_knn_join",
+    # s2_distance_join collects its site list and plans the cap covers
+    # driver-side at construction, then collects the distinct cover
+    # levels (materializing the pinned encode) — same rule
+    "s2_distance_join",
     # the rollup cascades pin each level's partial with a lazy
     # localCheckpoint — a reused object would count from the
     # checkpointed RDDs and time only the final union

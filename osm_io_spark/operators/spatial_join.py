@@ -372,6 +372,87 @@ def s2_containment_join(points: DataFrame, covers: DataFrame,
     return out
 
 
+def s2_distance_join(probe: DataFrame, sites: DataFrame, radius_m: float,
+                     max_level: int = 10, max_cells: int = 64,
+                     probe_id: str = "img_id", site_id: str = "site_id",
+                     probe_lat: str = "lat", probe_lon: str = "lon",
+                     site_lat: str = "slat", site_lon: str = "slon",
+                     max_sites: int = 65536) -> DataFrame:
+    """Spherical distance join (the ST_DWithin analogue) on the true S2
+    index: every (site, probe) pair within ``radius_m`` great-circle
+    meters. Completes the spatial-predicate family of the reference's
+    spatial-index roadmap item (/root/reference/README.md:44-45)
+    alongside containment (J7/J8, s2_containment_join), kNN (J9,
+    knn.s2_knn_join) and tile assignment (J10).
+
+    Plan (the cover+refine shape of J7/J8, on the sphere):
+
+    * sites → driver-side spherical-cap covers
+      (functions/s2.s2_cover_cap_np — COMPLETE: it never prunes an
+      intersecting leaf, so no true match can be lost), one disjoint
+      mixed-level cell set per site, unioned into a
+      ``(site_id, cover_id)`` table of ≤ n_sites·max_cells rows;
+    * probe → leaf S2 cell per row (with_s2_cell, pure codegen'd
+      Columns), pinned ONCE with a lazy localCheckpoint — the
+      containment join fans the encode out per distinct cover level
+      (CLAUDE.md fan-out rule);
+    * candidates → hierarchical containment join (one broadcast
+      equi-join per distinct cover level; the probe side never
+      shuffles on the broadcast path);
+    * refine → exact ``haversine_m <= radius_m`` (codegen trig
+      Columns, JVM-side).
+
+    Each site's cap cover is a DISJOINT cell union and each probe row
+    carries exactly one leaf cell, so a (site, probe) pair can match at
+    most one cover cell — no post-join dedup shuffle.
+
+    The site list is a driver-bounded QUERY PARAMETER (like the
+    polygon covers of the other geo-joins): cover planning is
+    driver-side numpy, so ``max_sites`` guards the driver memory and
+    the broadcast. Past the budget this raises toward the symmetric
+    alternatives (knn.s2_knn_join for nearest-site semantics, or a
+    two-sided fixed-level cell-grid join) instead of silently building
+    an oversized driver-side cover — the ngram ``method='auto'``
+    router precedent.
+
+    Returns the probe columns + ``site_id`` + ``dist_m``.
+    """
+    from ..functions import s2 as S2
+    from .measures import haversine_m
+
+    head = (sites.select(site_id, site_lat, site_lon)
+            .dropDuplicates([site_id]))
+    rows = head.take(max_sites + 1)
+    if len(rows) > max_sites:
+        raise ValueError(
+            f"s2_distance_join: site table exceeds max_sites="
+            f"{max_sites} — cover planning is driver-side; for "
+            f"site tables past the budget use knn.s2_knn_join "
+            f"(nearest-site) or a fixed-level two-sided cell join")
+    radius_rad = float(radius_m) / G.EARTH_RADIUS_M
+    cover_rows = [
+        (r[site_id], int(c)) for r in rows
+        for c in S2.s2_cover_cap_np(float(r[site_lat]), float(r[site_lon]),
+                                    radius_rad, max_level=max_level,
+                                    max_cells=max_cells)]
+    spark = probe.sparkSession
+    sid_dt = sites.schema[site_id].dataType.simpleString()
+    covers = spark.createDataFrame(
+        cover_rows, f"{site_id} {sid_dt}, cover_id long")
+    x, y, z = S2.latlon_xyz_cols(F.col(probe_lat), F.col(probe_lon))
+    pts = S2.with_s2_cell(
+        probe, x, y, z).localCheckpoint(eager=False)
+    cand = s2_containment_join(pts, covers, cell="s2_cell",
+                               cover="cover_id")
+    site_pos = F.broadcast(head)
+    dist = haversine_m(F.col(probe_lat), F.col(probe_lon),
+                       F.col(site_lat), F.col(site_lon))
+    return (cand.join(site_pos, site_id)
+            .withColumn("dist_m", dist)
+            .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+            .drop("cover_id", "s2_cell", site_lat, site_lon))
+
+
 def _poly_key_cols(polygons: DataFrame,
                    poly_cols: tuple[str, ...]) -> list[str]:
     """Identity columns actually present on the polygon frame —

@@ -2264,6 +2264,64 @@ SQL_S2_MRR = ("WITH pts AS (\n  SELECT l_quantity, s2_cell\n  FROM "
                   for lv in (10, 6, 4)))
 
 
+# deterministic query sites for the distance join — derived from
+# nation keys; site 0 lands at (-70, -180): high latitude AND the
+# antimeridian, so its cap cover crosses cube faces
+_SLAT = "(CAST((site_id * 40094543) % 140000000 AS DOUBLE) / 1e6 - 70.0)"
+_SLON = "(CAST((site_id * 97020271) % 360000000 AS DOUBLE) / 1e6 - 180.0)"
+
+SITES_SQL = f"""
+  SELECT site_id, {_SLAT} AS slat, {_SLON} AS slon
+  FROM (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS site_id FROM nation)
+"""
+
+_DIST_RADIUS_M = 3e5  # min |dist-R| is 187.9 m at sf0.01 (fp-tie-free)
+
+
+def q_s2_distance_join(spark, sf_dir):
+    """Spherical distance join (ST_DWithin) on the S2 index — every
+    (site, image) pair within 300 km great-circle
+    (operators/spatial_join.s2_distance_join): driver-side cap covers,
+    hierarchical containment join for candidates, exact haversine
+    refine. FULLY ORACLED, unlike the rows-only cap/polygon cover
+    joins: the S2 index is purely a Spark-side PRUNING layer here —
+    the DuckDB oracle runs an index-free cross join with the identical
+    haversine refine, so hash equality proves the cover+containment
+    candidate set loses no true match. Trig enters only through the
+    refine BOOLEAN, and the synthetic lattice keeps every pair ≥187 m
+    from the threshold (asserted in tests/test_distance_join.py) —
+    ~12 orders of magnitude above cross-engine libm noise — so the
+    boolean is stable where raw distances would not hash-match."""
+    from .operators import spatial_join as SJ
+    sites = (_t(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey").cast("long").alias("site_id"))
+             .distinct()
+             .withColumn("slat", F.expr(_SLAT))
+             .withColumn("slon", F.expr(_SLON)))
+    out = SJ.s2_distance_join(images_probe(spark, sf_dir), sites,
+                              radius_m=_DIST_RADIUS_M,
+                              max_level=10, max_cells=64)
+    return out.select("site_id", "img_id")
+
+
+SQL_S2_DIST = f"""
+WITH images AS ({IMAGES_SQL}),
+sites AS ({SITES_SQL}),
+d AS (
+  SELECT s.site_id, i.img_id,
+         sin(radians(i.lat - s.slat) / 2) AS sa,
+         cos(radians(s.slat)) * cos(radians(i.lat)) AS cc,
+         sin(radians(i.lon - s.slon) / 2) AS sb
+  FROM sites s CROSS JOIN images i)
+SELECT site_id, img_id
+FROM (SELECT site_id, img_id,
+             2 * 6.3710088e6 * asin(sqrt(least(sa * sa + cc * sb * sb, 1e0)))
+               AS dist_m
+      FROM d)
+WHERE dist_m <= 3e5
+"""
+
+
 # deterministic query caps for the cover join: spread across faces,
 # one straddling a cube-face corner (41N 45E) and one the antimeridian
 _S2_CAPS = ((0, 43.1, -79.2, 0.05), (1, 41.0, 45.0, 0.12),
@@ -3250,8 +3308,16 @@ QUERIES = {
     "a7_stats": q_a7_stats,
     "o2_global_order": q_o2_global_order,
     "o5_topk_per_group": q_o5_topk_per_group,
-    "c2_fixed_point": q_c2_fixed_point,
-    "c5_timestamp_convert": q_c5_timestamp_convert,
+    # round-5e rotation (swap policy below): the S2 distance join — the
+    # first ORACLED spherical geo-join (cap covers + containment +
+    # haversine refine vs an index-free DuckDB cross join, so the hard
+    # gate checks cover COMPLETENESS end-to-end) — and the distributed
+    # ring centroid (windowed edge-wrap decomposition vs a closed-form
+    # oracle). Rotated out: c2_fixed_point / c5_timestamp_convert
+    # (single-projection Column casts, zero join/partition risk,
+    # oracles kept for pytest parity).
+    "s2_distance_join": q_s2_distance_join,
+    "ring_centroid": q_ring_centroid,
     "f4_current_visible": q_f4_current_visible,
     "rollup_multires": q_rollup_multires,
     "j1_sortmerge_group_join": q_j1_sortmerge_group_join,
@@ -3317,6 +3383,10 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_token_count_bpe": q_text_token_count_bpe,
     "text_language_id": q_text_language_id,
+    # rotated out in round 5e for the S2 distance join + ring centroid
+    # (same policy: single-projection Column casts, oracles kept)
+    "c2_fixed_point": q_c2_fixed_point,
+    "c5_timestamp_convert": q_c5_timestamp_convert,
     # round-5c: the context-index reverse lookup itself — oracled,
     # pytest-parity past the window (its three consumers above hold the
     # window slots; this is the same one-agg plan shape)
@@ -3329,10 +3399,6 @@ QUERIES = {
     # round-5: cascaded S2 multires rollup — oracled (cascade proven ==
     # direct-from-leaves), parity-gated in pytest past the window
     "s2_multires_rollup": q_s2_multires_rollup,
-    # round-5: distributed planar ring centroid — oracled (general
-    # windowed-ring operator vs the DuckDB triangle closed form),
-    # pytest parity past the window
-    "ring_centroid": q_ring_centroid,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3469,6 +3535,7 @@ ORACLES = {
     "mm_decode_stats": SQL_MM_STATS,
     "s2_cellid": SQL_S2CELL,
     "s2_containment_join": SQL_S2CONTAIN,
+    "s2_distance_join": SQL_S2_DIST,
     # context index (round 5c)
     "ctx_reverse_index": SQL_CTX_RIDX,
     "ctx_cascade_discard": SQL_CTX_CASCADE,

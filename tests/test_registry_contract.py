@@ -74,6 +74,19 @@ def test_round5c_window_rotation():
         assert rotated in Q.ORACLES and rotated not in window, rotated
 
 
+def test_round5e_window_rotation():
+    """Round-5e swap: the S2 distance join (the first fully-ORACLED
+    spherical geo-join — cover completeness is what the hard gate can
+    catch) and the distributed ring centroid (windowed edge-wrap
+    decomposition vs a closed-form oracle) sit inside the window; the
+    two rotated-out single-projection casts keep their oracles."""
+    names = list(Q.QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    assert {"s2_distance_join", "ring_centroid"} <= window
+    for rotated in ("c2_fixed_point", "c5_timestamp_convert"):
+        assert rotated in Q.ORACLES and rotated not in window, rotated
+
+
 def test_every_oracle_key_is_a_registry_key():
     missing = set(Q.ORACLES) - set(Q.QUERIES)
     assert not missing, f"ORACLES keys without a queries() entry: {missing}"
