@@ -53,6 +53,12 @@ REPORT_QUERIES = [
     ("s2_containment_join", "mixed-level S2 containment: one broadcast "
      "hash equi-join per distinct cover level — never a nested-loop "
      "range join"),
+    ("s2_distance_join", "spherical distance join / ST_DWithin (r5e): "
+     "per-site cap covers broadcast, per-level containment equi-join "
+     "candidates (probe side never shuffles), haversine refine as "
+     "codegen trig Columns in the same stage — never a cross join; "
+     "the DuckDB oracle runs the index-free cross join and hash "
+     "equality proves the cover pruning lossless"),
     ("s2_cap_cover_join", "spherical cap cover+refine: driver-side "
      "mixed-level covers broadcast, per-level equi-join candidates, "
      "dot-product refine inside the same stage"),
