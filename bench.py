@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "s2_multires_rollup",
     "tile_point_assign",
     "tile_cover_assign",
+    "tile_quadkey",
     "vector_tiles",
     "tile_pyramid",
     "mvt_tiles",

@@ -134,3 +134,58 @@ def tile_yc_sql(lat: str, zoom: int) -> str:
     r = f"radians(least(greatest({lat}, {-MAX_LAT}), {MAX_LAT}))"
     merc = f"ln(tan({r}) + 1.0 / cos({r}))"
     return (f"least(greatest((1.0 - {merc} / pi()) / 2.0 * {n}, 0.0), {hi})")
+
+
+# ---------------------------------------------------------------------------
+# Bing quadkey addressing (published Bing Maps Tile System)
+# ---------------------------------------------------------------------------
+# The quadkey of tile (x, y, zoom) is the zoom-digit base-4 string whose
+# i-th digit (MSB first) is 2*y_bit + x_bit at bit (zoom-1-i) — i.e. the
+# base-4 representation of the y-major Morton interleave, zero-padded to
+# ``zoom`` digits.  Quadkeys have the PREFIX property (a parent tile's
+# key is its children's common prefix), which makes them the standard
+# string key for tile stores: a region read is a key-prefix range scan,
+# the string sibling of the S2 descendant-id range used by
+# s2_read_region_pruned.  All three implementations are bit-identical;
+# published golden vectors (tile (3,5)@3 = "213" etc.) are pinned in
+# tests/test_tiles.py.
+
+
+def quadkey_np(x, y, zoom: int) -> list[str]:
+    """Quadkeys for tile-index arrays (driver/test-side helper)."""
+    from .cells import morton_np
+    m = morton_np(np.asarray(y, np.uint64), np.asarray(x, np.uint64))
+    out = []
+    for v in m:
+        v = int(v)
+        out.append("".join(str((v >> (2 * (zoom - 1 - i))) & 3)
+                           for i in range(zoom)))
+    return out
+
+
+def quadkey_to_xyz_np(quadkeys) -> tuple[np.ndarray, np.ndarray, int]:
+    """Inverse (test referee): (x, y, zoom) from same-length quadkeys."""
+    zoom = len(quadkeys[0])
+    x = np.zeros(len(quadkeys), np.int64)
+    y = np.zeros(len(quadkeys), np.int64)
+    for n, qk in enumerate(quadkeys):
+        assert len(qk) == zoom
+        for c in qk:
+            d = ord(c) - 48
+            x[n] = (x[n] << 1) | (d & 1)
+            y[n] = (y[n] << 1) | (d >> 1)
+    return x, y, zoom
+
+
+def quadkey_col(x: Column, y: Column, zoom: int) -> Column:
+    """Pure-Column quadkey: y-major Morton interleave (codegen bit
+    math) rendered base-4 by ``conv`` and zero-padded — no UDF."""
+    from .cells import morton_col
+    m = morton_col(y, x)
+    return F.lpad(F.conv(m.cast("string"), 10, 4), zoom, "0")
+
+
+def quadkey_sql(x: str, y: str, zoom: int) -> str:
+    """SQL twin — DuckDB spells base conversion ``to_base``."""
+    from .cells import morton_sql
+    return f"lpad(to_base({morton_sql(y, x)}, 4), {zoom}, '0')"

@@ -2518,6 +2518,43 @@ FROM t GROUP BY tx, ty
 """
 
 
+def q_tile_quadkey(spark, sf_dir):
+    """Bing quadkey addressing (published Bing Maps Tile System) for
+    the tile-store path: per-image base-4 string key at z=7 plus the
+    z=4 ancestor key. Spark derives the ancestor by SUBSTRING (the
+    prefix property: a parent tile's key is its children's common
+    prefix — region reads become string-range scans, the string
+    sibling of s2_read_region_pruned's descendant-id ranges); the
+    DuckDB oracle derives it ARITHMETICALLY from the z-4 tile indices
+    (x>>3, y>>3), so hash equality PROVES the prefix property, not
+    just reimplements it (the ring_centroid independent-closed-form
+    pattern). Pure Column math: Morton bit-interleave + conv/lpad,
+    zero shuffle, no UDF."""
+    from .functions import webmercator as WM
+
+    img = images_probe(spark, sf_dir)
+    qk = WM.quadkey_col(WM.tile_x_col(F.col("lon"), TILE_Z_PT),
+                        WM.tile_y_col(F.col("lat"), TILE_Z_PT),
+                        TILE_Z_PT)
+    return img.select(
+        "img_id", qk.alias("qk"),
+        F.substring(qk, 1, TILE_Z_PT - 3).alias("qk_parent"))
+
+
+SQL_TILE_QK = f"""
+WITH images AS ({IMAGES_SQL}),
+t AS (
+  SELECT img_id,
+         {_WM.tile_x_sql('lon', TILE_Z_PT)} AS tx,
+         {_WM.tile_y_sql('lat', TILE_Z_PT)} AS ty
+  FROM images)
+SELECT img_id,
+       {_WM.quadkey_sql('tx', 'ty', TILE_Z_PT)} AS qk,
+       {_WM.quadkey_sql('tx // 8', 'ty // 8', TILE_Z_PT - 3)} AS qk_parent
+FROM t
+"""
+
+
 def q_tile_cover_assign(spark, sf_dir):
     """Polygon bbox → every overlapped slippy tile at z=9 via the
     zero-shuffle Column fan-out (operators/tiles.tile_cover: tile-range
@@ -3399,6 +3436,10 @@ QUERIES = {
     # round-5: cascaded S2 multires rollup — oracled (cascade proven ==
     # direct-from-leaves), parity-gated in pytest past the window
     "s2_multires_rollup": q_s2_multires_rollup,
+    # round-5e: Bing quadkey addressing — oracled (substring ancestor
+    # vs the oracle's arithmetic ancestor proves the prefix property),
+    # pytest parity past the window
+    "tile_quadkey": q_tile_quadkey,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3512,6 +3553,7 @@ ORACLES = {
     "ring_centroid": SQL_RING_CENTROID,
     "tile_point_assign": SQL_TILE_PT,
     "tile_cover_assign": SQL_TILE_COVER,
+    "tile_quadkey": SQL_TILE_QK,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,

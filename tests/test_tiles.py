@@ -75,6 +75,42 @@ def test_three_way_encode_parity(spark, duck):
         assert (d["y"].to_numpy() == ny).all(), z
 
 
+def test_quadkey_published_golden_vectors():
+    """Literal examples from the published Bing Maps Tile System doc:
+    tile (3,5) at level 3 is quadkey "213"; the level-1/2 quadrant
+    figures give (0,0)@1="0", (1,0)@1="1", (1,2)@2="21"."""
+    assert WM.quadkey_np([3], [5], 3) == ["213"]
+    assert WM.quadkey_np([0], [0], 1) == ["0"]
+    assert WM.quadkey_np([1], [0], 1) == ["1"]
+    assert WM.quadkey_np([1], [2], 2) == ["21"]
+
+
+def test_quadkey_three_way_parity_roundtrip_and_prefix(spark, duck):
+    """numpy / Column / DuckDB SQL quadkeys are string-identical on a
+    dense grid; the decoder inverts them; every child key starts with
+    its arithmetic parent's key (the prefix property)."""
+    rng = np.random.Generator(np.random.Philox(11))
+    import pandas as pd
+    for z in (1, 7, 14):
+        n = 1 << z
+        x = rng.integers(0, n, 3000)
+        y = rng.integers(0, n, 3000)
+        want = WM.quadkey_np(x, y, z)
+        pdf = pd.DataFrame({"x": x, "y": y})
+        got = (spark.createDataFrame(pdf)
+               .select(WM.quadkey_col(F.col("x"), F.col("y"), z)
+                       .alias("qk")).toPandas()["qk"])
+        assert list(got) == want, z
+        d = duck.sql(f"SELECT {WM.quadkey_sql('x', 'y', z)} AS qk "
+                     f"FROM pdf").df()["qk"]
+        assert list(d) == want, z
+        rx, ry, rz = WM.quadkey_to_xyz_np(want)
+        assert rz == z and (rx == x).all() and (ry == y).all()
+        if z > 2:
+            parents = WM.quadkey_np(x >> 2, y >> 2, z - 2)
+            assert all(qk.startswith(p) for qk, p in zip(want, parents))
+
+
 def test_tile_bounds_roundtrip():
     z = 9
     rng = np.random.Generator(np.random.Philox(11))
