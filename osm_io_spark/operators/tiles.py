@@ -1101,6 +1101,38 @@ def read_tile_region(table, spark, zoom: int, left: float, bottom: float,
             kept)
 
 
+def quadkey_prefix_ranges(prefixes) -> list[tuple[str, str]]:
+    """[lo, hi] STRING ranges covering every descendant key of each
+    quadkey prefix: base-4 keys use digits '0'-'3' only, so all keys
+    with prefix ``p`` sort lexicographically in [p, p + '4'] and no
+    real key ever equals the upper bound — the string sibling of the
+    S2 descendant-id range (s2_range_np) and the Morton rect ranges
+    above. This is how real tile stores (quadkey-keyed, per the
+    published Bing scheme) serve a region as a handful of key-prefix
+    scans."""
+    return [(p, p + "4") for p in prefixes]
+
+
+def read_tile_region_quadkey(table, spark, prefixes, qk: str = "qk"):
+    """Region read over a QUADKEY-sorted tile snapshot: ancestor-tile
+    prefixes → string ranges → manifest min/max skipping
+    (SnapshotTable.read_pruned_multi works unchanged on string stats —
+    parquet row-group min/max are order-typed, not numeric) → exact
+    ``startswith`` filter. Returns (DataFrame, kept partition names).
+    Same no-listing/no-full-scan contract as read_tile_region; the key
+    is a string so the store interops with external quadkey-keyed
+    systems."""
+    prefixes = list(prefixes)
+    if not prefixes:
+        return table.read(spark).limit(0), []
+    df, kept = table.read_pruned_multi(
+        spark, qk, quadkey_prefix_ranges(prefixes))
+    cond = F.col(qk).startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | F.col(qk).startswith(p)
+    return df.filter(cond), kept
+
+
 def dirty_tiles(changed_polys: DataFrame, zoom: int,
                 max_tiles_per_polygon: int | None = None) -> DataFrame:
     """Distinct (z, x, y) tiles touched by a set of changed polygons

@@ -344,6 +344,58 @@ def test_s2_region_read_prunes_manifest(spark, tmp_path):
     assert df_empty.count() == 0
 
 
+def test_quadkey_region_read_prunes_manifest(spark, tmp_path):
+    """The quadkey read-path payoff (r5e): a table range-sorted by its
+    STRING quadkey serves an ancestor-prefix region query from a
+    handful of partitions — string min/max manifest stats, the string
+    sibling of test_s2_region_read_prunes_manifest — and the pruned +
+    exact-filtered result equals the full-scan brute force."""
+    from osm_io_spark.functions import webmercator as WM
+    from osm_io_spark.operators.tiles import read_tile_region_quadkey
+
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    t = cat.table("tiles_by_quadkey")
+    zoom = 9
+
+    pts = (spark.range(30_000)
+           .select(F.col("id").alias("img_id"),
+                   (F.pmod(F.col("id") * 2654435761, 1_000_000)
+                    / 1e6 * 140 - 70).alias("lat"),
+                   (F.pmod(F.col("id") * 2971215073, 1_000_000)
+                    / 1e6 * 360 - 180).alias("lon")))
+    keyed = pts.withColumn(
+        "qk", WM.quadkey_col(WM.tile_x_col(F.col("lon"), zoom),
+                             WM.tile_y_col(F.col("lat"), zoom), zoom))
+    n_parts = 16
+    ranged = keyed.repartitionByRange(n_parts, "qk")
+
+    def task(pk: str):
+        b = int(pk.split("=")[1])
+        return ranged.withColumn("_sp", F.spark_partition_id()) \
+            .filter(F.col("_sp") == b).drop("_sp")
+
+    job = ResumableJob(t, "qk_layout", stats_columns=["qk"])
+    job.run([f"p={i:02d}" for i in range(n_parts)], task)
+
+    # two ancestor tiles (a level-3 and a level-4 prefix)
+    prefixes = ["102", "0313"]
+    df, kept = read_tile_region_quadkey(t, spark, prefixes)
+    assert 0 < len(kept) <= n_parts // 2, kept  # real skipping
+
+    got = {r["img_id"] for r in df.collect()}
+    full = t.read(spark).toPandas()
+    qks = full["qk"].astype(str)
+    inside = qks.str.startswith(prefixes[0])
+    for p in prefixes[1:]:
+        inside |= qks.str.startswith(p)
+    want = set(full["img_id"][inside].tolist())
+    assert got == want and len(want) > 0
+
+    # empty prefix list → empty frame, no TypeError
+    df_empty, _ = read_tile_region_quadkey(t, spark, [])
+    assert df_empty.count() == 0
+
+
 def test_curate_job_runs_and_resumes(spark, tmp_path):
     """The curation pipeline commits per-bucket partitions with metrics
     and a re-run is a no-op resume (same snapshot version, no rework)."""
