@@ -193,10 +193,45 @@ def polygon_stages():
     t["join+refine+agg"] = time.time() - t0
     return t
 
+def distance_stages():
+    # mirrors queries.q_s2_distance_join / SJ.s2_distance_join line by
+    # line with explicit stage boundaries (r5e)
+    t = {}
+    t0 = time.time()
+    sites = (Q._t(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey").cast("long").alias("site_id"))
+             .distinct()
+             .withColumn("slat", F.expr(Q._SLAT))
+             .withColumn("slon", F.expr(Q._SLON)))
+    rows = sites.take(65537)
+    rad = Q._DIST_RADIUS_M / 6371008.8
+    cover_rows = [(r["site_id"], int(c)) for r in rows
+                  for c in S2.s2_cover_cap_np(r["slat"], r["slon"], rad,
+                                              max_level=10, max_cells=64)]
+    t["cover planning (driver)"] = time.time() - t0
+    covers = spark.createDataFrame(cover_rows, "site_id long, cover_id long")
+    t0 = time.time()
+    img = Q.images_probe(spark, sf_dir)
+    x, y, z = S2.latlon_xyz_cols(F.col("lat"), F.col("lon"))
+    pts = S2.with_s2_cell(img, x, y, z).localCheckpoint(eager=False)
+    pts.count()
+    t["encode+checkpoint"] = time.time() - t0
+    t0 = time.time()
+    from osm_io_spark.operators.measures import haversine_m
+    cand = SJ.s2_containment_join(pts, covers)
+    head = spark.createDataFrame(rows)
+    dist = haversine_m(F.col("lat"), F.col("lon"),
+                       F.col("slat"), F.col("slon"))
+    (cand.join(F.broadcast(head), "site_id")
+     .filter(dist <= F.lit(Q._DIST_RADIUS_M)).count())
+    t["join+refine+agg"] = time.time() - t0
+    return t
+
 out = {}
 for name, fn in (("s2_containment_join", containment_stages),
                  ("s2_cap_cover_join", cap_stages),
-                 ("s2_polygon_cover_join", polygon_stages)):
+                 ("s2_polygon_cover_join", polygon_stages),
+                 ("s2_distance_join", distance_stages)):
     best = None
     for _ in range(repeats):
         t = fn()

@@ -2264,6 +2264,56 @@ SQL_S2_MRR = ("WITH pts AS (\n  SELECT l_quantity, s2_cell\n  FROM "
                   for lv in (10, 6, 4)))
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics — the classic GIS reduction over the flagship
+    spatial join (J7): per-polygon image count, id extrema, a
+    deterministic integer weight sum, and AREA-NORMALIZED density
+    (images per square degree). The analytic layer a 10^12-image store
+    serves from the cell join: one broadcast cover join (probe side
+    never shuffles) + one partial-aggregated groupBy on polygon_id —
+    map-side combine bounds the shuffle by the polygon count, not the
+    image count. Fully oracled: counts/extrema/integer sums are exact,
+    and the density divide is a single double op on identically-derived
+    operands, so even the float column hash-matches."""
+    from .operators import spatial_join as SJ
+    img = images_probe(spark, sf_dir)
+    rects = rect_polygons(spark, sf_dir)
+    j = SJ.spatial_join_rect(img, rects, res=RES_JOIN)
+    g = (j.groupBy("polygon_id")
+         .agg(F.count(F.lit(1)).alias("n_images"),
+              F.min("img_id").alias("min_img"),
+              F.max("img_id").alias("max_img"),
+              F.sum(F.expr("img_id % 97")).alias("w_sum"),
+              F.min("left").alias("l"), F.min("bottom").alias("b"),
+              F.min("right").alias("rr"), F.min("top").alias("t")))
+    area = (F.col("rr") - F.col("l")) * (F.col("t") - F.col("b"))
+    return g.select(
+        "polygon_id", "n_images", "min_img", "max_img", "w_sum",
+        area.alias("area_deg2"),
+        (F.col("n_images") / area).alias("density"))
+
+
+SQL_ZONAL = f"""
+WITH images AS ({IMAGES_SQL}), rects AS ({RECTS_SQL}),
+j AS (
+  SELECT i.img_id, r.polygon_id, r."left" AS l, r."bottom" AS b,
+         r."right" AS rr, r."top" AS t
+  FROM images i JOIN rects r
+    ON i.lon > r."left" AND i.lon < r."right"
+   AND i.lat > r."bottom" AND i.lat < r."top"),
+g AS (
+  SELECT polygon_id, count(*) AS n_images, min(img_id) AS min_img,
+         max(img_id) AS max_img,
+         CAST(sum(img_id % 97) AS BIGINT) AS w_sum,
+         min(l) AS l, min(b) AS b, min(rr) AS rr, min(t) AS t
+  FROM j GROUP BY polygon_id)
+SELECT polygon_id, n_images, min_img, max_img, w_sum,
+       (rr - l) * (t - b) AS area_deg2,
+       n_images / ((rr - l) * (t - b)) AS density
+FROM g
+"""
+
+
 # deterministic query sites for the distance join — derived from
 # nation keys; site 0 lands at (-70, -180): high latitude AND the
 # antimeridian, so its cap cover crosses cube faces
@@ -3440,6 +3490,10 @@ QUERIES = {
     # vs the oracle's arithmetic ancestor proves the prefix property),
     # pytest parity past the window
     "tile_quadkey": q_tile_quadkey,
+    # round-5e: zonal statistics over the flagship spatial join —
+    # oracled (exact aggregates + a single-op density divide),
+    # pytest parity past the window
+    "zonal_stats": q_zonal_stats,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3554,6 +3608,7 @@ ORACLES = {
     "tile_point_assign": SQL_TILE_PT,
     "tile_cover_assign": SQL_TILE_COVER,
     "tile_quadkey": SQL_TILE_QK,
+    "zonal_stats": SQL_ZONAL,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,
