@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "tile_point_assign",
     "tile_cover_assign",
     "tile_quadkey",
+    "tile_geohash",
     "zonal_stats",
     "vector_tiles",
     "tile_pyramid",

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import cells as C
+from .functions import geohash as _GH
 from .functions import s2 as S2
 from .functions import webmercator as _WM
 from .functions.hashing import hash64_sql
@@ -2314,6 +2315,43 @@ FROM g
 """
 
 
+def q_tile_geohash(spark, sf_dir):
+    """Geohash addressing (Niemeyer 2008, public domain) — the third
+    public string geocode next to slippy z/x/y and the Bing quadkey:
+    per-image 8-char geohash plus its 6-char ancestor. Spark derives
+    the ancestor by SUBSTRING; the DuckDB oracle derives it
+    ARITHMETICALLY from 5-bit-coarsened lon/lat bins (x>>5, y>>5), so
+    hash equality PROVES the geohash prefix property rather than
+    reimplementing the substring (the SQL_TILE_QK pattern). Pure
+    Column math — Morton interleave + conv/lpad/translate onto the
+    published base-32 alphabet — zero shuffle, no UDF; golden vector
+    (57.64911, 10.40744)@10 = 'u4pruydqqv' pinned in test_geohash.py."""
+    from .functions import geohash as GH
+
+    img = images_probe(spark, sf_dir)
+    gh = GH.geohash_col(F.col("lat"), F.col("lon"), 8)
+    return img.select("img_id", gh.alias("gh"),
+                      F.substring(gh, 1, 6).alias("gh_parent"))
+
+
+_GH_N8 = 1 << 20  # lon/lat bins per axis at precision 8 (5*8/2 bits)
+
+SQL_TILE_GH = f"""
+WITH images AS ({IMAGES_SQL}),
+t AS (
+  SELECT img_id,
+         greatest(0, least({_GH_N8 - 1},
+           CAST(floor((lon + 180.0) / 360.0 * {float(_GH_N8)}) AS BIGINT))) AS gx,
+         greatest(0, least({_GH_N8 - 1},
+           CAST(floor((lat + 90.0) / 180.0 * {float(_GH_N8)}) AS BIGINT))) AS gy
+  FROM images)
+SELECT img_id,
+       {_GH.geohash_from_bins_sql('gx', 'gy', 8)} AS gh,
+       {_GH.geohash_from_bins_sql('gx // 32', 'gy // 32', 6)} AS gh_parent
+FROM t
+"""
+
+
 # deterministic query sites for the distance join — derived from
 # nation keys; site 0 lands at (-70, -180): high latitude AND the
 # antimeridian, so its cap cover crosses cube faces
@@ -3494,6 +3532,9 @@ QUERIES = {
     # oracled (exact aggregates + a single-op density divide),
     # pytest parity past the window
     "zonal_stats": q_zonal_stats,
+    # round-5e: geohash addressing — oracled (arithmetic-ancestor
+    # proves the prefix property), pytest parity past the window
+    "tile_geohash": q_tile_geohash,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3609,6 +3650,7 @@ ORACLES = {
     "tile_cover_assign": SQL_TILE_COVER,
     "tile_quadkey": SQL_TILE_QK,
     "zonal_stats": SQL_ZONAL,
+    "tile_geohash": SQL_TILE_GH,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,
