@@ -126,6 +126,16 @@ REPORT_QUERIES = [
      "+ ring area as codegen trig Columns over per-way/ring window "
      "lags — no Python eval in the measure stages, never a global "
      "window; the fixture assembly owns the joins in this plan"),
+    ("zonal_stats", "zonal statistics (r5 final): flagship broadcast "
+     "cover join (probe never shuffles) feeding ONE groupBy on "
+     "polygon_id — partial_count/min/max/sum combine map-side, so "
+     "the single shuffle carries |polygons| rows, not |images|"),
+    ("tile_quadkey", "quadkey addressing (r5 final): Morton bit math "
+     "+ conv/lpad base-4 render + substring ancestor — one fused "
+     "codegen projection over the pruned scan, zero shuffle, no UDF"),
+    ("tile_geohash", "geohash addressing (r5 final): same zero-"
+     "shuffle pure-projection shape as tile_quadkey with the base-32 "
+     "conv + translate alphabet render"),
 ]
 
 
