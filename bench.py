@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "tile_quadkey",
     "tile_geohash",
     "zonal_stats",
+    "coverage_audit",
+    "idw_interpolation",
     "vector_tiles",
     "tile_pyramid",
     "mvt_tiles",

@@ -443,3 +443,60 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
             .select(F.col("_pid").alias(probe_id), "rank",
                     F.col("_bid").alias(build_id),
                     F.col("_chord_sq").alias("chord_sq")))
+
+
+def idw_interpolate(sites: DataFrame, samples: DataFrame, k: int,
+                    value_col: str, power: float = 2.0,
+                    eps_m: float = 1.0,
+                    site_id: str = "site_id", sample_id: str = "img_id",
+                    site_lat: str = "slat", site_lon: str = "slon",
+                    sample_lat: str = "lat", sample_lon: str = "lon",
+                    **knn_kwargs) -> DataFrame:
+    """Inverse-distance-weighted interpolation at query sites — the
+    classic GIS gridding/estimation reduction over the exact spherical
+    kNN (:func:`s2_knn_join`): value(site) = Σ wᵢ·vᵢ / Σ wᵢ over the
+    site's k nearest samples, wᵢ = 1 / max(dᵢ, eps_m)^power with dᵢ
+    the great-circle distance (chord→arc via 2R·asin(chord/2); the
+    eps_m floor keeps a sample sitting exactly on a site from
+    producing an infinite weight).
+
+    Scale shape: the neighbor search is s2_knn_join's size-gated exact
+    router (hierarchical ancestor-annulus rounds, or the one-pass
+    kernels when a side is driver-small); the value join then runs
+    samples ⋈ broadcast(neighbor pairs) — |sites|·k rows broadcast
+    against the 10^12-row sample table, ONE scan, no sample-side
+    shuffle — and the final groupBy aggregates |sites|·k rows down to
+    |sites|. The weight math is pure codegen Columns.
+
+    Returns (site_id, idw_value, n_neighbors, d_min_m, d_max_m).
+    Float output (trig + ordered float sums are not cross-engine
+    bit-exact), so registry exposure is rows-only with a numpy
+    brute-force referee in tests/test_idw.py.
+    """
+    from ..functions.geometry import EARTH_RADIUS_M
+
+    nn = s2_knn_join(sites, samples, k,
+                     probe_id=site_id, build_id=sample_id,
+                     probe_lat=site_lat, probe_lon=site_lon,
+                     build_lat=sample_lat, build_lon=sample_lon,
+                     **knn_kwargs)
+    # dup-key-aware (CLAUDE.md): the base tables carry duplicate ids;
+    # s2_knn_join already dedupes its build side, so the value join
+    # must too or a duplicated neighbor double-counts its weight
+    vals = (samples.select(F.col(sample_id), F.col(value_col).alias("_v"))
+            .dropDuplicates([sample_id]))
+    d_m = (F.lit(2.0 * EARTH_RADIUS_M)
+           * F.asin(F.least(F.sqrt(F.col("chord_sq")), F.lit(2.0))
+                    / F.lit(2.0)))
+    w = F.lit(1.0) / F.pow(F.greatest(d_m, F.lit(float(eps_m))),
+                           F.lit(float(power)))
+    pairs = vals.join(F.broadcast(nn), on=sample_id, how="inner")
+    return (pairs
+            .select(site_id, w.alias("_w"), F.col("_v"),
+                    d_m.alias("_d"))
+            .groupBy(site_id)
+            .agg((F.sum(F.col("_w") * F.col("_v")) / F.sum("_w"))
+                 .alias("idw_value"),
+                 F.count(F.lit(1)).alias("n_neighbors"),
+                 F.min("_d").alias("d_min_m"),
+                 F.max("_d").alias("d_max_m")))

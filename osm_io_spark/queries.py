@@ -2352,6 +2352,64 @@ FROM t
 """
 
 
+def q_coverage_audit(spark, sf_dir):
+    """Spatial ANTI-join / coverage audit — the residue operator of a
+    10^12-image store: images matched by NO polygon, rolled up per
+    coarse z-order cell (res 4) so the output is bounded by the cell
+    count and the gaps read as a coverage map. Plan: the flagship
+    broadcast cover join + refine produces the MATCHED id set
+    (bounded by the join's selectivity, deduped with one shuffle),
+    then one hash-partitioned LEFT ANTI on img_id and one partial-
+    aggregated groupBy — the probe table is scanned twice but never
+    collected, and no shuffle carries more than |probe| keyed rows.
+    FULLY ORACLED (NOT EXISTS with the identical strict containment;
+    integer-only output)."""
+    from .operators import spatial_join as SJ
+
+    img = images_probe(spark, sf_dir)
+    rects = rect_polygons(spark, sf_dir)
+    matched = (SJ.spatial_join_rect(img, rects, res=RES_JOIN)
+               .select("img_id").distinct())
+    unmatched = img.join(matched, "img_id", "left_anti")
+    return (unmatched
+            .groupBy(C.cell_at_col(F.col("lat"), F.col("lon"), 4)
+                     .alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n_unmatched"),
+                 F.min("img_id").alias("min_img"),
+                 F.max("img_id").alias("max_img")))
+
+
+SQL_COVERAGE = f"""
+WITH images AS ({IMAGES_SQL}), rects AS ({RECTS_SQL}),
+unmatched AS (
+  SELECT img_id, lat, lon FROM images i
+  WHERE NOT EXISTS (SELECT 1 FROM rects r
+     WHERE i.lon > r."left" AND i.lon < r."right"
+       AND i.lat > r."bottom" AND i.lat < r."top"))
+SELECT {C.cell_at_sql('lat', 'lon', 4)} AS cell,
+       count(*) AS n_unmatched,
+       min(img_id) AS min_img, max(img_id) AS max_img
+FROM unmatched GROUP BY 1
+"""
+
+
+def q_idw_interpolation(spark, sf_dir):
+    """Inverse-distance-weighted interpolation at the distance-join
+    query sites over the exact spherical kNN (operators/knn
+    .idw_interpolate): value(site) = Σ wᵢvᵢ/Σ wᵢ, w = 1/d² over the 8
+    nearest images, v a deterministic per-image value. Rows-only (trig
+    + ordered float sums are not cross-engine bit-exact); numpy
+    all-pairs brute-force referee in tests/test_idw.py."""
+    sites = (_t(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey").cast("long").alias("site_id"))
+             .distinct()
+             .withColumn("slat", F.expr(_SLAT))
+             .withColumn("slon", F.expr(_SLON)))
+    img = images_probe(spark, sf_dir).withColumn(
+        "v", (F.col("img_id") % 1000).cast("double"))
+    return KNN.idw_interpolate(sites, img, k=8, value_col="v")
+
+
 # deterministic query sites for the distance join — derived from
 # nation keys; site 0 lands at (-70, -180): high latitude AND the
 # antimeridian, so its cap cover crosses cube faces
@@ -3535,6 +3593,10 @@ QUERIES = {
     # round-5e: geohash addressing — oracled (arithmetic-ancestor
     # proves the prefix property), pytest parity past the window
     "tile_geohash": q_tile_geohash,
+    # round-5 final: spatial anti-join / coverage audit — oracled
+    # (NOT EXISTS twin, integer-only output), pytest parity past the
+    # window
+    "coverage_audit": q_coverage_audit,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3571,6 +3633,10 @@ QUERIES = {
     # round-5: exact spherical kNN on the S2 index (brute-force parity
     # in tests/test_s2_knn.py)
     "s2_knn_join": q_s2_knn_join,
+    # round-5 final: IDW interpolation over the spherical kNN —
+    # rows-only (float trig output); numpy all-pairs referee in
+    # tests/test_idw.py
+    "idw_interpolation": q_idw_interpolation,
     # round-5: streaming enrichment on the S2 index (stateless encode +
     # stream-static hierarchical containment join)
     "stream_s2_enrich": q_stream_s2_enrich,
@@ -3651,6 +3717,7 @@ ORACLES = {
     "tile_quadkey": SQL_TILE_QK,
     "zonal_stats": SQL_ZONAL,
     "tile_geohash": SQL_TILE_GH,
+    "coverage_audit": SQL_COVERAGE,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,
