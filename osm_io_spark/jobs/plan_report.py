@@ -136,6 +136,17 @@ REPORT_QUERIES = [
     ("tile_geohash", "geohash addressing (r5 final): same zero-"
      "shuffle pure-projection shape as tile_quadkey with the base-32 "
      "conv + translate alphabet render"),
+    ("coverage_audit", "spatial anti-join / coverage audit (r5 "
+     "final): broadcast cover join + refine → distinct matched ids "
+     "(shuffle bounded by join selectivity) → hash-partitioned LEFT "
+     "ANTI on img_id → per-coarse-cell partial agg; the probe is "
+     "scanned twice, never collected, and no broadcast grows with "
+     "the probe side"),
+    ("idw_interpolation", "IDW interpolation (r5 final): s2_knn_join "
+     "neighbor pairs (size-gated exact router) broadcast against ONE "
+     "scan of the sample table, chord→arc + 1/d^p weights as codegen "
+     "Columns, |sites|-row final agg — no sample-side shuffle "
+     "anywhere downstream of the kNN"),
 ]
 
 

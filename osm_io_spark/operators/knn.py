@@ -447,7 +447,7 @@ def s2_knn_join(probe: DataFrame, build: DataFrame, k: int,
 
 def idw_interpolate(sites: DataFrame, samples: DataFrame, k: int,
                     value_col: str, power: float = 2.0,
-                    eps_m: float = 1.0,
+                    eps_m: float = 1.0, max_broadcast_pairs: int = 4_000_000,
                     site_id: str = "site_id", sample_id: str = "img_id",
                     site_lat: str = "slat", site_lon: str = "slon",
                     sample_lat: str = "lat", sample_lon: str = "lon",
@@ -466,7 +466,9 @@ def idw_interpolate(sites: DataFrame, samples: DataFrame, k: int,
     samples ⋈ broadcast(neighbor pairs) — |sites|·k rows broadcast
     against the 10^12-row sample table, ONE scan, no sample-side
     shuffle — and the final groupBy aggregates |sites|·k rows down to
-    |sites|. The weight math is pure codegen Columns.
+    |sites|. The broadcast is auto-gated on the cheap |sites|·k bound
+    (``max_broadcast_pairs``); past the budget the value join degrades
+    to a shuffled hash join. The weight math is pure codegen Columns.
 
     Returns (site_id, idw_value, n_neighbors, d_min_m, d_max_m).
     Float output (trig + ordered float sums are not cross-engine
@@ -490,7 +492,15 @@ def idw_interpolate(sites: DataFrame, samples: DataFrame, k: int,
                     / F.lit(2.0)))
     w = F.lit(1.0) / F.pow(F.greatest(d_m, F.lit(float(eps_m))),
                            F.lit(float(power)))
-    pairs = vals.join(F.broadcast(nn), on=sample_id, how="inner")
+    # broadcast auto-gate (the s2_containment_join ADVICE pattern):
+    # the |sites|·k pair set is only broadcastable while driver-small;
+    # past the budget the value join degrades to a shuffled hash join
+    # on the sample id instead of OOMing the driver. Sized by the
+    # CHEAP upper bound |sites|·k (one input-scan count) — counting
+    # nn itself would re-execute the whole kNN
+    if sites.count() * k <= max_broadcast_pairs:
+        nn = F.broadcast(nn)
+    pairs = vals.join(nn, on=sample_id, how="inner")
     return (pairs
             .select(site_id, w.alias("_w"), F.col("_v"),
                     d_m.alias("_d"))
