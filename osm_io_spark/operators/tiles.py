@@ -1113,24 +1113,50 @@ def quadkey_prefix_ranges(prefixes) -> list[tuple[str, str]]:
     return [(p, p + "4") for p in prefixes]
 
 
+def geohash_prefix_ranges(prefixes) -> list[tuple[str, str]]:
+    """Descendant STRING ranges per geohash prefix: the published
+    base-32 alphabet (functions/geohash.GEOHASH32) ends at 'z', so
+    every key with prefix ``p`` sorts in [p, p + '{'] ('{' is the
+    character after 'z'; no geohash digit reaches it) — the geohash
+    sibling of quadkey_prefix_ranges."""
+    return [(p, p + "{") for p in prefixes]
+
+
+def _read_region_string_prefix(table, spark, prefixes, col, ranges):
+    """Shared string-prefix region read: prefix → [lo, hi] ranges →
+    manifest min/max skipping (read_pruned_multi works unchanged on
+    string stats — parquet row-group min/max are order-typed, not
+    numeric) → exact ``startswith`` filter. Returns (DataFrame, kept
+    partition names); no file listing, no full scan."""
+    if not prefixes:
+        return table.read(spark).limit(0), []
+    df, kept = table.read_pruned_multi(spark, col, ranges)
+    cond = F.col(col).startswith(prefixes[0])
+    for p in prefixes[1:]:
+        cond = cond | F.col(col).startswith(p)
+    return df.filter(cond), kept
+
+
 def read_tile_region_quadkey(table, spark, prefixes, qk: str = "qk"):
     """Region read over a QUADKEY-sorted tile snapshot: ancestor-tile
-    prefixes → string ranges → manifest min/max skipping
-    (SnapshotTable.read_pruned_multi works unchanged on string stats —
-    parquet row-group min/max are order-typed, not numeric) → exact
-    ``startswith`` filter. Returns (DataFrame, kept partition names).
+    prefixes → string ranges → manifest skipping → exact filter.
     Same no-listing/no-full-scan contract as read_tile_region; the key
     is a string so the store interops with external quadkey-keyed
     systems."""
     prefixes = list(prefixes)
-    if not prefixes:
-        return table.read(spark).limit(0), []
-    df, kept = table.read_pruned_multi(
-        spark, qk, quadkey_prefix_ranges(prefixes))
-    cond = F.col(qk).startswith(prefixes[0])
-    for p in prefixes[1:]:
-        cond = cond | F.col(qk).startswith(p)
-    return df.filter(cond), kept
+    return _read_region_string_prefix(
+        table, spark, prefixes, qk, quadkey_prefix_ranges(prefixes))
+
+
+def read_tile_region_geohash(table, spark, prefixes, gh: str = "gh"):
+    """Region read over a GEOHASH-sorted snapshot (the third string
+    geocode's read payoff, after the quadkey path): ancestor geohash
+    prefixes — e.g. the 4-char parents of an 8-char-keyed store —
+    serve a region as a handful of key-prefix scans via the same
+    manifest min/max skipping."""
+    prefixes = list(prefixes)
+    return _read_region_string_prefix(
+        table, spark, prefixes, gh, geohash_prefix_ranges(prefixes))
 
 
 def dirty_tiles(changed_polys: DataFrame, zoom: int,
