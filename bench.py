@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "tile_geohash",
     "zonal_stats",
     "coverage_audit",
+    "overlap_join",
     "idw_interpolation",
     "vector_tiles",
     "tile_pyramid",

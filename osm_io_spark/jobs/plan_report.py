@@ -147,6 +147,12 @@ REPORT_QUERIES = [
      "scan of the sample table, chord→arc + 1/d^p weights as codegen "
      "Columns, |sites|-row final agg — no sample-side shuffle "
      "anywhere downstream of the kNN"),
+    ("overlap_join", "rect overlap join (r5 final): both covers are "
+     "pure-Column explodes into ONE cell equi-join; strict-overlap "
+     "refine + corner-ownership dedup run inside the join's stage, so "
+     "the duplicate-free pair set exits with ZERO additional shuffle "
+     "(no distinct, no cartesian; AQE broadcasts a side only while "
+     "it is small)"),
 ]
 
 

@@ -695,3 +695,50 @@ def s2_multires_rollup(df: DataFrame, levels, aggs,
                .localCheckpoint(eager=False))
         out = out.unionByName(cur)
     return out
+
+
+def overlap_join_rect(a: DataFrame, b: DataFrame, res: int,
+                      a_id: str = "polygon_id",
+                      b_id: str = "polygon_id") -> DataFrame:
+    """Rectangle↔rectangle OVERLAP join — the conflation predicate
+    (old vs new footprints, polygon sets from two sources) completing
+    the planar family next to containment (J7/J8), kNN (J9) and
+    raster assignment (J10).
+
+    Scale shape: both sides explode into their res-``res`` covering
+    cells (``cover_bbox_cells`` — pure Column, codegen) and meet in ONE
+    hash equi-join on the cell id. A pair sharing k cells would emit k
+    duplicates; instead of a post-join DISTINCT (a second full shuffle
+    of the pair set), each pair is emitted ONLY by the cell containing
+    its intersection's bottom-left corner ``(max(lefts), max(bottoms))``
+    — that corner lies inside both rectangles, so its cell is in both
+    covers, and it is unique per pair: duplicate-free output with ZERO
+    additional shuffle (the reference-domain analogue of the classic
+    partition-based spatial-merge ownership rule). Exact strict-overlap
+    refine + the ownership filter run in the join's own stage.
+
+    Returns (a_id, b_id, il, ib, ir, it, inter_area) where the i*
+    columns are the intersection bbox — pure greatest/least of the
+    input edges, so cross-engine hash-stable."""
+    pa = (a.select(F.col(a_id).alias("a_id"),
+                   F.col("left").alias("al"), F.col("bottom").alias("ab"),
+                   F.col("right").alias("ar"), F.col("top").alias("at")))
+    pb = (b.select(F.col(b_id).alias("b_id"),
+                   F.col("left").alias("bl"), F.col("bottom").alias("bb"),
+                   F.col("right").alias("br"), F.col("top").alias("bt")))
+    ca = cover_bbox_cells(pa, res, left="al", bottom="ab",
+                          right="ar", top="at")
+    cb = cover_bbox_cells(pb, res, left="bl", bottom="bb",
+                          right="br", top="bt")
+    j = ca.join(cb, on="cell", how="inner")
+    overlap = ((F.col("al") < F.col("br")) & (F.col("bl") < F.col("ar"))
+               & (F.col("ab") < F.col("bt")) & (F.col("bb") < F.col("at")))
+    il = F.greatest(F.col("al"), F.col("bl"))
+    ib = F.greatest(F.col("ab"), F.col("bb"))
+    ir = F.least(F.col("ar"), F.col("br"))
+    it = F.least(F.col("at"), F.col("bt"))
+    own = F.col("cell") == C.cell_at_col(ib, il, res)
+    return (j.filter(overlap & own)
+            .select("a_id", "b_id", il.alias("il"), ib.alias("ib"),
+                    ir.alias("ir"), it.alias("it"),
+                    ((ir - il) * (it - ib)).alias("inter_area")))

@@ -2393,6 +2393,47 @@ FROM unmatched GROUP BY 1
 """
 
 
+def q_overlap_join(spark, sf_dir):
+    """Rectangle↔rectangle OVERLAP join (conflation: footprints vs
+    their deterministically shifted twins) via operators/spatial_join
+    .overlap_join_rect — both sides cell-covered, ONE hash equi-join,
+    and each pair emitted only by the cell owning its intersection's
+    bottom-left corner, so the output is duplicate-free with ZERO
+    post-join shuffle. The DuckDB oracle is an index-free cross join
+    that emits each overlapping pair exactly once by construction —
+    hash equality therefore PROVES the ownership rule loses no pair
+    and duplicates none (the prefix-property-oracle pattern). The
+    intersection bbox/area are greatest/least/one-multiply of
+    identically-derived doubles: cross-engine hash-stable."""
+    from .operators import spatial_join as SJ
+
+    a = rect_polygons(spark, sf_dir)
+    b = rect_polygons(spark, sf_dir).select(
+        "polygon_id",
+        (F.col("left") + F.lit(0.7)).alias("left"),
+        (F.col("right") + F.lit(0.7)).alias("right"),
+        (F.col("bottom") + F.lit(0.3)).alias("bottom"),
+        (F.col("top") + F.lit(0.3)).alias("top"))
+    return SJ.overlap_join_rect(a, b, res=RES_JOIN)
+
+
+SQL_OVERLAP = f"""
+WITH rects AS ({RECTS_SQL}),
+a AS (SELECT polygon_id AS a_id, "left" AS al, "bottom" AS abot,
+             "right" AS ar, "top" AS atop FROM rects),
+b AS (SELECT polygon_id AS b_id, "left" + 7e-1 AS bl,
+             "bottom" + 3e-1 AS bbot, "right" + 7e-1 AS br,
+             "top" + 3e-1 AS btop FROM rects)
+SELECT a_id, b_id,
+       greatest(al, bl) AS il, greatest(abot, bbot) AS ib,
+       least(ar, br) AS ir, least(atop, btop) AS it,
+       (least(ar, br) - greatest(al, bl))
+         * (least(atop, btop) - greatest(abot, bbot)) AS inter_area
+FROM a CROSS JOIN b
+WHERE al < br AND bl < ar AND abot < btop AND bbot < atop
+"""
+
+
 def q_idw_interpolation(spark, sf_dir):
     """Inverse-distance-weighted interpolation at the distance-join
     query sites over the exact spherical kNN (operators/knn
@@ -3597,6 +3638,10 @@ QUERIES = {
     # (NOT EXISTS twin, integer-only output), pytest parity past the
     # window
     "coverage_audit": q_coverage_audit,
+    # round-5 final: rect overlap join — oracled (index-free cross-join
+    # twin proves the corner-ownership dedup exactly-once), pytest
+    # parity past the window
+    "overlap_join": q_overlap_join,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3718,6 +3763,7 @@ ORACLES = {
     "zonal_stats": SQL_ZONAL,
     "tile_geohash": SQL_TILE_GH,
     "coverage_audit": SQL_COVERAGE,
+    "overlap_join": SQL_OVERLAP,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,

@@ -159,3 +159,52 @@ def test_auto_salt_matches_plain_join(spark):
                                            salt_threshold_rows=thresh)
                       .select("image_id", "polygon_id").collect())
         assert auto == plain
+
+
+def test_overlap_join_corner_ownership_exactly_once(spark):
+    """Adversarial for overlap_join_rect's dedup-free emission: big
+    rectangles sharing MANY res-6 cells (the k-duplicate regime the
+    corner-ownership rule exists for), plus touching-edge pairs (strict
+    overlap excludes them) and disjoint pairs — verified pair-exact
+    against a pandas all-pairs brute force."""
+    import itertools
+
+    import pandas as pd
+
+    from osm_io_spark.operators.spatial_join import overlap_join_rect
+
+    rows = []
+    # a 5x5 lattice of 30°x20° rects stepped by 10°/7° — heavy mutual
+    # overlap, each pair sharing dozens of res-6 cells
+    i = 0
+    for gx in range(5):
+        for gy in range(5):
+            l = -150 + 10 * gx
+            b = -60 + 7 * gy
+            rows.append((i, l, b, l + 30.0, b + 20.0)); i += 1
+    # touching pair (shared edge, zero-area intersection → excluded)
+    rows.append((100, 0.0, 0.0, 10.0, 10.0))
+    rows.append((101, 10.0, 0.0, 20.0, 10.0))
+    # fully disjoint
+    rows.append((102, 160.0, 70.0, 170.0, 80.0))
+    pdf = pd.DataFrame(rows, columns=["polygon_id", "left", "bottom",
+                                      "right", "top"])
+    a = spark.createDataFrame(pdf)
+    got = overlap_join_rect(a, a, res=6).toPandas()
+
+    # duplicate-free
+    pairs = list(zip(got["a_id"], got["b_id"]))
+    assert len(pairs) == len(set(pairs))
+
+    want = set()
+    for (i1, l1, b1, r1, t1), (i2, l2, b2, r2, t2) in itertools.product(
+            rows, rows):
+        if l1 < r2 and l2 < r1 and b1 < t2 and b2 < t1:
+            want.add((i1, i2))
+    assert set(pairs) == want
+    assert (100, 101) not in set(pairs)          # strict: edge touch out
+    assert all((102, j) not in set(pairs) or j == 102 for j in range(103))
+    # intersection bbox exactness on a known pair
+    row = got[(got["a_id"] == 0) & (got["b_id"] == 6)]
+    if len(row):
+        assert float(row["il"]) == -140.0 and float(row["ib"]) == -53.0
