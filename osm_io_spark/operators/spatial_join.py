@@ -697,9 +697,38 @@ def s2_multires_rollup(df: DataFrame, levels, aggs,
     return out
 
 
+def _cover_fanout_guard(df: DataFrame, res: int, left: str, bottom: str,
+                        right: str, top: str, max_cells: int) -> DataFrame:
+    """In-task scale guard for bbox cell covers: raises when one box
+    would explode into more than ``max_cells`` res-``res`` cells (a
+    world-spanning box at res 10 is ~10^6 rows). The raise_error is
+    folded into a column the cover actually uses (the tiles.tile_cover
+    pattern — a guard in a dropped column is pruned by Catalyst)."""
+    n = 1 << res
+
+    def g(c, off, span):
+        v = F.floor((F.col(c) + F.lit(off)) / F.lit(span)
+                    * F.lit(float(n))).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), v))
+
+    ncells = ((g(right, 180.0, 360.0) - g(left, 180.0, 360.0) + 1)
+              * (g(top, 90.0, 180.0) - g(bottom, 90.0, 180.0) + 1))
+    msg = F.concat(
+        F.lit(f"overlap_join_rect: a box covers > {max_cells} cells at "
+              f"res {res} (box: "),
+        F.col(left).cast("string"), F.lit(".."),
+        F.col(right).cast("string"),
+        F.lit("); pre-split giant boxes or lower res / raise "
+              "max_cells_per_box"))
+    return df.withColumn(left, F.when(
+        ncells <= F.lit(int(max_cells)), F.col(left)
+    ).otherwise(F.raise_error(msg).cast("double")))
+
+
 def overlap_join_rect(a: DataFrame, b: DataFrame, res: int,
                       a_id: str = "polygon_id",
-                      b_id: str = "polygon_id") -> DataFrame:
+                      b_id: str = "polygon_id",
+                      max_cells_per_box: int | None = 4096) -> DataFrame:
     """Rectangle↔rectangle OVERLAP join — the conflation predicate
     (old vs new footprints, polygon sets from two sources) completing
     the planar family next to containment (J7/J8), kNN (J9) and
@@ -726,6 +755,11 @@ def overlap_join_rect(a: DataFrame, b: DataFrame, res: int,
     pb = (b.select(F.col(b_id).alias("b_id"),
                    F.col("left").alias("bl"), F.col("bottom").alias("bb"),
                    F.col("right").alias("br"), F.col("top").alias("bt")))
+    if max_cells_per_box is not None:
+        pa = _cover_fanout_guard(pa, res, "al", "ab", "ar", "at",
+                                 max_cells_per_box)
+        pb = _cover_fanout_guard(pb, res, "bl", "bb", "br", "bt",
+                                 max_cells_per_box)
     ca = cover_bbox_cells(pa, res, left="al", bottom="ab",
                           right="ar", top="at")
     cb = cover_bbox_cells(pb, res, left="bl", bottom="bb",

@@ -208,3 +208,25 @@ def test_overlap_join_corner_ownership_exactly_once(spark):
     row = got[(got["a_id"] == 0) & (got["b_id"] == 6)]
     if len(row):
         assert float(row["il"]) == -140.0 and float(row["ib"]) == -53.0
+
+
+def test_overlap_join_fanout_guard(spark):
+    """A world-spanning box past max_cells_per_box raises IN-TASK (the
+    raise_error is folded into a column the cover uses, so Catalyst
+    cannot prune it); None disables the guard and the join completes."""
+    import pandas as pd
+    import pytest
+
+    from osm_io_spark.operators.spatial_join import overlap_join_rect
+
+    big = spark.createDataFrame(pd.DataFrame(
+        [(1, -179.0, -80.0, 179.0, 80.0)],
+        columns=["polygon_id", "left", "bottom", "right", "top"]))
+    small = spark.createDataFrame(pd.DataFrame(
+        [(2, 0.0, 0.0, 1.0, 1.0)],
+        columns=["polygon_id", "left", "bottom", "right", "top"]))
+    with pytest.raises(Exception, match="covers > 4096 cells"):
+        overlap_join_rect(big, small, res=10).collect()
+    got = overlap_join_rect(big, small, res=10,
+                            max_cells_per_box=None).toPandas()
+    assert list(zip(got["a_id"], got["b_id"])) == [(1, 2)]
