@@ -30,10 +30,26 @@ SRC = "/root/testdata/sf0.1"
 REPL = 10
 
 
+def _write_nation(spark, out_dir: str) -> None:
+    """10x nation replica (r5-final addition: the distance-join /
+    IDW site table) — written separately so pre-existing _DONE dirs
+    from earlier rounds pick it up on the next run."""
+    reps = spark.range(REPL).select(F.col("id").alias("_r"))
+    na = spark.read.parquet(f"{SRC}/nation.parquet").select("n_nationkey")
+    na_max = na.agg(F.max("n_nationkey")).collect()[0][0] + 1
+    (na.crossJoin(F.broadcast(reps))
+     .select((F.col("n_nationkey") + F.col("_r") * na_max)
+             .alias("n_nationkey"))
+     .repartition(4)
+     .write.mode("overwrite").parquet(f"{out_dir}/nation.parquet"))
+
+
 def synthesize(spark, out_dir: str) -> None:
     """10x replicas with shifted keys; parquet written once, reused."""
     done_flag = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_flag):
+        if not os.path.exists(os.path.join(out_dir, "nation.parquet")):
+            _write_nation(spark, out_dir)
         return
     os.makedirs(out_dir, exist_ok=True)
     reps = spark.range(REPL).select(F.col("id").alias("_r"))
@@ -81,6 +97,7 @@ def synthesize(spark, out_dir: str) -> None:
      .repartition(32)
      .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
 
+    _write_nation(spark, out_dir)
     open(done_flag, "w").close()
 
 
@@ -116,6 +133,11 @@ def run(argv: list[str] | None = None) -> dict:
         # at 10x) and exact-substring spans (linear window volume at a
         # duplicate-saturated 10x corpus — the no-guard-needed claim)
         "pack_sequences", "dedup_substring",
+        # round-5-final additions: the spatial analytics layer at 10x
+        # (zonal/coverage over the 6M-row probe; overlap's cover fan-
+        # out; geohash pure projection; IDW's one-scan value join)
+        "zonal_stats", "coverage_audit", "overlap_join",
+        "tile_geohash", "idw_interpolation",
     ]
     fns = dict(Q.QUERIES)
     fns["entry_flagship"] = Q.q_entry_flagship
