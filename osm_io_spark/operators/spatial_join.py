@@ -746,9 +746,11 @@ def overlap_join_rect(a: DataFrame, b: DataFrame, res: int,
     partition-based spatial-merge ownership rule). Exact strict-overlap
     refine + the ownership filter run in the join's own stage.
 
-    Returns (a_id, b_id, il, ib, ir, it, inter_area) where the i*
-    columns are the intersection bbox — pure greatest/least of the
-    input edges, so cross-engine hash-stable."""
+    Returns (a_id, b_id, il, ib, ir, it, inter_area, iou) where the i*
+    columns are the intersection bbox and ``iou`` the standard
+    conflation score inter/(area_a + area_b - inter) — every float is
+    greatest/least/±/× of identically-derived input edges, so the
+    whole row stays cross-engine hash-stable."""
     pa = (a.select(F.col(a_id).alias("a_id"),
                    F.col("left").alias("al"), F.col("bottom").alias("ab"),
                    F.col("right").alias("ar"), F.col("top").alias("at")))
@@ -772,7 +774,11 @@ def overlap_join_rect(a: DataFrame, b: DataFrame, res: int,
     ir = F.least(F.col("ar"), F.col("br"))
     it = F.least(F.col("at"), F.col("bt"))
     own = F.col("cell") == C.cell_at_col(ib, il, res)
+    inter = (ir - il) * (it - ib)
+    area_a = (F.col("ar") - F.col("al")) * (F.col("at") - F.col("ab"))
+    area_b = (F.col("br") - F.col("bl")) * (F.col("bt") - F.col("bb"))
     return (j.filter(overlap & own)
             .select("a_id", "b_id", il.alias("il"), ib.alias("ib"),
                     ir.alias("ir"), it.alias("it"),
-                    ((ir - il) * (it - ib)).alias("inter_area")))
+                    inter.alias("inter_area"),
+                    (inter / (area_a + area_b - inter)).alias("iou")))

@@ -2424,13 +2424,17 @@ a AS (SELECT polygon_id AS a_id, "left" AS al, "bottom" AS abot,
 b AS (SELECT polygon_id AS b_id, "left" + 7e-1 AS bl,
              "bottom" + 3e-1 AS bbot, "right" + 7e-1 AS br,
              "top" + 3e-1 AS btop FROM rects)
-SELECT a_id, b_id,
-       greatest(al, bl) AS il, greatest(abot, bbot) AS ib,
-       least(ar, br) AS ir, least(atop, btop) AS it,
-       (least(ar, br) - greatest(al, bl))
-         * (least(atop, btop) - greatest(abot, bbot)) AS inter_area
-FROM a CROSS JOIN b
-WHERE al < br AND bl < ar AND abot < btop AND bbot < atop
+SELECT a_id, b_id, il, ib, ir, it, inter_area,
+       inter_area / ((ar - al) * (atop - abot)
+                     + (br - bl) * (btop - bbot) - inter_area) AS iou
+FROM (
+  SELECT a_id, b_id, al, abot, ar, atop, bl, bbot, br, btop,
+         greatest(al, bl) AS il, greatest(abot, bbot) AS ib,
+         least(ar, br) AS ir, least(atop, btop) AS it,
+         (least(ar, br) - greatest(al, bl))
+           * (least(atop, btop) - greatest(abot, bbot)) AS inter_area
+  FROM a CROSS JOIN b
+  WHERE al < br AND bl < ar AND abot < btop AND bbot < atop)
 """
 
 
