@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "coverage_audit",
     "overlap_join",
     "idw_interpolation",
+    "spatial_dbscan",
     "vector_tiles",
     "tile_pyramid",
     "mvt_tiles",

@@ -53,6 +53,10 @@ CONSTRUCT_IN_TIMER = {
     # deleted set; ctx_relation_closure runs its whole BFS frontier
     # loop (persist + isEmpty per level) at construction — same rule
     "ctx_cascade_discard", "ctx_relation_closure",
+    # spatial_dbscan runs its eager candidate-volume guard, the CC
+    # propagation rounds, and pins the pair frame with a lazy
+    # localCheckpoint at construction — same rule
+    "spatial_dbscan",
 }
 
 

@@ -2438,6 +2438,112 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# spatial DBSCAN (operators/cluster) — deterministic clustered point
+# table: 29 sites, three density classes (dense cores / threshold
+# density that yields a core-border-noise mix / 12°-box scatter that is
+# mostly noise). All coordinates are integer modular arithmetic / 1e6,
+# so Spark and DuckDB compute bit-identical doubles; centers stay in
+# [-60,60)×[-160,160) and boxes ≤ ±6°, so no point ever reaches the
+# grid clamp at ±90/±180. Multipliers > 2^31 force BIGINT promotion in
+# both engines (the _LAT/_LON trick).
+# ---------------------------------------------------------------------------
+
+_DB_SITE = "((pt_id * 4294967291) % 29)"
+_DB_CLAT = "(CAST((site * 3203080987) % 120000000 AS DOUBLE) / 1e6 - 60.0)"
+_DB_CLON = "(CAST((site * 2485697231) % 320000000 AS DOUBLE) / 1e6 - 160.0)"
+_DB_RMU = ("(CASE WHEN site < 15 THEN 150000 + site * 4000 "
+           "WHEN site < 25 THEN 1200000 + (site - 15) * 50000 "
+           "ELSE 6000000 END)")
+_DB_OLAT = "(CAST(((pt_id * 3369493747) % (2 * rmu + 1)) - rmu AS DOUBLE) / 1e6)"
+_DB_OLON = "(CAST(((pt_id * 4294967311) % (2 * rmu + 1)) - rmu AS DOUBLE) / 1e6)"
+
+# DISTINCT at the source: the base tables carry duplicate keys by
+# design (CLAUDE.md), coordinates are a pure function of pt_id, and
+# dbscan() contracts unique ids (duplicate ids would fan out its
+# label/border joins).
+DBSCAN_PTS_SQL = f"""
+  SELECT pt_id, ({_DB_CLAT} + {_DB_OLAT}) AS lat,
+                ({_DB_CLON} + {_DB_OLON}) AS lon
+  FROM (SELECT pt_id, site, {_DB_RMU} AS rmu
+        FROM (SELECT pt_id, {_DB_SITE} AS site
+              FROM (SELECT DISTINCT {_IMG_ID} AS pt_id FROM lineitem)
+              WHERE pt_id % 37 = 0))
+"""
+
+_DBSCAN_EPS = 0.5       # eps² = 2.5e-1 exactly, in both engines
+_DBSCAN_MIN_PTS = 6
+
+
+def dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic clustered point table (pt_id, lat, lon) —
+    Spark twin of DBSCAN_PTS_SQL, same expression trees."""
+    base = (_t(spark, sf_dir, "lineitem")
+            .select(F.expr(_IMG_ID).alias("pt_id")).distinct()
+            .filter("pt_id % 37 = 0")
+            .withColumn("site", F.expr(_DB_SITE)))
+    staged = base.withColumn("rmu", F.expr(_DB_RMU))
+    return staged.select(
+        "pt_id",
+        (F.expr(_DB_CLAT) + F.expr(_DB_OLAT)).alias("lat"),
+        (F.expr(_DB_CLON) + F.expr(_DB_OLON)).alias("lon"))
+
+
+def q_spatial_dbscan(spark, sf_dir):
+    """Distributed DBSCAN (operators/cluster.dbscan): grid-partitioned
+    candidate pairs (one self equi-join on the eps-sized cell key),
+    degree agg → core flags, O(log n) connected components over
+    core-core edges, deterministic min-cluster border assignment.
+    FULLY ORACLED: the DuckDB twin is an index-free cross join + a
+    genuine recursive-CTE closure with the identical exact-double
+    metric, so hash equality proves (a) the 3×3-disk candidate
+    generation loses no eps-pair, (b) the distributed CC labels match
+    true connectivity, (c) the order-independent border rule. Noise
+    carries cluster_id = -1 (non-null ⇒ int64 hash both engines)."""
+    from .operators import cluster as CL
+    return CL.dbscan(dbscan_points(spark, sf_dir),
+                     eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS,
+                     id_col="pt_id")
+
+
+SQL_DBSCAN = f"""
+WITH RECURSIVE pts AS ({DBSCAN_PTS_SQL}),
+nbr AS (
+  SELECT a.pt_id AS ida, b.pt_id AS idb
+  FROM pts a JOIN pts b
+    ON a.pt_id <> b.pt_id
+   AND ((a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon)) <= 2.5e-1),
+deg AS (
+  SELECT p.pt_id, 1 + count(n.idb) AS n_nbrs
+  FROM pts p LEFT JOIN nbr n ON n.ida = p.pt_id
+  GROUP BY p.pt_id),
+core AS (SELECT pt_id FROM deg WHERE n_nbrs >= {_DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT n.ida, n.idb FROM nbr n
+  JOIN core c1 ON c1.pt_id = n.ida
+  JOIN core c2 ON c2.pt_id = n.idb),
+reach AS (
+  SELECT pt_id AS src, pt_id AS dst FROM core
+  UNION
+  SELECT r.src, e.idb FROM reach r JOIN ce e ON e.ida = r.dst),
+lbl AS (SELECT src AS pt_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+border AS (
+  SELECT n.ida AS pt_id, min(l.cluster_id) AS cluster_id
+  FROM nbr n JOIN lbl l ON l.pt_id = n.idb
+  WHERE n.ida NOT IN (SELECT pt_id FROM core)
+  GROUP BY n.ida)
+SELECT p.pt_id,
+       CASE WHEN l.cluster_id IS NOT NULL THEN 'core'
+            WHEN b.cluster_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(l.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id
+FROM pts p
+LEFT JOIN lbl l ON l.pt_id = p.pt_id
+LEFT JOIN border b ON b.pt_id = p.pt_id
+"""
+
+
 def q_idw_interpolation(spark, sf_dir):
     """Inverse-distance-weighted interpolation at the distance-join
     query sites over the exact spherical kNN (operators/knn
@@ -3546,6 +3652,12 @@ QUERIES = {
     # oracles kept for pytest parity).
     "s2_distance_join": q_s2_distance_join,
     "ring_centroid": q_ring_centroid,
+    # round-5f rotation (swap policy below): distributed DBSCAN — a
+    # grid self-join + distributed CC + border assignment, all failure
+    # modes the hard gate can actually catch, proven against a
+    # recursive-CTE closure oracle. Rotated out: sample_mixture (pure
+    # Column hash filter, zero join/partition risk, oracle kept).
+    "spatial_dbscan": q_spatial_dbscan,
     "f4_current_visible": q_f4_current_visible,
     "rollup_multires": q_rollup_multires,
     "j1_sortmerge_group_join": q_j1_sortmerge_group_join,
@@ -3556,7 +3668,6 @@ QUERIES = {
     "w2_sessionize_batch": q_w2_sessionize_batch,
     "f1_token_filter": q_f1_token_filter,
     # text analysis
-    "sample_mixture": q_sample_mixture,
     "text_chunks": q_text_chunks,
     # dedup family
     "dedup_exact": q_dedup_exact,
@@ -3615,6 +3726,9 @@ QUERIES = {
     # (same policy: single-projection Column casts, oracles kept)
     "c2_fixed_point": q_c2_fixed_point,
     "c5_timestamp_convert": q_c5_timestamp_convert,
+    # rotated out in round 5f for spatial_dbscan (same policy: pure
+    # Column hash filter, oracle kept)
+    "sample_mixture": q_sample_mixture,
     # round-5c: the context-index reverse lookup itself — oracled,
     # pytest-parity past the window (its three consumers above hold the
     # window slots; this is the same one-agg plan shape)
@@ -3792,6 +3906,7 @@ ORACLES = {
     "s2_cellid": SQL_S2CELL,
     "s2_containment_join": SQL_S2CONTAIN,
     "s2_distance_join": SQL_S2_DIST,
+    "spatial_dbscan": SQL_DBSCAN,
     # context index (round 5c)
     "ctx_reverse_index": SQL_CTX_RIDX,
     "ctx_cascade_discard": SQL_CTX_CASCADE,

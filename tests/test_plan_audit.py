@@ -167,6 +167,19 @@ def test_new_candidate_joins_never_cartesian(spark):
         assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0, name
 
 
+def test_dbscan_candidate_join_never_cartesian(spark):
+    """Round-5f: DBSCAN's eps-pair candidate generation must stay a
+    hash equi-join on the cell key (probe 3×3 fan-out vs build cell) —
+    a lost key degrades to an n² cross join over the full point table.
+    No Python eval anywhere: the whole operator is Column math +
+    dedup_clusters' joins."""
+    df = Q.QUERIES["spatial_dbscan"](spark, SF_DIR)
+    plan = A.formatted_plan(df)
+    assert A.count_op(plan, "CartesianProduct") == 0
+    assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_vector_tile_points_zero_shuffle_pruned(spark):
     """Point-feature fan-out is pure Column math: no exchange anywhere,
     no Python eval, and the lineitem scan reads only the two id

@@ -87,6 +87,18 @@ def test_round5e_window_rotation():
         assert rotated in Q.ORACLES and rotated not in window, rotated
 
 
+def test_round5f_window_rotation():
+    """Round-5f swap: distributed DBSCAN (grid self-join + distributed
+    CC + border assignment vs a recursive-CTE closure oracle — exactly
+    the failure modes the hard gate exists to catch) sits inside the
+    window; the rotated-out pure-Column hash filter keeps its oracle."""
+    names = list(Q.QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    assert "spatial_dbscan" in window
+    assert "sample_mixture" in Q.ORACLES
+    assert "sample_mixture" not in window
+
+
 def test_every_oracle_key_is_a_registry_key():
     missing = set(Q.ORACLES) - set(Q.QUERIES)
     assert not missing, f"ORACLES keys without a queries() entry: {missing}"
