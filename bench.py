@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "zonal_stats",
     "coverage_audit",
     "overlap_join",
+    "overlap_dissolve",
     "idw_interpolation",
     "spatial_dbscan",
     "vector_tiles",

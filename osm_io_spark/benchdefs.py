@@ -55,8 +55,9 @@ CONSTRUCT_IN_TIMER = {
     "ctx_cascade_discard", "ctx_relation_closure",
     # spatial_dbscan runs its eager candidate-volume guard, the CC
     # propagation rounds, and pins the pair frame with a lazy
-    # localCheckpoint at construction — same rule
-    "spatial_dbscan",
+    # localCheckpoint at construction — same rule (overlap_dissolve:
+    # the overlap-join fan-out guard count + the same CC rounds)
+    "spatial_dbscan", "overlap_dissolve",
 }
 
 

@@ -75,6 +75,55 @@ def _grid_res(eps: float, max_res: int = 15) -> int:
     return res
 
 
+def dissolve_rects(rects: DataFrame, res: int,
+                   id_col: str = "polygon_id") -> DataFrame:
+    """Dissolve a rectangle set into overlap-connected components —
+    the merge step of a conflation pipeline (overlap_join scores
+    candidate matches; dissolve collapses transitive overlap groups
+    into one record each).
+
+    Returns (component_id, n_members, left, bottom, right, top,
+    area_u): component_id = min member id, n_members counts input
+    ROWS (duplicate-id rows count like the dup-key-aware oracles),
+    l/b/r/t the merged extent, and area_u the summed footprint area
+    quantized to integer 1e-10 deg² units — float SUMs are
+    order-dependent, so the per-row double area (identical expression
+    tree in both engines) is floored to a BIGINT before the aggregate
+    (the money-quantization rule from the queries module header).
+
+    Plan: edges from ``overlap_join_rect(rects, rects)`` (ONE cell-key
+    hash equi-join, duplicate-free by intersection-corner ownership),
+    components via ``dedup_clusters`` (O(log n) fallback), then one
+    broadcast-eligible label join + partial agg. Exact union GEOMETRY
+    is deliberately out of scope (that is the vector-tile clip layer's
+    job); the merged extent + quantized area is the dissolve summary a
+    dedup/conflation pipeline consumes."""
+    from .spatial_join import overlap_join_rect
+
+    base = rects.select(F.col(id_col).cast("long").alias("_id"),
+                        "left", "bottom", "right", "top")
+    pairs = (overlap_join_rect(base, base, res=res,
+                               a_id="_id", b_id="_id")
+             .filter(F.col("a_id") != F.col("b_id"))
+             .select(F.col("a_id").alias("id_a"),
+                     F.col("b_id").alias("id_b")))
+    ids = base.select("_id").distinct()
+    labels = (dedup_clusters(pairs, ids, id_col="_id")
+              .select(F.col("_id"),
+                      F.col("cluster_id").alias("component_id")))
+    area_u = F.floor((F.col("right") - F.col("left"))
+                     * (F.col("top") - F.col("bottom"))
+                     * F.lit(1e10) + F.lit(0.5)).cast("long")
+    return (base.join(labels, "_id")
+            .groupBy("component_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("left").alias("left"),
+                 F.min("bottom").alias("bottom"),
+                 F.max("right").alias("right"),
+                 F.max("top").alias("top"),
+                 F.sum(area_u).alias("area_u")))
+
+
 def dbscan(points: DataFrame, eps: float, min_pts: int,
            id_col: str = "pt_id", lat_col: str = "lat",
            lon_col: str = "lon",

@@ -2438,6 +2438,56 @@ FROM (
 """
 
 
+def q_overlap_dissolve(spark, sf_dir):
+    """Conflation dissolve (operators/cluster.dissolve_rects): two
+    footprint generations (rects + their shifted twins under a
+    disjoint id space) collapsed into overlap-connected components
+    with merged extents and integer-quantized area sums. FULLY
+    ORACLED: cross-join overlap edges + recursive-CTE closure, so
+    hash equality proves the cell-cover edge generation AND the
+    distributed component labels against true transitive overlap."""
+    from .operators import cluster as CL
+
+    a = rect_polygons(spark, sf_dir).select(
+        "polygon_id", "left", "bottom", "right", "top")
+    b = a.select(
+        (F.col("polygon_id") + F.lit(100000000)).alias("polygon_id"),
+        (F.col("left") + F.lit(0.7)).alias("left"),
+        (F.col("bottom") + F.lit(0.3)).alias("bottom"),
+        (F.col("right") + F.lit(0.7)).alias("right"),
+        (F.col("top") + F.lit(0.3)).alias("top"))
+    return CL.dissolve_rects(a.unionByName(b), res=RES_JOIN)
+
+
+SQL_DISSOLVE = f"""
+WITH RECURSIVE rects0 AS ({RECTS_SQL}),
+rects AS (
+  SELECT polygon_id, "left", "bottom", "right", "top" FROM rects0
+  UNION ALL
+  SELECT polygon_id + 100000000, "left" + 7e-1, "bottom" + 3e-1,
+         "right" + 7e-1, "top" + 3e-1 FROM rects0),
+e AS (
+  SELECT a.polygon_id AS ida, b.polygon_id AS idb
+  FROM rects a JOIN rects b ON a.polygon_id <> b.polygon_id
+   AND a."left" < b."right" AND b."left" < a."right"
+   AND a."bottom" < b."top" AND b."bottom" < a."top"),
+ids AS (SELECT DISTINCT polygon_id FROM rects),
+reach AS (
+  SELECT polygon_id AS src, polygon_id AS dst FROM ids
+  UNION
+  SELECT r.src, e.idb FROM reach r JOIN e ON e.ida = r.dst),
+lbl AS (SELECT src AS polygon_id, min(dst) AS component_id
+        FROM reach GROUP BY src)
+SELECT component_id, CAST(count(*) AS BIGINT) AS n_members,
+       min("left") AS "left", min("bottom") AS "bottom",
+       max("right") AS "right", max("top") AS "top",
+       CAST(sum(CAST(floor((("right" - "left") * ("top" - "bottom"))
+                           * 1e10 + 5e-1) AS BIGINT)) AS BIGINT) AS area_u
+FROM rects JOIN lbl USING (polygon_id)
+GROUP BY component_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # spatial DBSCAN (operators/cluster) — deterministic clustered point
 # table: 29 sites, three density classes (dense cores / threshold
@@ -3760,6 +3810,11 @@ QUERIES = {
     # twin proves the corner-ownership dedup exactly-once), pytest
     # parity past the window
     "overlap_join": q_overlap_join,
+    # round-5f: conflation dissolve — oracled (cross-join edges +
+    # recursive-CTE closure prove the distributed components), pytest
+    # parity past the window (its window-slot failure modes are the
+    # same family spatial_dbscan already holds a slot for)
+    "overlap_dissolve": q_overlap_dissolve,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -3882,6 +3937,7 @@ ORACLES = {
     "tile_geohash": SQL_TILE_GH,
     "coverage_audit": SQL_COVERAGE,
     "overlap_join": SQL_OVERLAP,
+    "overlap_dissolve": SQL_DISSOLVE,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,

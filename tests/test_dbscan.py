@@ -139,6 +139,88 @@ def test_grid_res_covering_bound():
             assert 180.0 / (1 << (res + 1)) < eps
 
 
+def test_dissolve_hand_fixture(spark):
+    """Chain A-B-C (A overlaps B, B overlaps C, A does NOT overlap C:
+    transitivity must come from the closure), plus an isolated rect and
+    an exact-duplicate pair sharing one id."""
+    rows = [(1, 0.0, 0.0, 1.0, 1.0),
+            (2, 0.8, 0.0, 1.8, 1.0),    # overlaps 1 and 3
+            (3, 1.6, 0.0, 2.6, 1.0),    # overlaps 2 only
+            (9, 50.0, 50.0, 50.5, 50.5),
+            (7, -10.0, -10.0, -9.0, -9.5),
+            (7, -10.0, -10.0, -9.0, -9.5)]
+    df = spark.createDataFrame(
+        rows, "polygon_id LONG, left DOUBLE, bottom DOUBLE, "
+              "right DOUBLE, top DOUBLE")
+    from osm_io_spark.operators import cluster as CL
+    got = {r["component_id"]: r.asDict()
+           for r in CL.dissolve_rects(df, res=10).collect()}
+    assert set(got) == {1, 9, 7}
+    c = got[1]
+    assert c["n_members"] == 3
+    assert (c["left"], c["bottom"], c["right"], c["top"]) == (0.0, 0.0, 2.6, 1.0)
+    assert c["area_u"] == 3 * 10**10  # three unit squares
+    assert got[9]["n_members"] == 1
+    # duplicate rows of the same id: both counted, area doubled
+    assert got[7]["n_members"] == 2
+    assert got[7]["area_u"] == 2 * round(1.0 * 0.5 * 1e10)
+
+
+def test_dissolve_matches_brute_force(spark):
+    """Distributed dissolve == numpy union-find referee on the
+    registry's two-generation corpus at sf0.001."""
+    pdf = Q.q_overlap_dissolve(spark, SF_DIR).toPandas()
+    rects = Q.rect_polygons(spark, SF_DIR).select(
+        "polygon_id", "left", "bottom", "right", "top").toPandas()
+    import pandas as pd
+    twin = rects.copy()
+    twin.polygon_id += 100000000
+    twin[["left", "right"]] += 0.7
+    twin[["bottom", "top"]] += 0.3
+    allr = pd.concat([rects, twin], ignore_index=True)
+    ids = allr.polygon_id.to_numpy(np.int64)
+    L, B = allr.left.to_numpy(), allr.bottom.to_numpy()
+    R, T = allr.right.to_numpy(), allr.top.to_numpy()
+    uniq = np.unique(ids)
+    idx = {int(i): k for k, i in enumerate(uniq)}
+    parent = np.arange(len(uniq))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    n = len(allr)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if ids[i] != ids[j] and L[i] < R[j] and L[j] < R[i] \
+                    and B[i] < T[j] and B[j] < T[i]:
+                ri, rj = find(idx[int(ids[i])]), find(idx[int(ids[j])])
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp = {}
+    for k, i in enumerate(uniq):
+        root = find(k)
+        comp[int(i)] = int(uniq[[m for m in range(len(uniq))
+                                 if find(m) == root]].min())
+    want = {}
+    for r in allr.itertuples():
+        c = comp[int(r.polygon_id)]
+        w = want.setdefault(c, [0, np.inf, np.inf, -np.inf, -np.inf, 0])
+        w[0] += 1
+        w[1] = min(w[1], r.left)
+        w[2] = min(w[2], r.bottom)
+        w[3] = max(w[3], r.right)
+        w[4] = max(w[4], r.top)
+        w[5] += int(np.floor((r.right - r.left) * (r.top - r.bottom)
+                             * 1e10 + 0.5))
+    got = {int(r.component_id): [int(r.n_members), r.left, r.bottom,
+                                 r.right, r.top, int(r.area_u)]
+           for r in pdf.itertuples()}
+    assert got == want
+
+
 def test_min_pts_one_everything_core(spark):
     df = spark.createDataFrame(
         [(1, 0.0, 0.0), (2, 50.0, 50.0)],

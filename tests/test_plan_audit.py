@@ -172,12 +172,14 @@ def test_dbscan_candidate_join_never_cartesian(spark):
     hash equi-join on the cell key (probe 3×3 fan-out vs build cell) —
     a lost key degrades to an n² cross join over the full point table.
     No Python eval anywhere: the whole operator is Column math +
-    dedup_clusters' joins."""
-    df = Q.QUERIES["spatial_dbscan"](spark, SF_DIR)
-    plan = A.formatted_plan(df)
-    assert A.count_op(plan, "CartesianProduct") == 0
-    assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0
-    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    dedup_clusters' joins. Same rule for the conflation dissolve's
+    overlap-edge generation."""
+    for name in ("spatial_dbscan", "overlap_dissolve"):
+        df = Q.QUERIES[name](spark, SF_DIR)
+        plan = A.formatted_plan(df)
+        assert A.count_op(plan, "CartesianProduct") == 0, name
+        assert A.count_op(plan, "BroadcastNestedLoopJoin") == 0, name
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
 
 
 def test_vector_tile_points_zero_shuffle_pruned(spark):
