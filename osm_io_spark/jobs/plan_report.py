@@ -153,6 +153,17 @@ REPORT_QUERIES = [
      "the duplicate-free pair set exits with ZERO additional shuffle "
      "(no distinct, no cartesian; AQE broadcasts a side only while "
      "it is small)"),
+    ("spatial_dbscan", "distributed DBSCAN (r5f): eps-pair candidates "
+     "from ONE self hash equi-join on the eps-sized cell key (probe "
+     "9-offset pure-Column fan-out vs build own-cell — never a cross "
+     "join), exact-double refine in the join stage, pinned pair frame "
+     "fanning into degree agg / CC edges / border assignment; the "
+     "quadratic risk is guarded by an EXACT candidate-volume pre-count "
+     "at cell granularity before the join launches"),
+    ("overlap_dissolve", "conflation dissolve (r5f): overlap_join "
+     "self-edges (duplicate-free corner ownership) → distributed CC → "
+     "one label join + partial agg; area summed as quantized BIGINT, "
+     "never a raw double SUM"),
 ]
 
 

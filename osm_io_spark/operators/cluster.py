@@ -148,8 +148,13 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                         F.col(lat_col).alias("_lat"),
                         F.col(lon_col).alias("_lon"))
     x, y = C.xy_at_col(F.col("_lat"), F.col("_lon"), res)
+    # pin the keyed point frame: it fans out to the guard, both join
+    # sides, the flags frame and the final assembly (CLAUDE.md fan-out
+    # rule — unpinned, the upstream projection + any source shuffle
+    # re-executes once per branch; the plan audit showed 4 scans)
     pts = (pts.withColumn("_gx", x).withColumn("_gy", y)
-           .withColumn("_key", F.col("_gx") * F.lit(n) + F.col("_gy")))
+           .withColumn("_key", F.col("_gx") * F.lit(n) + F.col("_gy"))
+           .localCheckpoint(eager=False))
 
     # --- scale guard: exact directed-candidate volume from per-cell
     # counts (cells ≪ points, so this pre-pass is cheap); the probe
