@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "overlap_dissolve",
     "idw_interpolation",
     "spatial_dbscan",
+    "hotspot_gistar",
     "vector_tiles",
     "tile_pyramid",
     "mvt_tiles",

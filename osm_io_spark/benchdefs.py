@@ -56,8 +56,10 @@ CONSTRUCT_IN_TIMER = {
     # spatial_dbscan runs its eager candidate-volume guard, the CC
     # propagation rounds, and pins the pair frame with a lazy
     # localCheckpoint at construction — same rule (overlap_dissolve:
-    # the overlap-join fan-out guard count + the same CC rounds)
-    "spatial_dbscan", "overlap_dissolve",
+    # the overlap-join fan-out guard count + the same CC rounds;
+    # hotspot_gistar: lazy-checkpointed cell counts — a reused object
+    # would time only the post-checkpoint tail)
+    "spatial_dbscan", "overlap_dissolve", "hotspot_gistar",
 }
 
 

@@ -164,6 +164,11 @@ REPORT_QUERIES = [
      "self-edges (duplicate-free corner ownership) → distributed CC → "
      "one label join + partial agg; area summed as quantized BIGINT, "
      "never a raw double SUM"),
+    ("hotspot_gistar", "Gi* hotspot z-scores (r5f): one partial-agg "
+     "groupBy to cell counts, 9-offset fan-out self-join at CELL "
+     "granularity (rows = occupied cells, not points), broadcast "
+     "1-row global aggregate — the point table is shuffled exactly "
+     "once, everything after runs on the tiny cell universe"),
 ]
 
 

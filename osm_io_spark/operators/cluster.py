@@ -58,11 +58,24 @@ for the containment join).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import cells as C
 from .dedup import dedup_clusters
+
+
+def _fine_res(eps: float, max_res: int = 30) -> int | None:
+    """Coarsest resolution whose cell DIAGONAL ≤ eps (cell w = 2h, so
+    diag = h·√5): two points sharing such a cell are within eps by
+    construction. None when eps is so small the cap can't honor the
+    bound (then contraction is skipped — correctness never depends on
+    it)."""
+    need = 180.0 * math.sqrt(5.0) / eps
+    r = math.ceil(math.log2(need)) if need > 1 else 0
+    return r if r <= max_res else None
 
 
 def _grid_res(eps: float, max_res: int = 15) -> int:
@@ -148,12 +161,19 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                         F.col(lat_col).alias("_lat"),
                         F.col(lon_col).alias("_lon"))
     x, y = C.xy_at_col(F.col("_lat"), F.col("_lon"), res)
+    # fine sub-grid for CC contraction (below): cell diagonal ≤ eps,
+    # so same-cell core points are mutually eps-connected
+    res_f = _fine_res(eps)
+    pts = pts.withColumn("_gx", x).withColumn("_gy", y)
+    if res_f is not None:
+        fx, fy = C.xy_at_col(F.col("_lat"), F.col("_lon"), res_f)
+        pts = pts.withColumn("_fkey",
+                             fx * F.lit(1 << res_f) + fy)
     # pin the keyed point frame: it fans out to the guard, both join
     # sides, the flags frame and the final assembly (CLAUDE.md fan-out
     # rule — unpinned, the upstream projection + any source shuffle
     # re-executes once per branch; the plan audit showed 4 scans)
-    pts = (pts.withColumn("_gx", x).withColumn("_gy", y)
-           .withColumn("_key", F.col("_gx") * F.lit(n) + F.col("_gy"))
+    pts = (pts.withColumn("_key", F.col("_gx") * F.lit(n) + F.col("_gy"))
            .localCheckpoint(eager=False))
 
     # --- scale guard: exact directed-candidate volume from per-cell
@@ -220,17 +240,55 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
                       ).alias("_core")))
     core_ids = flags.filter("_core").select("_id")
 
-    # --- components over core-core edges (min-id labels)
-    ca = core_ids.select(F.col("_id").alias("_ida"))
-    cb = core_ids.select(F.col("_id").alias("_idb"))
-    edges = (pairs.join(ca, "_ida").join(cb, "_idb")
-             .select(F.col("_ida").alias("id_a"),
-                     F.col("_idb").alias("id_b")))
+    # --- components over core-core edges (min-id labels). The CC
+    # input is contracted first (the GDBSCAN hub-contraction): all
+    # core points sharing a res_f cell (diagonal ≤ eps) are mutually
+    # connected by construction, so each fine cell collapses to its
+    # min core id as a SUPERNODE and the eps-graph's dense-hotspot
+    # cliques (|edges| ≈ density·n) shrink to the occupied-cell graph
+    # before any CC iteration runs — the reduction factor grows with
+    # density, exactly where a Zipf-distributed 10^12-point table
+    # hurts (measured: CC construct 10.8s of a 36s 1M-point run at
+    # local[4]; pre-contraction the CC alone was 47s on the same
+    # corpus). Component labels are unchanged: contraction of connected
+    # subsets preserves the component partition, and min-id labels
+    # survive because each supernode carries its cell's min id.
     cc_stats: dict = {}
-    labels = (dedup_clusters(edges, core_ids, id_col="_id",
-                             stats=cc_stats)
-              .select(F.col("_id").alias("_cid"),
-                      F.col("cluster_id").alias("_clabel")))
+    if res_f is not None:
+        core_cells = (pts.select("_id", "_fkey")
+                      .join(core_ids, "_id"))
+        sn = (core_cells.groupBy("_fkey")
+              .agg(F.min("_id").alias("_sn")))
+        core_map = (core_cells.join(sn, "_fkey")
+                    .select("_id", "_sn")
+                    .localCheckpoint(eager=False))  # feeds edges + expand
+        ma = core_map.select(F.col("_id").alias("_ida"),
+                             F.col("_sn").alias("_sna"))
+        mb = core_map.select(F.col("_id").alias("_idb"),
+                             F.col("_sn").alias("_snb"))
+        cedges = (pairs.join(ma, "_ida").join(mb, "_idb")
+                  .filter(F.col("_sna") != F.col("_snb"))
+                  .select(F.col("_sna").alias("id_a"),
+                          F.col("_snb").alias("id_b")))
+        sn_ids = sn.select(F.col("_sn").alias("_id"))
+        sn_labels = (dedup_clusters(cedges, sn_ids, id_col="_id",
+                                    stats=cc_stats)
+                     .select(F.col("_id").alias("_sn"),
+                             F.col("cluster_id").alias("_clabel")))
+        labels = (core_map.join(sn_labels, "_sn")
+                  .select(F.col("_id").alias("_cid"), "_clabel"))
+        cc_stats["contracted"] = True
+    else:
+        ca = core_ids.select(F.col("_id").alias("_ida"))
+        cb = core_ids.select(F.col("_id").alias("_idb"))
+        edges = (pairs.join(ca, "_ida").join(cb, "_idb")
+                 .select(F.col("_ida").alias("id_a"),
+                         F.col("_idb").alias("id_b")))
+        labels = (dedup_clusters(edges, core_ids, id_col="_id",
+                                 stats=cc_stats)
+                  .select(F.col("_id").alias("_cid"),
+                          F.col("cluster_id").alias("_clabel")))
+        cc_stats["contracted"] = False
     if stats is not None:
         stats["cc"] = cc_stats
 

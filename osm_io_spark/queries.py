@@ -2594,6 +2594,66 @@ LEFT JOIN border b ON b.pt_id = p.pt_id
 """
 
 
+_GISTAR_RES = 6  # 64×64 grid: cluster sites land in single cells
+
+
+def q_hotspot_gistar(spark, sf_dir):
+    """Getis–Ord Gi* hotspot z-scores over the clustered point corpus
+    (operators/raster.gi_star): occupied-cell universe, binary 3×3
+    weights, one cell-granularity fan-out self-join + a broadcast
+    1-row global aggregate. FULLY ORACLED including the float z-score
+    — counts/sums are exact BIGINTs and the z expression tree is
+    written identically in both engines (zonal_stats' density
+    precedent extended through sqrt, which is correctly rounded in
+    IEEE 754 on both sides)."""
+    return RAS.gi_star(dbscan_points(spark, sf_dir), res=_GISTAR_RES)
+
+
+SQL_GISTAR = f"""
+WITH pts AS ({DBSCAN_PTS_SQL}),
+cells AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS x
+  FROM (SELECT
+          greatest(0, least(63, CAST(floor((lon + 180e0) / 360e0 * 64e0)
+                                     AS BIGINT))) AS gx,
+          greatest(0, least(63, CAST(floor((lat + 90e0) / 180e0 * 64e0)
+                                     AS BIGINT))) AS gy
+        FROM pts)
+  GROUP BY gx, gy),
+nbrfan AS (
+  SELECT c.gx, c.gy,
+         ((c.gx + dx.v) % 64 + 64) % 64 AS jx, c.gy + dy.v AS jy
+  FROM cells c, (VALUES (-1), (0), (1)) dx(v),
+                (VALUES (-1), (0), (1)) dy(v)
+  WHERE c.gy + dy.v >= 0 AND c.gy + dy.v < 64),
+nbr AS (
+  SELECT f.gx, f.gy, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c2.x) AS BIGINT) AS s
+  FROM nbrfan f JOIN cells c2 ON c2.gx = f.jx AND c2.gy = f.jy
+  GROUP BY f.gx, f.gy),
+gstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM cells)
+SELECT gx, gy, x, k_nbrs, nbr_sum,
+       CASE WHEN den <> 0e0 THEN num / den END AS gi_z
+FROM (
+  SELECT gx, gy, x, k AS k_nbrs, s AS nbr_sum,
+         (CAST(s AS DOUBLE)
+          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(k AS DOUBLE))
+           AS num,
+         (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          * sqrt((CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                  - CAST(k AS DOUBLE) * CAST(k AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1e0))) AS den
+  FROM cells JOIN nbr USING (gx, gy) CROSS JOIN gstats)
+"""
+
+
+
+
 def q_idw_interpolation(spark, sf_dir):
     """Inverse-distance-weighted interpolation at the distance-join
     query sites over the exact spherical kNN (operators/knn
@@ -3708,6 +3768,11 @@ QUERIES = {
     # recursive-CTE closure oracle. Rotated out: sample_mixture (pure
     # Column hash filter, zero join/partition risk, oracle kept).
     "spatial_dbscan": q_spatial_dbscan,
+    # round-5f rotation #2: Gi* hotspot statistic — a cell fan-out
+    # self-join + broadcast global aggregate whose float z-score is
+    # hash-compared end-to-end. Rotated out: f1_token_filter (pure
+    # pushed-down filter, zero join/partition risk, oracle kept).
+    "hotspot_gistar": q_hotspot_gistar,
     "f4_current_visible": q_f4_current_visible,
     "rollup_multires": q_rollup_multires,
     "j1_sortmerge_group_join": q_j1_sortmerge_group_join,
@@ -3716,7 +3781,6 @@ QUERIES = {
     "j4_broadcast_lookup": q_j4_broadcast_lookup,
     "w1_hourly_window": q_w1_hourly_window,
     "w2_sessionize_batch": q_w2_sessionize_batch,
-    "f1_token_filter": q_f1_token_filter,
     # text analysis
     "text_chunks": q_text_chunks,
     # dedup family
@@ -3779,6 +3843,9 @@ QUERIES = {
     # rotated out in round 5f for spatial_dbscan (same policy: pure
     # Column hash filter, oracle kept)
     "sample_mixture": q_sample_mixture,
+    # rotated out in round 5f for hotspot_gistar (same policy: pure
+    # pushed-down filter, oracle kept)
+    "f1_token_filter": q_f1_token_filter,
     # round-5c: the context-index reverse lookup itself — oracled,
     # pytest-parity past the window (its three consumers above hold the
     # window slots; this is the same one-agg plan shape)
@@ -3963,6 +4030,7 @@ ORACLES = {
     "s2_containment_join": SQL_S2CONTAIN,
     "s2_distance_join": SQL_S2_DIST,
     "spatial_dbscan": SQL_DBSCAN,
+    "hotspot_gistar": SQL_GISTAR,
     # context index (round 5c)
     "ctx_reverse_index": SQL_CTX_RIDX,
     "ctx_cascade_discard": SQL_CTX_CASCADE,

@@ -94,9 +94,9 @@ def test_round5f_window_rotation():
     window; the rotated-out pure-Column hash filter keeps its oracle."""
     names = list(Q.QUERIES)
     window = set(names[:DRIVER_WINDOW])
-    assert "spatial_dbscan" in window
-    assert "sample_mixture" in Q.ORACLES
-    assert "sample_mixture" not in window
+    assert {"spatial_dbscan", "hotspot_gistar"} <= window
+    for rotated in ("sample_mixture", "f1_token_filter"):
+        assert rotated in Q.ORACLES and rotated not in window, rotated
 
 
 def test_every_oracle_key_is_a_registry_key():
