@@ -100,9 +100,14 @@ def run_one(argv: list[str] | None = None) -> dict:
     from ..operators import cluster as CL
     from ..session import get_spark
 
+    # shuffle partitions sized so the pair-frame sorts fit executor
+    # memory: at n=8M the eps-graph is 128M directed pairs, and
+    # max(cpus, 8) partitions put 8M-row sorts × 16 concurrent tasks
+    # into the 12g heap — UNABLE_TO_ACQUIRE_MEMORY. cpus*8 keeps
+    # per-task sorts ~1M rows (the CLAUDE.md spill-aware rule).
     spark = get_spark(f"cluster-bench-{args.cpus}",
                       master=f"local[{args.cpus}]",
-                      shuffle_partitions=max(args.cpus, 8))
+                      shuffle_partitions=args.cpus * 8)
     spark.sparkContext.setLogLevel("ERROR")
     parts = args.cpus * 4
 
