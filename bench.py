@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "coverage_audit",
     "overlap_join",
     "overlap_dissolve",
+    "trip_segments",
     "idw_interpolation",
     "spatial_dbscan",
     "hotspot_gistar",

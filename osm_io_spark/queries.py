@@ -2594,6 +2594,88 @@ LEFT JOIN border b ON b.pt_id = p.pt_id
 """
 
 
+# ---------------------------------------------------------------------------
+# trajectory segmentation (operators/trajectory) — deterministic
+# geotags for the events stream: each user has a home center and hops
+# between four 15-minute "camps" offset by whole degrees, plus ±0.01°
+# per-event jitter. Camp hops are ≥2° (≫ gap 1°), jitter ≤0.02°
+# (≪ 1°), so the spatial break boolean has ~2 orders of magnitude of
+# margin; time breaks reuse the w2 30-minute idiom.
+# ---------------------------------------------------------------------------
+
+_TRIP_E_SQL = "CAST(floor(CAST(epoch(ts) AS DOUBLE)) AS BIGINT)"
+_TRIP_CAMP_SQL = (f"(CAST(floor(CAST({_TRIP_E_SQL} AS DOUBLE) / 9e2) "
+                  "AS BIGINT) % 4)")
+_TRIP_ULAT = "(CAST((user_id * 3203080987) % 100000000 AS DOUBLE) / 1e6 - 50.0)"
+_TRIP_ULON = "(CAST((user_id * 2485697231) % 300000000 AS DOUBLE) / 1e6 - 150.0)"
+_TRIP_JLAT = "(CAST((event_id * 3369493747) % 20001 AS DOUBLE) / 1e6 - 0.01)"
+_TRIP_JLON = "(CAST((event_id * 4294967311) % 20001 AS DOUBLE) / 1e6 - 0.01)"
+
+TRIP_POS_SQL = f"""
+  SELECT user_id, ts, event_id,
+         ({_TRIP_ULAT} + CAST({_TRIP_CAMP_SQL} AS DOUBLE) * 2e0
+          + {_TRIP_JLAT}) AS lat,
+         ({_TRIP_ULON} + CAST({_TRIP_CAMP_SQL} AS DOUBLE) * 15e-1
+          + {_TRIP_JLON}) AS lon
+  FROM events
+"""
+
+
+def trip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged events (user_id, ts, event_id, lat, lon) — Spark twin
+    of TRIP_POS_SQL (camp from the same floor-div epoch tree)."""
+    ev = _t(spark, sf_dir, "events")
+    camp = (F.floor(F.unix_timestamp("ts").cast("double")
+                    / F.lit(900.0)).cast("long") % 4)
+    ulat = F.expr(_TRIP_ULAT)
+    ulon = F.expr(_TRIP_ULON)
+    return ev.select(
+        "user_id", "ts", "event_id",
+        (ulat + camp.cast("double") * F.lit(2.0)
+         + F.expr(_TRIP_JLAT)).alias("lat"),
+        (ulon + camp.cast("double") * F.lit(1.5)
+         + F.expr(_TRIP_JLON)).alias("lon"))
+
+
+def q_trip_segments(spark, sf_dir):
+    """Trajectory segmentation (operators/trajectory.trip_segments):
+    per-user trips split on >1° spatial hops OR >30-minute gaps, with
+    per-segment count/epoch-span/extent. FULLY ORACLED — lag +
+    running-sum window twin in DuckDB with the identical exact-double
+    metric and the w2 epoch idiom."""
+    from .operators import trajectory as TJ
+    return TJ.trip_segments(trip_events(spark, sf_dir),
+                            gap_deg=1.0, max_dt_s=1800)
+
+
+SQL_TRIPS = f"""
+WITH pos AS ({TRIP_POS_SQL}),
+marked AS (
+  SELECT user_id, ts, event_id, lat, lon,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR {_TRIP_E_SQL}
+                 - CAST(floor(CAST(epoch(lag(ts) OVER w) AS DOUBLE))
+                        AS BIGINT) > 1800
+              OR (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+                 + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+                 > 1e0
+              THEN 1 ELSE 0 END AS brk
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  SELECT user_id, ts, lat, lon,
+         CAST(sum(brk) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS BIGINT) AS seg_id
+  FROM marked)
+SELECT user_id, seg_id, CAST(count(*) AS BIGINT) AS n_events,
+       min({_TRIP_E_SQL}) AS start_epoch,
+       max({_TRIP_E_SQL}) AS end_epoch,
+       min(lat) AS minlat, max(lat) AS maxlat,
+       min(lon) AS minlon, max(lon) AS maxlon
+FROM seg GROUP BY user_id, seg_id
+"""
+
+
 _GISTAR_RES = 6  # 64×64 grid: cluster sites land in single cells
 
 
@@ -3882,6 +3964,11 @@ QUERIES = {
     # parity past the window (its window-slot failure modes are the
     # same family spatial_dbscan already holds a slot for)
     "overlap_dissolve": q_overlap_dissolve,
+    # round-5f: trajectory segmentation — oracled (lag + running-sum
+    # window twin, w2 epoch idiom, exact-double spatial break), pytest
+    # parity past the window (window-function risk profile is w2's,
+    # which already holds a slot)
+    "trip_segments": q_trip_segments,
     # engine-native tail (rows-only driver check; no SQL equivalent) —
     # every ORACLES-backed key above MUST precede every key below ONLY
     # within the 50-slot window; the rotated-out oracled entries sit
@@ -4005,6 +4092,7 @@ ORACLES = {
     "coverage_audit": SQL_COVERAGE,
     "overlap_join": SQL_OVERLAP,
     "overlap_dissolve": SQL_DISSOLVE,
+    "trip_segments": SQL_TRIPS,
     "tile_pyramid": SQL_TILE_PYR,
     "heatmap_tiles": SQL_HEATMAP,
     "heatmap_pyramid": SQL_HEAT_PYR,
