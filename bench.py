@@ -20,6 +20,14 @@ import time
 from osm_io_spark import queries as Q
 from osm_io_spark.session import get_spark
 
+# Trimmed per the byte-budget rule (CLAUDE.md): the seven pure-Column
+# text transforms were dropped from the BENCH list when trip_segments
+# pushed the centisecond-precision stdout line past the driver's
+# 1900-byte tail capture (77 entries = 2004 bytes; 70 = 1836). They
+# remain fully parity-gated in pytest; their sub-0.1s timings carried
+# no diagnostic value. test_registry_contract now pins the TIER-2
+# (centisecond) line under budget, the invariant this incident showed
+# actually matters.
 BENCH_QUERIES = [
     "j7_spatial_cell_join",
     "j8_pip_refine",
@@ -47,13 +55,6 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "knn_graph",
     "knn_graph_ivf",
-    "text_token_count",
-    "text_language_id",
-    "text_quality",
-    "text_fingerprint",
-    "text_repetition",
-    "text_vocab",
-    "text_token_count_bpe",
     "text_chunks",
     "sample_mixture",
     "corpus_curation",

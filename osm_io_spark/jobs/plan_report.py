@@ -169,6 +169,9 @@ REPORT_QUERIES = [
      "granularity (rows = occupied cells, not points), broadcast "
      "1-row global aggregate — the point table is shuffled exactly "
      "once, everything after runs on the tiny cell universe"),
+    ("trip_segments", "trajectory segmentation (r5f): one per-user "
+     "window (lag + running-sum seg ids — partitioned, never a "
+     "global single-task window) + one groupBy reduction"),
 ]
 
 

@@ -120,9 +120,25 @@ def test_bench_json_line_fits_driver_capture():
         "unit": "sec", "n_images": 600000, "cpus": 32, "sf": 0.1},
         separators=(",", ":"))
     assert len(fallback) < 1900
+    # THE invariant that matters (r5f incident: trip_segments pushed
+    # the registry to 77 bench entries, the centisecond tier overflowed
+    # to 2004 bytes and the driver's BENCH json silently lost every
+    # per-query timing): the TIER-2 line — every entry at 2-decimal
+    # precision, realistic 4-char values — must fit the capture window
+    # with headroom for a few 3-digit-second rows.
+    tier2 = json.dumps({
+        "metric": "images_joined_tiled_per_sec", "value": 1234567.89,
+        "unit": "sec",
+        "queries": {k: 12.81 for k in bench.BENCH_QUERIES},
+        "n_images": 600000, "cpus": 32, "sf": 0.1},
+        separators=(",", ":"))
+    assert len(tier2) <= 1860, (
+        f"tier-2 bench line {len(tier2)} bytes — trim BENCH_QUERIES "
+        "(CLAUDE.md byte-budget rule) before tier-3 silently drops "
+        "the per-query dict")
     # the full line is allowed to exceed 1900 only because bench.py
-    # swaps in the fallback — but warn-by-failure if it ever grows so
-    # large that even the per-query diagnostics are unprintable
+    # swaps in the tier-2 shape — but warn-by-failure if it ever grows
+    # so large that even the per-query diagnostics are unprintable
     assert len(full) < 4 * 1900, len(full)
 
 
