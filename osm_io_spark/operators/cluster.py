@@ -145,9 +145,14 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     """(id_col, role, cluster_id) — role ∈ {'core','border','noise'},
     cluster_id = min point id of the component (−1 for noise).
 
-    ``points`` must carry unique ``id_col`` values; ``eps`` is in
-    degrees under the planar squared-euclidean metric (see module
-    docstring), ``min_pts`` counts the point itself.
+    ``points`` must carry unique ``id_col`` values and VALID
+    coordinates (lat ∈ [-90, 90], lon ∈ [-180, 180]): the grid clamps
+    out-of-range values into border cells, which keeps candidate
+    generation complete for valid inputs but would let the
+    CC contraction treat two far-apart invalid points as same-cell
+    neighbors. ``eps`` is in degrees under the planar
+    squared-euclidean metric (see module docstring), ``min_pts``
+    counts the point itself.
     """
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
